@@ -1,0 +1,74 @@
+"""Benchmark harness — runs the headline queries and prints one JSON line.
+
+Driver contract: run at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1)
+on ``local[$SPARK_GRAFT_CPUS]``; output
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Each query is executed once to completion (``count`` of the result forces
+the full plan, including sinks-free materialization) after a warmup pass of
+the session.  Timings are wall-clock per query; "value" is the total.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from myrecommendsystem_spark.plans import registry
+from myrecommendsystem_spark.session import get_spark
+
+# Headline subset: one per operator family, skewed toward the expensive ones.
+HEADLINE: tuple[str, ...] = (
+    "stats_rate_more_products",
+    "stats_rate_more_recently_products",
+    "stats_average_products",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark(app_name="mrs-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    all_q = registry.all_queries()
+    names = [n for n in HEADLINE if n in all_q]
+    extra = os.environ.get("MRS_BENCH_QUERIES")
+    if extra == "all":
+        names = list(all_q)
+    elif extra:
+        names = [n for n in extra.split(",") if n in all_q]
+
+    # Warmup: touch the session + JIT with the smallest table.
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = all_q[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    sys.stdout.flush()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

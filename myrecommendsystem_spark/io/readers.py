@@ -1,0 +1,119 @@
+"""Sources: parquet tables, reference-style delimited text, event lines.
+
+Replaces the reference's scans (SURVEY.md §2.1):
+- S1/S2/S3 text scans + hand parsing (DataLoader.scala:38-50) → schema-ful
+  ``spark.read.csv`` with explicit separators; Catalyst gets column pruning
+  and predicate pushdown for free.
+- S4 MongoDB batch read (StatisticsRecommender.scala:38-44 etc.) →
+  ``spark.read.parquet`` over the testdata contract.
+
+All reads declare their schema explicitly — no inference pass over the
+data (one less job, and stable types at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from myrecommendsystem_spark import schemas
+
+# Columns written as parquet TIMESTAMP(NANOS) — Spark 4 rejects them unless
+# read as raw int64 nanos (spark.sql.legacy.parquet.nanosAsLong); we then
+# rebuild a proper timestamp with integer division (no double round-trip —
+# nanos-since-epoch exceeds double's 53-bit mantissa).
+_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def ensure_engine_confs(spark: SparkSession) -> None:
+    """Apply runtime confs every reader depends on.
+
+    Called from the read path (not only our session factory) so the queries
+    behave identically inside the driver's own SparkSession: nanos parquet
+    timestamps readable, and a fixed UTC session timezone so date functions
+    match the DuckDB oracle's naive-timestamp semantics.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver testdata table (TESTDATA.md contract)."""
+    ensure_engine_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for col in _NANOS_TS_COLS.get(name, ()):
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql use."""
+    for name in schemas.TESTDATA_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def events_as_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project the ``events`` table into the reference's Rating shape.
+
+    The reference's core relation is ``Rating(userId, productId, score,
+    timestamp)`` (DataLoader.scala:106-107).  The driver testdata has no
+    ratings table, so we derive one deterministically from ``events``:
+    ``user_id`` is the user key, the integer in ``props`` (JSON ``{"k": N}``,
+    N in ~[0,100)) is the product key, ``value`` is the score.  This keeps
+    every recommender query runnable at any scale factor.
+
+    The extraction is a plain ``regexp_extract`` (not a UDF) so it stays
+    inside whole-stage codegen and matches the DuckDB oracle exactly.
+    """
+    return (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.col("user_id").cast("int").alias("userId"),
+            F.regexp_extract(F.col("props"), "[0-9]+", 0)
+            .cast("int")
+            .alias("productId"),
+            F.col("value").alias("score"),
+            F.col("ts").alias("ts"),
+        )
+    )
+
+
+def read_products_delimited(spark: SparkSession, path: str) -> DataFrame:
+    """Parse reference-style ``^``-delimited product lines (S2).
+
+    Mirrors DataLoader.scala:40-43: 7 fields in, keep fields 0,1,4,5,6
+    (drop categoryIds and amazonId), cast productId to int, trim name.
+    ``categories``/``tags`` are further split on ``|`` into arrays — the
+    idiomatic type the reference approximates with delimited strings.
+    """
+    raw = spark.read.csv(path, sep="^", schema=schemas.PRODUCT_RAW)
+    return raw.select(
+        F.col("productId"),
+        F.trim(F.col("name")).alias("name"),
+        F.trim(F.col("imageUrl")).alias("imageUrl"),
+        F.split(F.col("categories"), r"\|").alias("categories"),
+        F.split(F.col("tags"), r"\|").alias("tags"),
+    )
+
+
+def read_ratings_csv(spark: SparkSession, path: str) -> DataFrame:
+    """Parse reference-style comma-delimited rating lines (S3).
+
+    Mirrors DataLoader.scala:47-50: ``userId,productId,score,timestamp``
+    with explicit schema (no inference job).
+    """
+    return spark.read.csv(path, sep=",", schema=schemas.RATING)
+
+
+def read_rating_lines(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """Parse ``UID|MID|SCORE|TIMESTAMP`` event lines into typed columns.
+
+    Mirrors StreamingRecommender.scala:109-113 (T2).  Works on both batch
+    and streaming DataFrames — one shared parse stage.
+    """
+    parts = F.split(F.col(value_col), r"\|")
+    return df.select(
+        parts.getItem(0).cast("int").alias("userId"),
+        parts.getItem(1).cast("int").alias("productId"),
+        parts.getItem(2).cast("double").alias("score"),
+        parts.getItem(3).cast("int").alias("timestamp"),
+    )

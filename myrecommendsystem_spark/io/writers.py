@@ -1,0 +1,35 @@
+"""Sinks: overwrite-mode parquet writer (replaces MongoDB collection writes).
+
+The reference's write pattern is drop-collection + full overwrite + create
+secondary indexes (DataLoader.scala:74-95, S5/S6 in SURVEY.md §2.1).  In
+Parquet-land ``mode("overwrite")`` subsumes the drop, and the indexes map
+to partition layout + sort-within-partition (data clustering Catalyst can
+prune against), not index structures.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+
+
+def write_overwrite(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] | None = None,
+    sort_by: Sequence[str] | None = None,
+) -> None:
+    """Overwrite ``path`` with ``df``; optional partitioning/clustering.
+
+    ``partition_by`` plays the role of the reference's secondary index on
+    the key column (DataLoader.scala:93-95): queries filtering on the
+    partition column get partition pruning.  ``sort_by`` clusters rows
+    within files so min/max parquet stats become selective.
+    """
+    if sort_by:
+        df = df.sortWithinPartitions(*sort_by)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

@@ -1,0 +1,125 @@
+"""Query registry — every operator from SURVEY.md §2 as a named query.
+
+Each :class:`QuerySpec` pairs a Spark DataFrame builder with the ANSI-SQL
+oracle DuckDB runs over the same parquet tables.  The driver compares
+row-count + schema + order-insensitive value hash at sf=0.01
+(``__spark_entry__.py`` contract).  Conventions that keep the two engines
+hash-identical:
+
+- every computed column is aliased identically on both sides;
+- COUNT(*) is cast to BIGINT in DuckDB (its native COUNT is hugeint);
+- floating aggregates are ROUNDed on both sides (summation order is
+  engine-dependent);
+- timestamps/dates in outputs are formatted to strings on both sides.
+
+The ratings relation used by recommender-semantics queries is derived from
+``events`` (see ``io.readers.events_as_ratings``); its oracle twin is the
+``ratings`` CTE below.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from myrecommendsystem_spark.functions.compat import sql_round_stable
+from myrecommendsystem_spark.io import readers
+from myrecommendsystem_spark.operators import stats
+
+Builder = Callable[[SparkSession, str], DataFrame]
+
+# DuckDB twin of io.readers.events_as_ratings — keep in sync.
+RATINGS_CTE = """
+ratings AS (
+    SELECT CAST(user_id AS INTEGER) AS userId,
+           CAST(regexp_extract(props, '[0-9]+', 0) AS INTEGER) AS productId,
+           value AS score,
+           ts
+    FROM events
+)
+""".strip()
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    builder: Builder
+    oracle: str | None  # None → driver records rows-only check
+    doc: str = ""
+
+
+REGISTRY: list[QuerySpec] = []
+
+
+def register(name: str, oracle: str | None, doc: str = "") -> Callable[[Builder], Builder]:
+    def deco(fn: Builder) -> Builder:
+        REGISTRY.append(QuerySpec(name=name, builder=fn, oracle=oracle, doc=doc))
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, Builder]:
+    return {spec.name: spec.builder for spec in REGISTRY}
+
+
+def all_oracle_sql() -> dict[str, str]:
+    return {spec.name: spec.oracle for spec in REGISTRY if spec.oracle is not None}
+
+
+# ---------------------------------------------------------------------------
+# Statistics family (StatisticsRecommender — SURVEY.md §2.4 A1-A3, F1, O1)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_rate_more_products",
+    f"""
+WITH {RATINGS_CTE}
+SELECT productId, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM ratings
+GROUP BY productId
+ORDER BY cnt DESC, productId
+""",
+    doc="A1: per-product rating count (StatisticsRecommender.scala:54)",
+)
+def q_rate_more(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stats.rate_more_products(readers.events_as_ratings(spark, sf_dir))
+
+
+@register(
+    "stats_rate_more_recently_products",
+    f"""
+WITH {RATINGS_CTE}
+SELECT CAST(strftime(ts, '%Y%m%d') AS INTEGER) AS period,
+       productId,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM ratings
+GROUP BY period, productId
+ORDER BY period DESC, cnt DESC, productId
+""",
+    doc="A2+F1+O1: per-(day, product) count, recent first "
+    "(StatisticsRecommender.scala:79-86; day granularity because the "
+    "testdata spans one month)",
+)
+def q_rate_more_recently(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stats.rate_more_recently_products(
+        readers.events_as_ratings(spark, sf_dir), period_format="yyyyMMdd"
+    )
+
+
+@register(
+    "stats_average_products",
+    f"""
+WITH {RATINGS_CTE}
+SELECT productId, {sql_round_stable('AVG(score)', 4)} AS avg_score
+FROM ratings
+GROUP BY productId
+ORDER BY productId
+""",
+    doc="A3: per-product mean score (StatisticsRecommender.scala:101)",
+)
+def q_average_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stats.average_products(readers.events_as_ratings(spark, sf_dir))
