@@ -4,3 +4,6 @@ from myrecommendsystem_spark.plans.registry import (  # noqa: F401
     all_oracle_sql,
     REGISTRY,
 )
+
+# Importing a query module registers its queries (side-effectful decorators).
+from myrecommendsystem_spark.plans import tpch_queries  # noqa: E402,F401

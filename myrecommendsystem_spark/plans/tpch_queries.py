@@ -1,0 +1,444 @@
+"""Relational-kernel queries over the TPC-H-ish testdata (SURVEY.md §2.2/2.3/2.6).
+
+This is the generalization of the reference's relational surface: every
+projection/filter/join/agg/sort shape it executes imperatively over RDDs is
+expressed here as a declarative DataFrame plan over the driver tables, with
+a DuckDB oracle twin.  Operator coverage per query is noted in each doc.
+
+Scale notes (the part that matters at 100 TB):
+- joins against region/nation/supplier/part/customer are broadcast joins —
+  dimensions stay under autoBroadcastJoinThreshold, so the big fact scan
+  never shuffles for them;
+- every aggregation is groupBy().agg() → map-side partial aggregation;
+- top-k per group is a window row_number (spillable), never a
+  collect-and-sort;
+- filters are plain column predicates → parquet pushdown + column pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from myrecommendsystem_spark.functions.compat import round_stable, sql_round_stable
+from myrecommendsystem_spark.io import readers
+from myrecommendsystem_spark.operators import relational
+from myrecommendsystem_spark.plans.registry import RATINGS_CTE, register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return readers.load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Aggregation / scan shapes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    f"""
+SELECT l_returnflag,
+       l_linestatus,
+       {sql_round_stable('SUM(l_quantity)', 2)} AS sum_qty,
+       {sql_round_stable('SUM(l_extendedprice)', 2)} AS sum_base_price,
+       {sql_round_stable('SUM(l_extendedprice * (1 - l_discount))', 2)} AS sum_disc_price,
+       {sql_round_stable('SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax))', 2)} AS sum_charge,
+       {sql_round_stable('AVG(l_quantity)', 4)} AS avg_qty,
+       {sql_round_stable('AVG(l_extendedprice)', 4)} AS avg_price,
+       {sql_round_stable('AVG(l_discount)', 4)} AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+    doc="TPC-H Q1 shape: wide multi-aggregate scan (A1/A3 generalized; "
+    "P1/P2 predicate+projection pushed to parquet)",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= F.expr("TIMESTAMP_NTZ '1998-09-02 00:00:00'"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            round_stable(F.sum("l_quantity"), 2).alias("sum_qty"),
+            round_stable(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            round_stable(F.sum(disc_price), 2).alias("sum_disc_price"),
+            round_stable(F.sum(charge), 2).alias("sum_charge"),
+            round_stable(F.avg("l_quantity"), 4).alias("avg_qty"),
+            round_stable(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            round_stable(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "filter_project_lineitem",
+    """
+SELECT l_orderkey, l_linenumber, l_quantity,
+       ROUND(l_extendedprice * (1 - l_discount), 2) AS net_price
+FROM lineitem
+WHERE l_quantity > 45.0 AND l_discount < 0.02
+""",
+    doc="P1/P2: selective predicate + narrow projection — both must reach "
+    "the parquet scan (PushedFilters + 5-column ReadSchema)",
+)
+def filter_project_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter((F.col("l_quantity") > 45.0) & (F.col("l_discount") < 0.02))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
+                "net_price"
+            ),
+        )
+    )
+
+
+@register(
+    "distinct_users",
+    "SELECT DISTINCT user_id FROM events",
+    doc="A4: distinct keys (OfflineRecommender.scala:60-61)",
+)
+def distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "events").select("user_id").distinct()
+
+
+# ---------------------------------------------------------------------------
+# Join shapes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q3_shipping_priority",
+    """
+SELECT l.l_orderkey,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)) + 1e-07, 2) AS revenue,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l.l_orderkey, orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l.l_orderkey
+LIMIT 10
+""",
+    doc="TPC-H Q3 shape: J3 equi joins (fact-fact + broadcast dim) + "
+    "grouped revenue + deterministic global top-10 (O1/O3)",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.expr("TIMESTAMP_NTZ '1998-03-15 00:00:00'")
+    customer = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    lineitem = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        lineitem.join(
+            orders, lineitem.l_orderkey == orders.o_orderkey, "inner"
+        )
+        .join(
+            F.broadcast(customer), orders.o_custkey == customer.c_custkey, "inner"
+        )
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            round_stable(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    """
+SELECT r.r_name, n.n_name,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)) + 1e-07, 2) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+ORDER BY r.r_name, revenue DESC, n.n_name
+""",
+    doc="TPC-H Q5 shape: 6-table star join — small dims broadcast, the "
+    "lineitem scan never shuffles for them",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            round_stable(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("r_name", F.col("revenue").desc(), "n_name")
+    )
+
+
+@register(
+    "anti_join_unseen",
+    """
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P'
+)
+""",
+    doc="P5/J5: left anti join — the set-oriented form of the reference's "
+    "per-event seen-products exclusion (StreamingRecommender.scala:175-183)",
+)
+def anti_join_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    pending = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "P")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return relational.anti_join(customer, pending, ["c_custkey"]).select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "semi_join_active",
+    """
+SELECT c.c_custkey, c.c_mktsegment
+FROM customer c
+WHERE EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P'
+)
+""",
+    doc="left semi join — complement of anti_join_unseen",
+)
+def semi_join_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    pending = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "P")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return relational.semi_join(customer, pending, ["c_custkey"]).select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@register(
+    "cross_join_region_nation",
+    """
+SELECT r.r_name, n.n_name
+FROM region r CROSS JOIN nation n
+""",
+    doc="J1: explicit cross join (small×small — the only safe scale for "
+    "one; the reference's user×product cartesian is replaced by "
+    "recommendForAllUsers, see ml module)",
+)
+def cross_join_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "region")
+        .crossJoin(_t(spark, sf_dir, "nation"))
+        .select("r_name", "n_name")
+    )
+
+
+@register(
+    "theta_self_join_parts",
+    """
+SELECT a.p_brand AS brand, CAST(COUNT(*) AS BIGINT) AS pair_cnt
+FROM part a
+JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+GROUP BY brand
+ORDER BY brand
+""",
+    doc="J2/P3 shape: self-join with theta predicate (the similarity "
+    "matrix pairing pattern, OfflineRecommender.scala:99-105) — equi on "
+    "brand + inequality removes the diagonal",
+)
+def theta_self_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    a = part.select(F.col("p_brand").alias("brand"), F.col("p_partkey").alias("ka"))
+    b = part.select(F.col("p_brand").alias("brand"), F.col("p_partkey").alias("kb"))
+    return (
+        a.join(b, "brand")
+        .filter(F.col("ka") < F.col("kb"))
+        .groupBy("brand")
+        .agg(F.count("*").alias("pair_cnt"))
+        .orderBy("brand")
+    )
+
+
+@register(
+    "rmse_vs_product_mean",
+    f"""
+WITH {RATINGS_CTE},
+means AS (
+    SELECT productId, AVG(score) AS mean_score
+    FROM ratings GROUP BY productId
+)
+SELECT {sql_round_stable(
+        'SQRT(AVG((r.score - m.mean_score) * (r.score - m.mean_score)))', 4)} AS rmse
+FROM ratings r JOIN means m USING (productId)
+""",
+    doc="J3+A7+M6 shape: equi join on key + global RMSE "
+    "(ALSTrainer.scala:65-79) against a per-product-mean predictor",
+)
+def rmse_vs_product_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ratings = readers.events_as_ratings(spark, sf_dir)
+    means = ratings.groupBy("productId").agg(
+        F.avg("score").alias("mean_score")
+    )
+    err = F.col("score") - F.col("mean_score")
+    return (
+        ratings.join(means, "productId")
+        .agg(round_stable(F.sqrt(F.avg(err * err)), 4).alias("rmse"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window / sort / top-k shapes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "topk_orders_per_customer",
+    """
+SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS total, rnk
+FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey
+           ) AS INTEGER) AS rnk
+    FROM orders
+)
+WHERE rnk <= 3
+""",
+    doc="A5/O2: top-k per group via window row_number — replaces "
+    "groupByKey+sortWith+take(20) (OfflineRecommender.scala:78-84); "
+    "deterministic tie-break on o_orderkey",
+)
+def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.top_k_per_group(
+        _t(spark, sf_dir, "orders"),
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        k=3,
+    ).select(
+        "o_custkey",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("total"),
+        F.col("rnk").cast("int").alias("rnk"),
+    )
+
+
+@register(
+    "global_sort_orders",
+    """
+SELECT o_orderkey, ROUND(o_totalprice, 2) AS total
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+""",
+    doc="O1/O3: global multi-key sort + limit — Spark plans TakeOrderedAndProject "
+    "(per-partition heap + driver merge), no full sort at scale",
+)
+def global_sort_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conditional aggregation (the streaming priority formula, batch form)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "priority_scores",
+    f"""
+WITH {RATINGS_CTE}
+SELECT productId AS candidateId,
+       {sql_round_stable(
+        'AVG(1.0 * score) + LOG10(GREATEST(SUM(CASE WHEN score > 3 THEN 1 ELSE 0 END), 1))'
+        ' - LOG10(GREATEST(SUM(CASE WHEN score <= 3 THEN 1 ELSE 0 END), 1))', 4)} AS priority
+FROM ratings
+GROUP BY candidateId
+ORDER BY candidateId
+""",
+    doc="A8+P7+F7: the streaming priority formula as one grouped agg "
+    "(StreamingRecommender.scala:197-231) with sim=1.0; when/log10/greatest "
+    "reproduce the reference's default-1 count semantics",
+)
+def priority_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = readers.events_as_ratings(spark, sf_dir).withColumn("sim", F.lit(1.0))
+    return relational.streaming_priority_scores(
+        pairs, candidate_col="productId"
+    ).select(
+        F.col("productId").alias("candidateId"), "priority"
+    ).orderBy("candidateId")
+
+
+# ---------------------------------------------------------------------------
+# Scalar function surface (F2-F5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_text_funcs",
+    """
+SELECT doc_id,
+       split_part(text, ' ', 1) AS first_tok,
+       (text LIKE '%spark%') AS mentions_spark,
+       upper(lang) AS lang_uc,
+       CAST(length(text) AS BIGINT) AS text_len
+FROM documents
+""",
+    doc="F2-F5 scalar surface: split/contains/case/length/cast "
+    "(DataLoader.scala:41-49, LogProcess.java:20-23)",
+)
+def scalar_text_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split(F.col("text"), " ").getItem(0).alias("first_tok"),
+        F.col("text").contains("spark").alias("mentions_spark"),
+        F.upper(F.col("lang")).alias("lang_uc"),
+        F.length(F.col("text")).cast("long").alias("text_len"),
+    )
