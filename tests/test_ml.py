@@ -1,0 +1,141 @@
+"""Property tests for the ALS recommender (SURVEY.md §5: strictly stronger
+than the reference, which has no tests at all)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from myrecommendsystem_spark.io import fixtures
+from myrecommendsystem_spark.ml import als as als_mod
+from myrecommendsystem_spark.ml.tuner import grid_search_als
+
+
+@pytest.fixture(scope="module")
+def ratings(spark):
+    df = fixtures.make_ratings(
+        spark, n_rows=4000, n_users=200, n_products=40
+    ).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def model(ratings):
+    return als_mod.train_als(ratings, rank=8, max_iter=5)
+
+
+def test_fixture_properties(ratings):
+    """FIXTURES.md §2.2 constraints on the generated corpus."""
+    agg = ratings.agg(
+        F.countDistinct("userId").alias("users"),
+        F.countDistinct("productId").alias("products"),
+        F.min("score").alias("lo"),
+        F.max("score").alias("hi"),
+    ).first()
+    assert agg.products == 40
+    assert 0.5 <= agg.lo and agg.hi <= 5.0
+    # at least one user with >20 ratings (top-k truncation case)
+    heavy = ratings.groupBy("userId").count().filter("count > 20").count()
+    assert heavy >= 1
+    # duplicate (user, product) pairs exist
+    dups = (
+        ratings.groupBy("userId", "productId").count().filter("count > 1").count()
+    )
+    assert dups >= 1
+    # scores on both sides of the streaming pivot (score > 3 vs <= 3)
+    assert ratings.filter("score > 3").count() > 0
+    assert ratings.filter("score <= 3").count() > 0
+
+
+def test_user_recs_flat_shape(model):
+    flat = als_mod.user_recs_flat(model, k=10)
+    per_user = flat.groupBy("userId").agg(
+        F.count("*").alias("n"),
+        F.min("rnk").alias("rmin"),
+        F.max("rnk").alias("rmax"),
+    )
+    bad = per_user.filter(
+        (F.col("n") > 10) | (F.col("rmin") != 1) | (F.col("rmax") != F.col("n"))
+    )
+    assert bad.count() == 0
+    # scores non-increasing in rank within each user
+    w_bad = (
+        flat.alias("a")
+        .join(
+            flat.alias("b"),
+            (F.col("a.userId") == F.col("b.userId"))
+            & (F.col("a.rnk") + 1 == F.col("b.rnk")),
+        )
+        .filter(F.col("a.score") < F.col("b.score"))
+    )
+    assert w_bad.count() == 0
+
+
+def test_user_recs_nested_shape(model):
+    nested = als_mod.user_recs(model, k=10)
+    assert nested.schema["recs"].dataType.simpleString() == (
+        "array<struct<productId:int,score:double>>"
+    )
+    row = nested.first()
+    scores = [r["score"] for r in row["recs"]]
+    assert scores == sorted(scores, reverse=True)
+    assert len(scores) <= 10
+
+
+def test_item_similarities_exact(model):
+    factors = als_mod.item_factors_df(model)
+    sims = als_mod.item_similarities(factors, threshold=0.6, method="exact")
+    rows = sims.collect()
+    assert rows, "expected some similar pairs above 0.6"
+    for r in rows:
+        assert r.pid != r.other_pid
+        assert 0.6 < r.sim <= 1.0001
+    # symmetry: (a,b) present ⇒ (b,a) present with same sim
+    pairs = {(r.pid, r.other_pid): r.sim for r in rows}
+    for (a, b), s in pairs.items():
+        assert math.isclose(pairs[(b, a)], s, abs_tol=1e-6)
+
+
+def test_item_similarities_lsh_agrees_with_exact(model):
+    factors = als_mod.item_factors_df(model)
+    exact = {
+        (r.pid, r.other_pid)
+        for r in als_mod.item_similarities(
+            factors, threshold=0.6, method="exact"
+        ).collect()
+    }
+    lsh = {
+        (r.pid, r.other_pid)
+        for r in als_mod.item_similarities(
+            factors, threshold=0.6, method="lsh"
+        ).collect()
+    }
+    # LSH is approximate: it may miss pairs but must not invent them
+    # (distances are exact inside approxSimilarityJoin).
+    assert lsh <= exact
+    # and with 4 hash tables on 40 items it should find the majority
+    assert len(lsh) >= 0.5 * len(exact)
+
+
+def test_product_recs_bounded(model):
+    factors = als_mod.item_factors_df(model)
+    sims = als_mod.item_similarities(factors, threshold=0.3, method="exact")
+    recs = als_mod.product_recs(sims, k=5)
+    row = recs.first()
+    assert len(row["recs"]) <= 5
+    scores = [r["score"] for r in row["recs"]]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_grid_search_returns_best(ratings):
+    best, results = grid_search_als(
+        ratings, ranks=(4, 8), regs=(0.5, 0.05), max_iter=3
+    )
+    rows = results.collect()
+    assert len(rows) == 4
+    assert best.rmse == min(r.rmse for r in rows)
+    # sanity: RMSE should beat predicting nothing (score std is ~1.2)
+    assert best.rmse < 2.5

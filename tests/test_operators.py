@@ -1,0 +1,93 @@
+"""Unit tests for operator edge semantics the reference leaves undefined
+(SURVEY.md §5/§7): top-k tie-breaks, log10 default-1 counts, period
+formatting, anti-join semantics, recs nesting."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row, functions as F
+
+from myrecommendsystem_spark.operators import relational, stats
+
+
+def test_top_k_tie_break_deterministic(spark):
+    df = spark.createDataFrame(
+        [Row(g=1, v=5.0, id=i) for i in range(5)]
+        + [Row(g=2, v=1.0, id=9), Row(g=2, v=2.0, id=8)]
+    )
+    out = relational.top_k_per_group(
+        df, ["g"], [F.col("v").desc(), F.col("id")], k=3
+    ).collect()
+    g1 = sorted((r.id, r.rnk) for r in out if r.g == 1)
+    # all v equal in g1 → tie broken by id ascending, deterministic
+    assert g1 == [(0, 1), (1, 2), (2, 3)]
+    g2 = sorted((r.id, r.rnk) for r in out if r.g == 2)
+    assert g2 == [(8, 1), (9, 2)]
+
+
+def test_priority_formula_default_one_counts(spark):
+    """StreamingRecommender.scala:223-229: when one side's count is 0 the
+    reference defaults it to 1 ⇒ log10(1)=0 contribution."""
+    # only high ratings → decay term must be 0, boost = log10(2)
+    df = spark.createDataFrame(
+        [
+            Row(candidateId=1, sim=0.8, score=4.0),
+            Row(candidateId=1, sim=0.5, score=5.0),
+        ]
+    )
+    out = relational.streaming_priority_scores(df).collect()
+    expected = (0.8 * 4.0 + 0.5 * 5.0) / 2 + math.log10(2) - 0.0
+    assert math.isclose(out[0].priority, round(expected, 4), abs_tol=2e-4)
+
+    # only low ratings → boost 0, decay = log10(2)
+    df2 = spark.createDataFrame(
+        [
+            Row(candidateId=7, sim=1.0, score=2.0),
+            Row(candidateId=7, sim=1.0, score=1.0),
+        ]
+    )
+    out2 = relational.streaming_priority_scores(df2).collect()
+    expected2 = (2.0 + 1.0) / 2 + 0.0 - math.log10(2)
+    assert math.isclose(out2[0].priority, round(expected2, 4), abs_tol=2e-4)
+
+
+def test_rate_more_recently_period_format(spark):
+    df = spark.createDataFrame(
+        [
+            Row(userId=1, productId=10, score=5.0, ts="2015-03-02 10:00:00"),
+            Row(userId=2, productId=10, score=4.0, ts="2015-03-20 10:00:00"),
+            Row(userId=3, productId=10, score=4.0, ts="2016-01-01 00:00:00"),
+        ]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = stats.rate_more_recently_products(df).collect()
+    assert [(r.period, r.productId, r.cnt) for r in out] == [
+        (201601, 10, 1),
+        (201503, 10, 2),
+    ]
+
+
+def test_collect_recs_orders_and_truncates(spark):
+    df = spark.createDataFrame(
+        [
+            Row(k=1, item=100, s=1.0),
+            Row(k=1, item=200, s=3.0),
+            Row(k=1, item=300, s=2.0),
+            Row(k=1, item=400, s=3.0),  # tie with 200 → higher id first
+        ]
+    )
+    out = relational.collect_recs(df, "k", "item", "s", k=3).collect()[0]
+    assert [(r["productId"], r["score"]) for r in out["recs"]] == [
+        (400, 3.0),
+        (200, 3.0),
+        (300, 2.0),
+    ]
+
+
+def test_anti_join_removes_seen(spark):
+    left = spark.createDataFrame(
+        [Row(userId=1, productId=p) for p in (1, 2, 3)]
+    )
+    seen = spark.createDataFrame([Row(userId=1, productId=2)])
+    out = relational.anti_join(left, seen, ["userId", "productId"]).collect()
+    assert sorted(r.productId for r in out) == [1, 3]
