@@ -1,0 +1,193 @@
+"""Text analysis functions — tokenize, quality, language-ID, fingerprints.
+
+LLM-data-pipeline extensions (BASELINE.json north star) beyond the
+reference's surface.  Everything is a Catalyst expression (split /
+transform / aggregate / regexp) — no Python UDFs, so these run JVM-side at
+full codegen speed over 100 TB of documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.column import Column
+
+# Tiny per-language stopword lists for the n-gram/stopword language
+# heuristic.  Deliberately small: the point is the operator shape
+# (array_intersect scoring per language), not lexicographic completeness.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "es": ("el", "la", "de", "y", "que", "en", "un", "una", "los", "las"),
+    "fr": ("le", "la", "de", "et", "que", "en", "un", "une", "les", "des"),
+    "de": ("der", "die", "das", "und", "zu", "in", "ein", "eine", "ist", "nicht"),
+}
+
+PUNCT_CLASS = r"[.,!?;:'\"()\[\]{}<>/\\|@#$%^&*+=~`-]"
+
+# BPE-ish word/number/punct splitter: letters runs, digit runs, single
+# punctuation marks — the usual pre-tokenization regex family.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of lowercased, trimmed text."""
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (empty text → 0)."""
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+        F.size(tokens(text))
+    )
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """Sub-word-ish tokens: letter runs / digit runs / single punct marks.
+
+    ``regexp_extract_all`` keeps this JVM-side; a real BPE vocabulary would
+    be a broadcast-joined merge table, out of scope for parity.
+    """
+    return F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are punctuation."""
+    stripped = F.regexp_replace(text, PUNCT_CLASS, "")
+    return F.when(F.length(text) == 0, F.lit(0.0)).otherwise(
+        (F.length(text) - F.length(stripped)) / F.length(text).cast("double")
+    )
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords of ``lang``."""
+    sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+    toks = tokens(text)
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        n_sw / F.size(toks).cast("double")
+    )
+
+
+def mean_token_len(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        total / F.size(toks).cast("double")
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic document quality in [0,1]: length + structure signals.
+
+    Mirrors the usual pretraining-corpus filters (Gopher/C4-style rules):
+    penalize very short docs, punctuation-heavy docs, and token-length
+    pathologies.  Weights are illustrative; the operator shape (pure
+    column expression, filterable/pushable) is the point.
+    """
+    n_tok = token_count(text).cast("double")
+    len_score = F.least(n_tok / 100.0, F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(text) * 4.0)
+    mtl = mean_token_len(text)
+    shape_score = F.when((mtl >= 3.0) & (mtl <= 10.0), 1.0).otherwise(0.5)
+    return len_score * 0.5 + punct_pen * 0.25 + shape_score * 0.25
+
+
+def _membership(words: tuple[str, ...]):
+    """Single-arg lambda factory (PySpark lambdas must have arity 1 or 2 —
+    a default-arg capture would be mistaken for the index parameter)."""
+    arr = F.array(*[F.lit(w) for w in words])
+    return lambda t: F.array_contains(arr, t)
+
+
+def lang_scores(text: Column) -> Column:
+    """Per-language stopword-hit counts as array<struct<lang, hits>>."""
+    toks = tokens(text)
+    pairs = [
+        F.struct(
+            F.lit(lang).alias("lang"),
+            F.size(F.filter(toks, _membership(tuple(words)))).alias("hits"),
+        )
+        for lang, words in LANG_STOPWORDS.items()
+    ]
+    return F.array(*pairs)
+
+
+def predicted_lang(text: Column) -> Column:
+    """argmax language by stopword hits; 'und' (undetermined) when no hits.
+
+    array_max on struct(hits, lang) picks highest hits with deterministic
+    lexicographic lang tie-break.
+    """
+    scored = F.transform(
+        lang_scores(text),
+        lambda s: F.struct(s.getField("hits").alias("hits"), s.getField("lang").alias("lang")),
+    )
+    best = F.array_max(scored)
+    return F.when(best.getField("hits") <= 0, F.lit("und")).otherwise(
+        best.getField("lang")
+    )
+
+
+def exact_fingerprint(text: Column) -> Column:
+    """Normalization-stable exact-dup fingerprint (md5 of squashed text).
+
+    md5 (not xxhash64) so the DuckDB oracle can reproduce it bit-for-bit.
+    """
+    normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.md5(normalized)
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles; short docs fall back to whole text."""
+    toks = tokens(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_distinct(grams)
+
+
+def minhash_signature(shingle_col: Column, k: int = 64) -> Column:
+    """k-permutation MinHash signature as array<bigint>.
+
+    Seeded hash family via ``xxhash64(shingle, seed)`` — deterministic,
+    JVM-side, no UDF.  min over the shingle set per seed.
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda s: F.array_min(
+            F.transform(shingle_col, lambda sh: F.xxhash64(sh, s))
+        ),
+    )
+
+
+def simhash_bits(text: Column, nbits: int = 64) -> Column:
+    """SimHash bit vector (array<int> of 0/1) from whitespace tokens.
+
+    Per token a 64-bit hash votes ±1 on every bit position; the sign of
+    each position's sum is the fingerprint bit.  Entirely Catalyst
+    (transform/aggregate/shiftright) — no Python.
+    """
+    hashes = F.transform(tokens(text), lambda t: F.xxhash64(t))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(nbits - 1)),
+        lambda i: F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0).cast("long"),
+                lambda acc, h: acc + (F.getbit(h, i) * 2 - 1),
+            )
+            >= 0,
+            1,
+        ).otherwise(0),
+    )
+
+
+def hamming_distance(bits_a: Column, bits_b: Column) -> Column:
+    """Hamming distance between two equal-length bit arrays."""
+    return F.aggregate(
+        F.zip_with(bits_a, bits_b, lambda a, b: F.abs(a - b)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )

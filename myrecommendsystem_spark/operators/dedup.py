@@ -1,0 +1,237 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+LLM-data-pipeline extensions (BASELINE.json north star).  All four are
+pure DataFrame pipelines over the text fingerprint functions — no Python
+UDFs, no driver-side loops — and each is shaped for 100 TB:
+
+- exact: one hash-groupBy shuffle on a 16-byte fingerprint.
+- MinHash-LSH: shingle → k-hash signature → band buckets → self-join
+  *within buckets only* → exact-Jaccard verify.  The only shuffle is on
+  (band_idx, band_hash); a bucket-size cap bounds the quadratic blow-up a
+  degenerate bucket (boilerplate shingle) would cause.
+- SimHash: 64-bit fingerprint → band buckets → hamming verify.  Same
+  join-on-bucket shape.
+- n-gram Jaccard: the verify stage alone, for candidate pairs from any
+  source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from myrecommendsystem_spark.functions import text as TXT
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact-dup groups: (fingerprint, keep_id, dup_cnt), dup_cnt ≥ 1.
+
+    ``keep_id`` = min id per fingerprint — the canonical survivor.  One
+    aggregation on the md5 fingerprint; at 100 TB this is the cheapest
+    dedup pass and always runs first to shrink later stages.
+    """
+    return (
+        df.select(
+            TXT.exact_fingerprint(F.col(text_col)).alias("fp"),
+            F.col(id_col),
+        )
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("dup_cnt"),
+        )
+    )
+
+
+def dedup_exact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep one row per exact-duplicate group (the min-id survivor)."""
+    keep = exact_duplicates(df, id_col, text_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """LSH candidate pairs (id_a < id_b) from banded MinHash signatures.
+
+    bands × rows layout: ``num_hashes = bands * rows_per_band``; two docs
+    collide if any band of their signatures matches exactly.  With r=4,
+    b=16 the S-curve threshold is ≈ (1/b)^(1/r) ≈ 0.5 Jaccard.
+
+    ``max_bucket`` drops degenerate buckets (near-universal shingles) —
+    the skew guard that keeps the within-bucket self-join from going
+    quadratic on 100 TB.  Dropped buckets are pairs we *choose* not to
+    compare; exact-dup pass already caught identical texts.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        TXT.minhash_signature(
+            TXT.shingles(F.col(text_col), shingle_n), num_hashes
+        ).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                    ),
+                    b,
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    # skew guard: cap bucket size
+    bucket_sizes = banded.groupBy("band_idx", "band_hash").agg(
+        F.count("*").alias("bucket_n")
+    )
+    banded = banded.join(
+        bucket_sizes.filter(F.col("bucket_n") <= max_bucket),
+        ["band_idx", "band_hash"],
+    )
+    a = banded.select("band_idx", "band_hash", F.col("id").alias("id_a"))
+    b = banded.select("band_idx", "band_hash", F.col("id").alias("id_b"))
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.7,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Near-dup pairs: LSH candidates verified by exact shingle Jaccard.
+
+    Returns (id_a, id_b, jaccard) with jaccard ≥ threshold.  The verify
+    join ships shingle sets only for candidate ids — at scale that is the
+    small side and broadcasts.
+    """
+    cands = minhash_candidate_pairs(
+        df, id_col, text_col, shingle_n, num_hashes, bands
+    )
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        TXT.shingles(F.col(text_col), shingle_n).alias("sh"),
+    )
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    joined = cands.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        joined.select(
+            "id_a",
+            "id_b",
+            F.round(inter / union, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for given candidate pairs (id_a, id_b)."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        TXT.shingles(F.col(text_col), shingle_n).alias("sh"),
+    )
+    joined = (
+        pairs.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return joined.select(
+        "id_a", "id_b", F.round(inter / union, 4).alias("jaccard")
+    )
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    nbits: int = 64,
+    bands: int = 8,
+) -> DataFrame:
+    """SimHash near-dup pairs: banded fingerprint buckets + hamming verify.
+
+    Pigeonhole: two fingerprints within hamming d collide on at least one
+    of ``bands`` bands when d < bands, so bands > max_hamming gives recall
+    1.0 — verification is exact, no false positives.
+    """
+    bits_per_band = nbits // bands
+    fp = df.select(
+        F.col(id_col).alias("id"),
+        TXT.simhash_bits(F.col(text_col), nbits).alias("bits"),
+    )
+    banded = fp.select(
+        "id",
+        "bits",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        "",
+                        F.transform(
+                            F.slice(F.col("bits"), b * bits_per_band + 1, bits_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                    ),
+                    b,
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = banded.select(
+        "band_idx", "band_hash", F.col("id").alias("id_a"), F.col("bits").alias("bits_a")
+    )
+    b = banded.select(
+        "band_idx", "band_hash", F.col("id").alias("id_b"), F.col("bits").alias("bits_b")
+    )
+    cands = (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "bits_a", "bits_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cands.select(
+            "id_a",
+            "id_b",
+            TXT.hamming_distance(F.col("bits_a"), F.col("bits_b")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,217 @@
+"""Text-analysis / dedup / similarity-search queries (LLM-data-pipeline
+extensions — BASELINE.json north star, graded alongside SURVEY.md §2).
+
+Oracle-matched where ANSI-SQL can express the semantics (token counts,
+quality scoring, exact-dup groups, brute-force ANN, embedding near-dups);
+rows-only where the operator is hash-family-dependent (MinHash/SimHash use
+Spark's xxhash64; DuckDB cannot reproduce it) — those are covered by
+property tests in tests/test_text_dedup.py instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from myrecommendsystem_spark.functions import text as TXT
+from myrecommendsystem_spark.functions.compat import round_stable, sql_round_stable
+from myrecommendsystem_spark.io import readers
+from myrecommendsystem_spark.operators import dedup, similarity
+from myrecommendsystem_spark.plans.registry import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return readers.load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return readers.load_table(spark, sf_dir, "embeddings")
+
+
+# ---------------------------------------------------------------------------
+# Token counting / quality
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_token_counts",
+    rf"""
+SELECT doc_id,
+       CAST(length(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+       CAST(length(regexp_extract_all(text, '{TXT.BPE_ISH_PATTERN}', 0)) AS INTEGER)
+           AS n_bpe_tokens
+FROM documents
+""",
+    doc="token counting: whitespace + BPE-ish regex tokenizers, all "
+    "JVM-side regexp expressions",
+)
+def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        TXT.token_count(F.col("text")).cast("int").alias("n_tokens"),
+        F.size(TXT.bpe_ish_tokens(F.col("text"))).cast("int").alias("n_bpe_tokens"),
+    )
+
+
+_PUNCT_SQL = TXT.PUNCT_CLASS.replace("'", "''")
+
+
+@register(
+    "doc_quality_scores",
+    rf"""
+WITH t AS (
+    SELECT doc_id,
+           length(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
+           length(text) AS n_char,
+           length(text) - length(regexp_replace(text, '{_PUNCT_SQL}', '', 'g'))
+               AS n_punct,
+           length(regexp_replace(lower(trim(text)), '\s+', '', 'g')) AS tok_chars
+    FROM documents
+),
+m AS (
+    SELECT doc_id,
+           LEAST(n_tok / 100.0, 1.0) AS len_score,
+           GREATEST(0.0, 1.0 - (n_punct / CAST(n_char AS DOUBLE)) * 4.0)
+               AS punct_pen,
+           CASE WHEN tok_chars / CAST(n_tok AS DOUBLE) BETWEEN 3.0 AND 10.0
+                THEN 1.0 ELSE 0.5 END AS shape_score
+    FROM t
+)
+SELECT doc_id,
+       {sql_round_stable('len_score * 0.5 + punct_pen * 0.25 + shape_score * 0.25', 4)}
+           AS quality
+FROM m
+""",
+    doc="quality scoring: length/punctuation/token-shape heuristics as one "
+    "pure column expression (Gopher/C4-style filter shape)",
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        round_stable(TXT.quality_score(F.col("text")), 4).alias("quality"),
+    )
+
+
+@register(
+    "doc_lang_id",
+    None,
+    doc="language-ID: stopword-hit argmax over per-language lists "
+    "(rows-only: tiny built-in lexicons; accuracy is not the contract, "
+    "the operator shape is)",
+)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        TXT.predicted_lang(F.col("text")).alias("predicted_lang"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_groups",
+    r"""
+SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS dup_cnt
+FROM documents
+GROUP BY fp
+""",
+    doc="exact dedup: md5-fingerprint hash-groupBy; keep_id = min doc_id "
+    "survivor",
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_duplicates(_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_minhash_pairs",
+    None,
+    doc="MinHash-LSH near-dup pairs: shingle→64-hash signature→16 banded "
+    "buckets→within-bucket join→exact-Jaccard verify ≥ 0.5 (rows-only: "
+    "xxhash64 family not reproducible in DuckDB)",
+)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_near_duplicates(
+        _docs(spark, sf_dir), jaccard_threshold=0.5
+    )
+
+
+@register(
+    "dedup_simhash_pairs",
+    None,
+    doc="SimHash near-dup pairs: 64-bit fingerprint, 8 banded buckets, "
+    "hamming ≤ 3 verify (rows-only)",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_near_duplicates(_docs(spark, sf_dir), max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_EMB_CTE = """
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id < 10)
+""".strip()
+
+
+@register(
+    "ann_topk_bruteforce",
+    f"""
+WITH {_EMB_CTE},
+scored AS (
+    SELECT q.query_id, c.vec_id,
+           {sql_round_stable('list_cosine_similarity(c.v, q.v)', 4)} AS cos
+    FROM c CROSS JOIN q
+    WHERE c.vec_id != q.query_id
+),
+ranked AS (
+    SELECT query_id, vec_id, cos,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cos DESC, vec_id
+           ) AS INTEGER) AS rnk
+    FROM scored
+)
+SELECT query_id, vec_id, cos, rnk FROM ranked WHERE rnk <= 5
+""",
+    doc="similarity search baseline: exact cosine top-5 per query "
+    "(10 query vectors broadcast against the corpus; window top-k)",
+)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.brute_force_topk(emb, queries, k=5)
+
+
+@register(
+    "ann_topk_ivf",
+    None,
+    doc="similarity search scale path: IVF (KMeans coarse quantizer, "
+    "nprobe=4 of 16 cells) top-5 — rows-only (KMeans not SQL-expressible); "
+    "recall vs brute force asserted in tests",
+)
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk(emb, queries, n_cells=16, nprobe=4, k=5)
+
+
+@register(
+    "embedding_near_dup_pairs",
+    f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {sql_round_stable('list_cosine_similarity(a.v, b.v)', 4)} AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {sql_round_stable('list_cosine_similarity(a.v, b.v)', 4)} >= 0.35
+""",
+    doc="embedding-cosine near-dup: thresholded pairwise cosine "
+    "(threshold 0.35 — testdata max pairwise cosine is ~0.51)",
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.near_duplicate_pairs(_emb(spark, sf_dir), threshold=0.35)

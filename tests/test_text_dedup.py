@@ -1,0 +1,163 @@
+"""Property tests for text analysis, dedup, and similarity search."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from myrecommendsystem_spark.functions import text as TXT
+from myrecommendsystem_spark.operators import dedup, similarity
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from a warm window sill in the afternoon sun light"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    """Corpus with known exact dups, near dups, and distinct docs."""
+    rows = [
+        Row(doc_id=0, text=BASE),
+        Row(doc_id=1, text=BASE),  # exact dup of 0
+        Row(doc_id=2, text="  " + BASE.upper() + "  "),  # normalized dup of 0
+        Row(doc_id=3, text=BASE.replace("lazy", "sleepy")),  # near dup of 0
+        Row(doc_id=4, text="completely different content about spark "
+                           "engines and distributed query processing at scale "
+                           "with shuffles joins and aggregations everywhere"),
+        Row(doc_id=5, text="short text"),
+        Row(doc_id=6, text="el gato y el perro en la casa de la abuela "
+                           "que vive en un pueblo de la montana"),
+    ]
+    return spark.createDataFrame(rows).cache()
+
+
+def test_token_count_edges(spark):
+    df = spark.createDataFrame(
+        [Row(t="one two  three"), Row(t="   "), Row(t=""), Row(t="single")]
+    )
+    out = df.select(TXT.token_count(F.col("t")).alias("n")).collect()
+    assert [r.n for r in out] == [3, 0, 0, 1]
+
+
+def test_bpe_ish_tokens(spark):
+    df = spark.createDataFrame([Row(t="hello, world42 (x)")])
+    out = df.select(TXT.bpe_ish_tokens(F.col("t")).alias("tk")).first()
+    assert out.tk == ["hello", ",", "world", "42", "(", "x", ")"]
+
+
+def test_exact_dedup_normalization(docs):
+    groups = dedup.exact_duplicates(docs)
+    dup_group = groups.filter(F.col("dup_cnt") >= 3).collect()
+    # 0, 1, 2 normalize to the same fingerprint (case/whitespace squashed)
+    assert len(dup_group) == 1
+    assert dup_group[0].keep_id == 0
+    assert dup_group[0].dup_cnt == 3
+    survivors = dedup.dedup_exact(docs)
+    assert survivors.count() == 5  # 7 docs - 2 dropped dups
+
+
+def test_minhash_finds_near_dup(docs):
+    pairs = dedup.minhash_near_duplicates(docs, jaccard_threshold=0.5)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    # exact dups collide on every band; the one-word edit (doc 3) shares
+    # most shingles with 0/1/2
+    assert (0, 1) in found
+    assert (0, 3) in found
+    # unrelated docs must not pair
+    assert not any(4 in p or 5 in p or 6 in p for p in found)
+
+
+def test_minhash_jaccard_values(docs):
+    pairs = dedup.minhash_near_duplicates(docs, jaccard_threshold=0.5)
+    row = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    assert row[(0, 1)] == 1.0  # identical shingle sets
+    assert 0.5 <= row[(0, 3)] < 1.0
+
+
+def test_simhash_near_dups(docs):
+    pairs = dedup.simhash_near_duplicates(docs, max_hamming=6)
+    found = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert found[(0, 1)] == 0  # identical text → identical fingerprint
+    assert (0, 3) in found  # one-word edit → small hamming distance
+    assert not any(4 in p for p in found)
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = spark.createDataFrame(
+        [Row(id_a=0, id_b=1), Row(id_a=0, id_b=4)]
+    )
+    out = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, pairs).collect()
+    }
+    assert out[(0, 1)] == 1.0
+    assert out[(0, 4)] < 0.05
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="the cat sat on the mat and it is warm"),
+            Row(doc_id=1, text="el gato y la casa de los abuelos en un pueblo"),
+            Row(doc_id=2, text="zzz qqq xxx"),
+        ]
+    )
+    out = {
+        r.doc_id: r.lang
+        for r in df.select(
+            "doc_id", TXT.predicted_lang(F.col("text")).alias("lang")
+        ).collect()
+    }
+    assert out[0] == "en"
+    assert out[1] == "es"
+    assert out[2] == "und"
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    """Deterministic embeddings with a planted near-dup pair (0≈1)."""
+    import random
+
+    def vec(seed: int, dim: int = 16) -> list[float]:
+        rng = random.Random(seed)
+        return [rng.gauss(0.0, 1.0) for _ in range(dim)]
+
+    base = vec(1)
+    near = [x + 0.01 for x in base]
+    rows = [Row(vec_id=0, embedding=base), Row(vec_id=1, embedding=near)] + [
+        Row(vec_id=i, embedding=vec(i)) for i in range(2, 40)
+    ]
+    return spark.createDataFrame(rows).cache()
+
+
+def test_brute_force_topk(vectors):
+    queries = vectors.filter(F.col("vec_id") == 0)
+    out = similarity.brute_force_topk(vectors, queries, k=3).collect()
+    assert len(out) == 3
+    assert out[0].vec_id == 1 and out[0].cos > 0.999  # planted near-dup
+    assert [r.rnk for r in sorted(out, key=lambda r: r.rnk)] == [1, 2, 3]
+    # no self-match
+    assert all(r.vec_id != 0 for r in out)
+
+
+def test_ivf_recall_vs_bruteforce(vectors):
+    queries = vectors.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in similarity.brute_force_topk(vectors, queries, k=3).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in similarity.ivf_topk(
+            vectors, queries, n_cells=4, nprobe=2, k=3
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_near_duplicate_pairs(vectors):
+    out = similarity.near_duplicate_pairs(vectors, threshold=0.99)
+    rows = out.collect()
+    assert [(r.id_a, r.id_b) for r in rows] == [(0, 1)]
