@@ -22,9 +22,24 @@ from myrecommendsystem_spark.session import get_spark
 
 # Headline subset: one per operator family, skewed toward the expensive ones.
 HEADLINE: tuple[str, ...] = (
+    # t_stats: A1-A3 statistics family
     "stats_rate_more_products",
     "stats_rate_more_recently_products",
     "stats_average_products",
+    # t_relational: joins / windows / sorts over the TPC-H-ish tables
+    "topk_orders_per_customer",
+    "anti_join_unseen",
+    "priority_scores",
+    # t_als: MLlib pipeline
+    "als_user_recs",
+    # t_batch_stream: itemcf sim matrix + one full micro-batch cycle
+    "itemcf_similarities",
+    "stream_recs_batch",
+    "events_tumbling_hourly",
+    # LLM-data-pipeline: dedup / ANN / text
+    "doc_token_counts",
+    "dedup_minhash_pairs",
+    "ann_topk_bruteforce",
 )
 
 

@@ -78,7 +78,7 @@ def minhash_candidate_pairs(
     sig = df.select(
         F.col(id_col).alias("id"),
         TXT.minhash_signature(
-            TXT.shingles(F.col(text_col), shingle_n), num_hashes
+            TXT.shingle_hashes(F.col(text_col), shingle_n), num_hashes
         ).alias("sig"),
     )
     banded = sig.select(
@@ -129,15 +129,16 @@ def minhash_near_duplicates(
     """Near-dup pairs: LSH candidates verified by exact shingle Jaccard.
 
     Returns (id_a, id_b, jaccard) with jaccard ≥ threshold.  The verify
-    join ships shingle sets only for candidate ids — at scale that is the
-    small side and broadcasts.
+    join ships shingle-hash sets only for candidate ids — at scale that is
+    the small side and broadcasts; intersecting int64 arrays instead of
+    strings keeps the verify cheap.
     """
     cands = minhash_candidate_pairs(
         df, id_col, text_col, shingle_n, num_hashes, bands
     )
     sh = df.select(
         F.col(id_col).alias("id"),
-        TXT.shingles(F.col(text_col), shingle_n).alias("sh"),
+        TXT.shingle_hashes(F.col(text_col), shingle_n).alias("sh"),
     )
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
@@ -182,56 +183,65 @@ def simhash_near_duplicates(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
-    nbits: int = 64,
     bands: int = 8,
+    max_bucket: int = 1000,
 ) -> DataFrame:
-    """SimHash near-dup pairs: banded fingerprint buckets + hamming verify.
+    """SimHash near-dup pairs: byte-banded fingerprint buckets + hamming.
 
-    Pigeonhole: two fingerprints within hamming d collide on at least one
-    of ``bands`` bands when d < bands, so bands > max_hamming gives recall
-    1.0 — verification is exact, no false positives.
+    Pigeonhole: two 64-bit fingerprints within hamming d collide exactly
+    on at least one of ``bands`` bands when d < bands, so bands >
+    max_hamming gives recall 1.0 — verification is exact, no false
+    positives.  The fingerprint is ONE BIGINT: band extraction is
+    ``shiftright & mask`` and the verify is ``bit_count(a XOR b)`` — the
+    whole pipeline after the fingerprint UDF is codegen expressions, and
+    the only shuffle is on (band_idx, band_val).
+
+    ``max_bucket`` drops degenerate buckets (a byte pattern shared by a
+    huge near-identical cluster) — same skew guard as the MinHash path;
+    dropped buckets only ever lose pairs the remaining 7 bands can still
+    recover unless the docs disagree in every band.
     """
-    bits_per_band = nbits // bands
+    bits_per_band = 64 // bands
+    mask = (1 << bits_per_band) - 1
     fp = df.select(
         F.col(id_col).alias("id"),
-        TXT.simhash_bits(F.col(text_col), nbits).alias("bits"),
+        TXT.simhash64(F.col(text_col)).alias("fp"),
     )
     banded = fp.select(
         "id",
-        "bits",
+        "fp",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(
-                        "",
-                        F.transform(
-                            F.slice(F.col("bits"), b * bits_per_band + 1, bits_per_band),
-                            lambda x: x.cast("string"),
-                        ),
-                    ),
-                    b,
-                ),
+            F.array(
+                *[
+                    F.shiftright(F.col("fp"), b * bits_per_band).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for b in range(bands)
+                ]
             )
-        ).alias("band_idx", "band_hash"),
+        ).alias("band_idx", "band_val"),
     )
+    bucket_sizes = banded.groupBy("band_idx", "band_val").agg(
+        F.count("*").alias("bucket_n")
+    )
+    banded = banded.join(
+        bucket_sizes.filter(F.col("bucket_n") <= max_bucket),
+        ["band_idx", "band_val"],
+    ).select("band_idx", "band_val", "id", "fp")
     a = banded.select(
-        "band_idx", "band_hash", F.col("id").alias("id_a"), F.col("bits").alias("bits_a")
+        "band_idx", "band_val", F.col("id").alias("id_a"), F.col("fp").alias("fp_a")
     )
     b = banded.select(
-        "band_idx", "band_hash", F.col("id").alias("id_b"), F.col("bits").alias("bits_b")
-    )
-    cands = (
-        a.join(b, ["band_idx", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "bits_a", "bits_b")
-        .dropDuplicates(["id_a", "id_b"])
+        "band_idx", "band_val", F.col("id").alias("id_b"), F.col("fp").alias("fp_b")
     )
     return (
-        cands.select(
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
             "id_a",
             "id_b",
-            TXT.hamming_distance(F.col("bits_a"), F.col("bits_b")).alias("hamming"),
+            TXT.hamming64(F.col("fp_a"), F.col("fp_b")).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )

@@ -14,6 +14,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.column import Column
 
+from myrecommendsystem_spark.functions.compat import round_stable
+
 
 def top_k_per_group(
     df: DataFrame,
@@ -92,6 +94,7 @@ def streaming_priority_scores(
     score_col: str = "score",
     candidate_col: str = "candidateId",
     pivot: float = 3.0,
+    group_cols: Sequence[str] = (),
 ) -> DataFrame:
     """The streaming priority formula as one grouped aggregation (A8).
 
@@ -107,11 +110,16 @@ def streaming_priority_scores(
     ``groupBy().agg()`` with ``when`` counters — map-side partial aggregation
     included.  ``greatest(cnt, 1)`` reproduces the reference's default-1
     count semantics exactly (:223-229, getCountMap default at :250-252).
+
+    ``group_cols`` prepends extra grouping keys (the streaming path groups
+    per (userId, candidate)).  Rounding uses the same epsilon-stabilized
+    form as the SQL oracle (``functions.compat``) so boundary ties land on
+    the same side in both engines.
     """
     gt = F.sum(F.when(F.col(score_col) > pivot, 1).otherwise(0))
     le = F.sum(F.when(F.col(score_col) <= pivot, 1).otherwise(0))
-    return candidate_pairs.groupBy(candidate_col).agg(
-        F.round(
+    return candidate_pairs.groupBy(*group_cols, candidate_col).agg(
+        round_stable(
             F.avg(F.col(sim_col) * F.col(score_col))
             + F.log10(F.greatest(gt, F.lit(1)))
             - F.log10(F.greatest(le, F.lit(1))),

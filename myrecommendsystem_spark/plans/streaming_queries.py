@@ -1,0 +1,265 @@
+"""Streaming-family queries (SURVEY.md §2.9 T1-T6, §2.1 S7-S11) — batch form.
+
+The streaming recommender's per-micro-batch cycle is a pure DataFrame
+function (``streaming.recommender``), so the correctness gate can run it as
+a batch query against DuckDB SQL — the strongest check available for a
+streaming pipeline (the reference has none at all).  The Structured
+Streaming wiring itself (file/kafka source, foreachBatch, availableNow
+trigger) is exercised in ``tests/test_streaming.py``.
+
+The similarity matrix used here is the deterministic item-CF cosine
+(``ml.itemcf``), not ALS factors — same shape, oracle-able.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from myrecommendsystem_spark.functions.compat import round_stable, sql_round_stable
+from myrecommendsystem_spark.io import readers
+from myrecommendsystem_spark.ml.itemcf import corating_similarities
+from myrecommendsystem_spark.plans.registry import RATINGS_CTE, register
+from myrecommendsystem_spark.streaming.log_filter import (
+    PRODUCT_RATING_PREFIX,
+    filter_rating_log,
+)
+from myrecommendsystem_spark.streaming.recommender import (
+    compact_recent_ratings,
+    stream_recs_flat,
+)
+
+# The reference's 0.6 threshold (OfflineRecommender.scala:105) is tuned for
+# dense ALS factor vectors; co-rating vectors get sparser as user count
+# grows (max observed cosine at sf0.01 is ~0.53), so the deterministic
+# item-CF variant uses 0.3 to stay non-vacuous across scale factors.
+_ITEMCF_THRESHOLD = 0.3
+
+# DuckDB twins of ml.itemcf.corating_similarities — keep in sync.
+_ITEMCF_CTES = f"""
+r AS (
+    SELECT userId, productId, AVG(score) AS score
+    FROM ratings GROUP BY userId, productId
+),
+norms AS (
+    SELECT productId, SQRT(SUM(score * score)) AS nrm
+    FROM r GROUP BY productId
+),
+dots AS (
+    SELECT a.productId AS pid, b.productId AS other_pid,
+           SUM(a.score * b.score) AS dot
+    FROM r a JOIN r b ON a.userId = b.userId AND a.productId <> b.productId
+    GROUP BY pid, other_pid
+),
+sims AS (
+    SELECT pid, other_pid,
+           {sql_round_stable('dot / (na.nrm * nb.nrm)', 4)} AS sim
+    FROM dots
+    JOIN norms na ON dots.pid = na.productId
+    JOIN norms nb ON dots.other_pid = nb.productId
+)
+""".strip()
+
+
+@register(
+    "stream_log_filter_parse",
+    f"""
+WITH {RATINGS_CTE},
+lines AS (
+    SELECT CASE WHEN userId % 10 = 0
+        THEN 'heartbeat uid=' || CAST(userId AS VARCHAR)
+        ELSE 'app-log {PRODUCT_RATING_PREFIX}' || CAST(userId AS VARCHAR)
+             || '|' || CAST(productId AS VARCHAR)
+             || '|' || CAST(score AS VARCHAR)
+             || '|' || CAST(CAST(FLOOR(epoch(ts)) AS BIGINT) AS VARCHAR)
+        END AS value
+    FROM ratings
+),
+filtered AS (
+    SELECT trim(split_part(value, '{PRODUCT_RATING_PREFIX}', 2)) AS value
+    FROM lines WHERE contains(value, '{PRODUCT_RATING_PREFIX}')
+)
+SELECT CAST(split_part(value, '|', 1) AS INTEGER) AS userId,
+       CAST(split_part(value, '|', 2) AS INTEGER) AS productId,
+       CAST(split_part(value, '|', 3) AS DOUBLE) AS score,
+       CAST(split_part(value, '|', 4) AS INTEGER) AS ts_sec
+FROM filtered
+""",
+    doc="S11+P6+T2: the KafkaStreaming log-filter topology + event parse as "
+    "Catalyst expressions (LogProcess.java:17-25, "
+    "StreamingRecommender.scala:109-113); log lines synthesized "
+    "deterministically from the ratings relation, 1-in-10 users as noise",
+)
+def stream_log_filter_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ratings = readers.events_as_ratings(spark, sf_dir)
+    rating_line = F.concat(
+        F.lit("app-log " + PRODUCT_RATING_PREFIX),
+        F.col("userId").cast("string"),
+        F.lit("|"),
+        F.col("productId").cast("string"),
+        F.lit("|"),
+        F.col("score").cast("string"),
+        F.lit("|"),
+        F.unix_timestamp("ts").cast("string"),
+    )
+    noise_line = F.concat(
+        F.lit("heartbeat uid="), F.col("userId").cast("string")
+    )
+    lines = ratings.select(
+        F.when(F.col("userId") % 10 == 0, noise_line)
+        .otherwise(rating_line)
+        .alias("value")
+    )
+    parsed = readers.read_rating_lines(filter_rating_log(lines))
+    return parsed.withColumnRenamed("timestamp", "ts_sec")
+
+
+@register(
+    "stream_recent_ratings",
+    f"""
+WITH {RATINGS_CTE}
+SELECT userId, productId, score,
+       CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY userId
+        ORDER BY ts DESC, productId DESC, score DESC
+    ) AS rn
+    FROM ratings
+)
+WHERE rn <= 20
+""",
+    doc="T4/S8: the Redis recent-K list as a compacted table — ≤20 most "
+    "recent ratings per user (StreamingRecommender.scala:151-159)",
+)
+def stream_recent_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ratings = readers.events_as_ratings(spark, sf_dir)
+    return compact_recent_ratings(ratings).select(
+        "userId",
+        "productId",
+        "score",
+        F.unix_timestamp("ts").cast("bigint").alias("ts_sec"),
+    )
+
+
+@register(
+    "itemcf_similarities",
+    f"""
+WITH {RATINGS_CTE},
+{_ITEMCF_CTES}
+SELECT pid, other_pid, sim FROM sims WHERE sim > {_ITEMCF_THRESHOLD}
+""",
+    doc="M7 (deterministic variant): item-item cosine over co-rating "
+    "vectors, thresholded, both directions — the oracle-able stand-in for "
+    "the ALS-factor similarity matrix (OfflineRecommender.scala:92-109)",
+)
+def itemcf_similarities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corating_similarities(
+        readers.events_as_ratings(spark, sf_dir), threshold=_ITEMCF_THRESHOLD
+    )
+
+
+@register(
+    "stream_recs_batch",
+    f"""
+WITH {RATINGS_CTE},
+{_ITEMCF_CTES},
+batch AS (SELECT * FROM ratings WHERE userId % 13 = 0),
+trig AS (
+    SELECT userId, productId AS trigger_pid FROM (
+        SELECT userId, productId, ROW_NUMBER() OVER (
+            PARTITION BY userId ORDER BY ts DESC, productId DESC
+        ) AS rn FROM batch
+    ) WHERE rn = 1
+),
+cand0 AS (
+    SELECT t.userId, s.other_pid AS candidateId, s.sim AS trigger_sim
+    FROM trig t JOIN sims s ON t.trigger_pid = s.pid
+    WHERE s.sim > {_ITEMCF_THRESHOLD}
+),
+cand1 AS (
+    SELECT c.* FROM cand0 c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM ratings r
+        WHERE r.userId = c.userId AND r.productId = c.candidateId
+    )
+),
+cand AS (
+    SELECT userId, candidateId FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY userId ORDER BY trigger_sim DESC, candidateId
+        ) AS rn FROM cand1
+    ) WHERE rn <= 20
+),
+recent AS (
+    SELECT userId, productId, score FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY userId
+            ORDER BY ts DESC, productId DESC, score DESC
+        ) AS rn FROM ratings
+    ) WHERE rn <= 20
+),
+pairs AS (
+    SELECT c.userId, c.candidateId, s.sim, r.score
+    FROM cand c
+    JOIN recent r ON c.userId = r.userId
+    JOIN sims s ON s.pid = c.candidateId AND s.other_pid = r.productId
+    WHERE s.sim > {_ITEMCF_THRESHOLD}
+),
+scores AS (
+    SELECT userId, candidateId,
+           {sql_round_stable(
+            'AVG(sim * score)'
+            ' + LOG10(GREATEST(SUM(CASE WHEN score > 3 THEN 1 ELSE 0 END), 1))'
+            ' - LOG10(GREATEST(SUM(CASE WHEN score <= 3 THEN 1 ELSE 0 END), 1))',
+            4)} AS priority
+    FROM pairs GROUP BY userId, candidateId
+)
+SELECT userId, candidateId, priority, CAST(rn AS INTEGER) AS rnk FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY userId ORDER BY priority DESC, candidateId
+    ) AS rn FROM scores
+) WHERE rn <= 20
+""",
+    doc="T3+T5+T6+J4+J5+A8: one full streaming-recommender micro-batch "
+    "cycle in batch form — trigger event per user, broadcast sim join, "
+    "seen anti join, recent-K pairing, priority formula, top-20 "
+    "(StreamingRecommender.scala:116-231); batch = users with id % 13 = 0",
+)
+def stream_recs_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ratings = readers.events_as_ratings(spark, sf_dir)
+    sims = corating_similarities(ratings, threshold=_ITEMCF_THRESHOLD)
+    batch = ratings.filter(F.col("userId") % 13 == 0)
+    recent = compact_recent_ratings(ratings)
+    return stream_recs_flat(
+        batch, sims, ratings, recent, sim_threshold=_ITEMCF_THRESHOLD
+    )
+
+
+@register(
+    "events_tumbling_hourly",
+    f"""
+SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S')
+           AS window_start,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       {sql_round_stable('AVG(value)', 4)} AS avg_value
+FROM events
+GROUP BY window_start
+""",
+    doc="Engine extension (SURVEY.md §2.9 'absent' list): event-time "
+    "tumbling-window aggregation — the batch twin of the watermarked "
+    "streaming window in streaming/windows.py",
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = readers.load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("cnt"),
+            round_stable(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "cnt",
+            "avg_value",
+        )
+    )

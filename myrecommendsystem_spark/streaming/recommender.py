@@ -1,0 +1,230 @@
+"""Streaming recommender — StreamingRecommender.scala, set-oriented.
+
+Reference (``/root/reference/recommender/StreamingRecommender/src/main/
+scala/com/ng/streaming/StreamingRecommender.scala``): a DStream job that,
+PER EVENT, round-trips Redis (recent ratings, :151-159), a driver-broadcast
+sim matrix (:78-90), and MongoDB (seen products :175-180, upsert :254-263).
+
+Here every per-event network hop becomes a per-micro-batch JOIN
+(SURVEY.md §3.3):
+
+- Redis recent-K list  → compacted recent-ratings table (T4/S8)
+- broadcast Map probe  → broadcast join against the sim DataFrame (J4)
+- Mongo seen-filter    → stream-static left anti join (J5/P5)
+- scoring loop         → groupBy().agg() priority formula (A8, shared with
+                         operators.relational.streaming_priority_scores)
+- findAndRemove+insert → replace-by-key parquet upsert (S10)
+
+The whole cycle is a pure DataFrame function (``stream_recs_for_events``)
+so it runs identically inside ``writeStream.foreachBatch`` and in batch
+tests — and the correctness gate can execute it without a streaming
+runtime.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from myrecommendsystem_spark.operators.relational import (
+    anti_join,
+    collect_recs,
+    streaming_priority_scores,
+    top_k_per_group,
+)
+
+MAX_USER_RATING_NUM = 20  # StreamingRecommender.scala:48
+MAX_SIM_PRODUCTS_NUM = 20  # StreamingRecommender.scala:49-50
+SIM_THRESHOLD = 0.6  # StreamingRecommender.scala:213
+
+
+def compact_recent_ratings(
+    ratings: DataFrame, k: int = MAX_USER_RATING_NUM
+) -> DataFrame:
+    """≤k most recent ratings per user — the Redis list, as a table.
+
+    Reference keeps ``userid:<id>`` Redis lists trimmed to 20 entries
+    (StreamingRecommender.scala:151-159).  Columns in/out:
+    (userId, productId, score, ts).  Deterministic tie-break on
+    (productId, score) so replays are stable even with same-timestamp
+    duplicates.
+    """
+    return top_k_per_group(
+        ratings,
+        ["userId"],
+        [F.col("ts").desc(), F.col("productId").desc(), F.col("score").desc()],
+        k,
+    ).drop("rnk")
+
+
+def stream_recs_flat(
+    batch_events: DataFrame,
+    sim_flat: DataFrame,
+    seen_ratings: DataFrame,
+    recent_ratings: DataFrame,
+    k: int = MAX_SIM_PRODUCTS_NUM,
+    sim_threshold: float = SIM_THRESHOLD,
+) -> DataFrame:
+    """One recommendation cycle for a batch of rating events, flat output.
+
+    Inputs:
+    - batch_events:   (userId, productId, score, ts) — this micro-batch
+    - sim_flat:       (pid, other_pid, sim) — item similarity matrix
+    - seen_ratings:   (userId, productId, ...) — everything already rated
+    - recent_ratings: (userId, productId, score, ts) — the recent-K state
+
+    Returns (userId, candidateId, priority, rnk) — one row per
+    recommendation, priority desc per user.  ``stream_recs_for_events``
+    nests this into the StreamRecs shape (replace-by-key per user).
+
+    Divergence from the reference, documented: the reference processes
+    events one at a time, each overwriting the user's recs — the batch
+    equivalent takes each user's LATEST event in the batch as the trigger
+    (last-write-wins, which is what the per-event loop converges to).
+    """
+    trigger = (
+        top_k_per_group(
+            batch_events,
+            ["userId"],
+            [F.col("ts").desc(), F.col("productId").desc()],
+            1,
+        )
+        .select("userId", F.col("productId").alias("trigger_pid"))
+    )
+
+    # T5: top-k most-similar unseen products of the triggering product.
+    # sim matrix is the small side → broadcast; seen-filter is an anti join.
+    candidates = (
+        trigger.join(
+            F.broadcast(sim_flat), trigger.trigger_pid == sim_flat.pid, "inner"
+        )
+        .select(
+            "userId",
+            F.col("other_pid").alias("candidateId"),
+            F.col("sim").alias("trigger_sim"),
+        )
+    )
+    candidates = anti_join(
+        candidates,
+        seen_ratings.select(
+            "userId", F.col("productId").alias("candidateId")
+        ),
+        ["userId", "candidateId"],
+    )
+    candidates = top_k_per_group(
+        candidates,
+        ["userId"],
+        [F.col("trigger_sim").desc(), F.col("candidateId")],
+        k,
+    ).select("userId", "candidateId")
+
+    # T6: pair candidates with the user's recent ratings through the sim
+    # matrix (sim(candidate, recently-rated) > threshold), then the A8
+    # priority formula per (user, candidate).
+    pairs = (
+        candidates.join(recent_ratings.select("userId", "productId", "score"), "userId")
+        .join(
+            F.broadcast(
+                sim_flat.select(
+                    F.col("pid").alias("candidateId"),
+                    F.col("other_pid").alias("productId"),
+                    F.col("sim"),
+                )
+            ),
+            ["candidateId", "productId"],
+            "inner",
+        )
+        .filter(F.col("sim") > sim_threshold)
+    )
+    scores = streaming_priority_scores(
+        pairs.select("userId", "candidateId", "sim", "score"),
+        candidate_col="candidateId",
+        group_cols=["userId"],
+    )
+    flat = top_k_per_group(
+        scores,
+        ["userId"],
+        [F.col("priority").desc(), F.col("candidateId")],
+        k,
+    )
+    return flat.select(
+        "userId",
+        "candidateId",
+        "priority",
+        F.col("rnk").cast("int").alias("rnk"),
+    )
+
+
+def stream_recs_for_events(
+    batch_events: DataFrame,
+    sim_flat: DataFrame,
+    seen_ratings: DataFrame,
+    recent_ratings: DataFrame,
+    k: int = MAX_SIM_PRODUCTS_NUM,
+    sim_threshold: float = SIM_THRESHOLD,
+) -> DataFrame:
+    """StreamRecs shape: (userId, recs array<struct<productId, score>>).
+
+    Nested form of :func:`stream_recs_flat` — the reference's output
+    collection (StreamingRecommender.scala:254-263)."""
+    flat = stream_recs_flat(
+        batch_events, sim_flat, seen_ratings, recent_ratings, k, sim_threshold
+    )
+    return collect_recs(flat, "userId", "candidateId", "priority", k=k)
+
+
+def upsert_by_key(
+    spark: SparkSession, batch_df: DataFrame, path: str, key: str = "userId"
+) -> None:
+    """Replace-by-key upsert into a parquet table (S10).
+
+    Reference: per-user ``findAndRemove`` + ``insert``
+    (StreamingRecommender.scala:254-263).  Parquet form: existing rows
+    whose key appears in the batch are dropped (anti join), batch rows
+    appended, table overwritten.  On a real deployment this is a MERGE
+    into a transactional table format (Delta/Iceberg) partitioned by key
+    bucket; plain parquet needs the rewrite.
+    """
+    batch_df = batch_df.cache()
+    try:
+        if os.path.exists(path):
+            existing = spark.read.parquet(path)
+            keep = anti_join(existing, batch_df.select(key), [key])
+            merged = keep.unionByName(batch_df)
+        else:
+            merged = batch_df
+        merged.cache().count()  # materialize before overwriting the source
+        merged.write.mode("overwrite").parquet(path)
+    finally:
+        batch_df.unpersist()
+
+
+def run_streaming_recommender(
+    events_stream: DataFrame,
+    sim_flat: DataFrame,
+    seen_ratings: DataFrame,
+    recent_ratings: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    trigger: dict | None = None,
+):
+    """Wire the cycle into writeStream.foreachBatch (T1/T3).
+
+    ``events_stream``: streaming DF with (userId, productId, score, ts).
+    Trigger default matches the reference's 2 s micro-batch
+    (StreamingRecommender.scala:70).
+    """
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        recs = stream_recs_for_events(
+            batch_df, sim_flat, seen_ratings, recent_ratings
+        )
+        upsert_by_key(spark, recs, out_path)
+
+    writer = events_stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint
+    )
+    writer = writer.trigger(**(trigger or {"processingTime": "2 seconds"}))
+    return writer.start()

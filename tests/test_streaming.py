@@ -1,0 +1,174 @@
+"""Streaming module tests — pure-function cycle + real Structured Streaming.
+
+The recommendation cycle is asserted against a hand-computed scenario
+(priority formula semantics from StreamingRecommender.scala:197-231 —
+including the default-1 log10 counts), then the same functions are run
+under a real streaming runtime (file source → foreachBatch / memory sink,
+availableNow trigger).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from myrecommendsystem_spark.streaming.log_filter import filter_rating_log
+from myrecommendsystem_spark.streaming.recommender import (
+    compact_recent_ratings,
+    run_streaming_recommender,
+    stream_recs_flat,
+    upsert_by_key,
+)
+from myrecommendsystem_spark.streaming.windows import tumbling_event_counts
+
+EVENT_SCHEMA = "userId int, productId int, score double, ts long"
+
+
+def _sims(spark):
+    pairs = [(1, 2, 0.9), (1, 3, 0.8), (1, 4, 0.7), (2, 5, 0.65)]
+    rows = [Row(pid=a, other_pid=b, sim=s) for a, b, s in pairs]
+    rows += [Row(pid=b, other_pid=a, sim=s) for a, b, s in pairs]
+    return spark.createDataFrame(rows)
+
+
+def _scenario(spark):
+    """User 100: triggers on product 1, has seen {1, 3}, recent = {1:5.0, 5:2.0}."""
+    events = spark.createDataFrame(
+        [(100, 5, 2.0, 10), (100, 1, 5.0, 20)], EVENT_SCHEMA
+    )
+    seen = spark.createDataFrame(
+        [(100, 1), (100, 3)], "userId int, productId int"
+    )
+    recent = spark.createDataFrame(
+        [(100, 1, 5.0, 20), (100, 5, 2.0, 10)], EVENT_SCHEMA
+    )
+    return events, _sims(spark), seen, recent
+
+
+def test_filter_rating_log(spark):
+    df = spark.createDataFrame(
+        [
+            ("app PRODUCT_RATING_PREFIX:7|42|4.5|1000",),
+            ("heartbeat ok",),
+            ("PRODUCT_RATING_PREFIX:  8|43|2.0|2000  ",),
+        ],
+        "value string",
+    )
+    out = filter_rating_log(df).collect()
+    assert [r.value for r in out] == ["7|42|4.5|1000", "8|43|2.0|2000"]
+
+
+def test_compact_recent_ratings_keeps_k_most_recent(spark):
+    rows = [(1, p, float(p % 5), p) for p in range(1, 26)]  # ts == productId
+    df = spark.createDataFrame(rows, EVENT_SCHEMA)
+    out = compact_recent_ratings(df, k=20)
+    got = sorted(r.productId for r in out.collect())
+    assert got == list(range(6, 26))  # the 20 most recent, exactly k
+
+
+def test_stream_recs_flat_scenario(spark):
+    events, sims, seen, recent = _scenario(spark)
+    got = stream_recs_flat(events, sims, seen, recent).collect()
+    # candidate 3 excluded (seen); candidate 4: avg(0.7*5)=3.5 + log10(1)
+    # - log10(default 1) = 3.5; candidate 2: avg(0.9*5, 0.65*2) = 2.9.
+    as_tuples = [(r.userId, r.candidateId, r.priority, r.rnk) for r in got]
+    assert as_tuples == [(100, 4, 3.5, 1), (100, 2, 2.9, 2)]
+
+
+def test_stream_recs_nested_shape(spark):
+    from myrecommendsystem_spark.streaming.recommender import stream_recs_for_events
+
+    events, sims, seen, recent = _scenario(spark)
+    out = stream_recs_for_events(events, sims, seen, recent).collect()
+    assert len(out) == 1
+    recs = out[0].recs
+    assert [(r.productId, r.score) for r in recs] == [(4, 3.5), (2, 2.9)]
+
+
+def test_upsert_by_key_replaces(spark, tmp_path):
+    path = str(tmp_path / "recs")
+    b1 = spark.createDataFrame([(1, "a"), (2, "a")], "userId int, payload string")
+    b2 = spark.createDataFrame([(2, "b"), (3, "b")], "userId int, payload string")
+    upsert_by_key(spark, b1, path)
+    upsert_by_key(spark, b2, path)
+    got = {(r.userId, r.payload) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "b")}
+
+
+def test_streaming_recommender_end_to_end(spark, tmp_path):
+    """File source → foreachBatch cycle → parquet sink, availableNow."""
+    src = tmp_path / "events_in"
+    src.mkdir()
+    with open(src / "batch.json", "w") as f:
+        for row in [
+            {"userId": 100, "productId": 5, "score": 2.0, "ts": 10},
+            {"userId": 100, "productId": 1, "score": 5.0, "ts": 20},
+        ]:
+            f.write(json.dumps(row) + "\n")
+
+    _, sims, seen, recent = _scenario(spark)
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(str(src))
+    out_path = str(tmp_path / "recs_out")
+    q = run_streaming_recommender(
+        stream,
+        sims,
+        seen,
+        recent,
+        out_path=out_path,
+        checkpoint=str(tmp_path / "ckpt"),
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out_path).collect()
+    assert len(rows) == 1
+    assert [(r.productId, r.score) for r in rows[0].recs] == [(4, 3.5), (2, 2.9)]
+
+
+def test_log_filter_streaming_memory_sink(spark, tmp_path):
+    src = tmp_path / "log_in"
+    src.mkdir()
+    (src / "lines.txt").write_text(
+        "x PRODUCT_RATING_PREFIX:7|42|4.5|1000\nnoise\n"
+    )
+    stream = spark.readStream.text(str(src))
+    q = (
+        filter_rating_log(stream)
+        .writeStream.format("memory")
+        .queryName("log_filter_t")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM log_filter_t").collect()
+    assert [r.value for r in got] == ["7|42|4.5|1000"]
+
+
+def test_tumbling_counts_streaming_complete_mode(spark, tmp_path):
+    src = tmp_path / "ev_in"
+    src.mkdir()
+    with open(src / "e.json", "w") as f:
+        for uid, ts in [(1, "2024-01-01 00:10:00"), (2, "2024-01-01 00:50:00"),
+                        (3, "2024-01-01 01:10:00")]:
+            f.write(json.dumps({"userId": uid, "value": 1.0, "ts": ts}) + "\n")
+    stream = (
+        spark.readStream.schema("userId int, value double, ts string")
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    q = (
+        tumbling_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName("tumbling_t")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r.window_start), r.cnt)
+        for r in spark.sql("SELECT * FROM tumbling_t").collect()
+    }
+    assert got == {("2024-01-01 00:00:00", 2), ("2024-01-01 01:00:00", 1)}
