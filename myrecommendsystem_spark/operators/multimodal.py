@@ -1,0 +1,200 @@
+"""Multimodal columns: binary payloads + typed metadata, Arrow-batched ops.
+
+LLM-data-pipeline extension (BASELINE.json north star).  Media lives in a
+DataFrame as an opaque ``binary`` column plus a typed metadata struct —
+the Spark-native layout for 100 TB of images/audio/video:
+
+- payloads stay byte-for-byte opaque to Catalyst (no decode on scan);
+- metadata (width/height/channels/format/n_frames) is a plain struct, so
+  filters like ``meta.width >= 64`` prune *before* any decode work;
+- decode / feature-extract / resize / frame-sample run as
+  ``mapInPandas`` stages: Arrow ships the binary batches to numpy with
+  zero row-at-a-time overhead, and each stage declares its output schema
+  so downstream stays fully relational.
+
+The actual image/audio codecs are NOT in this container, so the decode
+step is STUBBED (``_decode_payload``): a clearly-marked deterministic
+fake that derives a ``height × width × channels`` uint8 array from the
+payload bytes.  Every other part — schema, partitioning, UDF signature,
+batch shape, metadata pruning — is the real Spark plumbing and is tested.
+Swap ``_decode_payload`` for PIL/libav and nothing else changes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+MEDIA_SCHEMA = (
+    "media_id bigint, kind string, payload binary, "
+    "meta struct<width:int, height:int, channels:int, format:string, n_frames:int>"
+)
+
+FEATURE_SCHEMA = (
+    "media_id bigint, n_bytes int, mean_intensity double, histogram array<bigint>"
+)
+
+RESIZE_SCHEMA = (
+    "media_id bigint, out_width int, out_height int, checksum bigint"
+)
+
+FRAME_SCHEMA = "media_id bigint, frame_idx int, frame_checksum bigint"
+
+_HIST_BINS = 16
+
+
+def synthesize_media(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic fake media table from the documents corpus.
+
+    Stands in for a real ingest (S3 of JPEGs → binary column): payload is
+    the utf-8 text bytes, metadata is arithmetic on the id — all Catalyst
+    expressions, so the oracle can reproduce every field.  Every third
+    row is a 'video' with a frame count; the rest are single-frame
+    images.
+    """
+    doc_id = F.col(id_col).cast("bigint")
+    return docs.select(
+        doc_id.alias("media_id"),
+        F.when(doc_id % 3 == 0, F.lit("video")).otherwise(F.lit("image")).alias(
+            "kind"
+        ),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.struct(
+            (F.pmod(doc_id, 48) + 16).cast("int").alias("width"),
+            (F.pmod(doc_id * 7, 48) + 16).cast("int").alias("height"),
+            F.when(doc_id % 2 == 0, 3).otherwise(1).cast("int").alias("channels"),
+            F.when(doc_id % 3 == 0, F.lit("rawv")).otherwise(F.lit("rawi")).alias(
+                "format"
+            ),
+            F.when(doc_id % 3 == 0, (F.pmod(doc_id, 8) + 2))
+            .otherwise(F.lit(1))
+            .cast("int")
+            .alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def _decode_payload(payload: bytes, width: int, height: int, channels: int) -> np.ndarray:
+    """STUB decode — deterministic fake in place of a real codec.
+
+    A real implementation would be ``PIL.Image.open(io.BytesIO(payload))``
+    / ``av.open`` here; this container has no image/audio libraries, so we
+    tile the payload bytes into the declared (height, width, channels)
+    shape.  Deterministic: same payload + meta → same array.
+    """
+    n = height * width * channels
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    if buf.size == 0:
+        buf = np.zeros(1, dtype=np.uint8)
+    reps = -(-n // buf.size)  # ceil
+    return np.tile(buf, reps)[:n].reshape(height, width, channels)
+
+
+def image_features(media: DataFrame, bins: int = _HIST_BINS) -> DataFrame:
+    """Decode + feature-extract: byte count, mean intensity, histogram.
+
+    ``mapInPandas`` over (media_id, payload, meta): each Arrow batch is
+    decoded and reduced in numpy; output schema is declared so the result
+    is a normal relational table.  Metadata-only filters should be applied
+    *before* this stage — decode is the expensive step at scale.
+    """
+    schema = FEATURE_SCHEMA
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": pdf["media_id"],
+                "n_bytes": pdf["payload"].map(len).astype("int32"),
+                "mean_intensity": np.zeros(len(pdf)),
+                "histogram": [None] * len(pdf),
+            }
+            hists = []
+            means = np.zeros(len(pdf))
+            for i, (payload, meta) in enumerate(zip(pdf["payload"], pdf["meta"])):
+                img = _decode_payload(
+                    payload, meta["width"], meta["height"], meta["channels"]
+                )
+                means[i] = float(img.mean())
+                hist, _ = np.histogram(img, bins=bins, range=(0, 256))
+                hists.append(hist.astype(np.int64))
+            out["mean_intensity"] = np.round(means, 4)
+            out["histogram"] = hists
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload", "meta").mapInPandas(compute, schema)
+
+
+def resize_images(media: DataFrame, out_width: int, out_height: int) -> DataFrame:
+    """Nearest-neighbor resize of every (fake-)decoded image.
+
+    Returns a checksum of the resized pixels rather than re-encoded bytes
+    (no encoder in this container) — the batch shape, schema declaration,
+    and per-row numpy work are the real pipeline.
+    """
+    schema = RESIZE_SCHEMA
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sums = [], []
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                img = _decode_payload(
+                    payload, meta["width"], meta["height"], meta["channels"]
+                )
+                ys = (np.arange(out_height) * meta["height"]) // out_height
+                xs = (np.arange(out_width) * meta["width"]) // out_width
+                resized = img[ys][:, xs]
+                sums.append(int(resized.astype(np.int64).sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "out_width": np.int32(out_width),
+                    "out_height": np.int32(out_height),
+                    "checksum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return media.select("media_id", "payload", "meta").mapInPandas(compute, schema)
+
+
+def sample_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
+    """Frame sampling for video rows: every k-th frame index + checksum.
+
+    The fake 'video' is the payload re-decoded per frame with a frame
+    offset; a real implementation seeks the container stream instead.
+    One output row per sampled frame — the exploded shape a downstream
+    caption/embed stage consumes.
+    """
+    schema = FRAME_SCHEMA
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids, idxs, sums = [], [], []
+            for mid, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                img = _decode_payload(
+                    payload, meta["width"], meta["height"], meta["channels"]
+                )
+                for fi in range(0, int(meta["n_frames"]), every_k):
+                    frame = (img.astype(np.int64) + fi) % 256
+                    mids.append(mid)
+                    idxs.append(fi)
+                    sums.append(int(frame.sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(mids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_checksum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return (
+        media.filter(F.col("kind") == "video")
+        .select("media_id", "payload", "meta")
+        .mapInPandas(compute, schema)
+    )

@@ -1,0 +1,86 @@
+"""Multimodal-column queries — binary payloads + typed metadata.
+
+The media table is synthesized deterministically from ``documents``
+(``operators.multimodal.synthesize_media``), so the metadata/pruning
+surface is fully oracle-backed; the decode-dependent stages (features,
+frame sampling) are rows-only — their decode stub is deterministic and
+property-tested in tests/test_multimodal.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from myrecommendsystem_spark.io import readers
+from myrecommendsystem_spark.operators import multimodal
+from myrecommendsystem_spark.plans.registry import register
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.synthesize_media(
+        readers.load_table(spark, sf_dir, "documents")
+    )
+
+
+@register(
+    "media_metadata",
+    """
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'video' ELSE 'image' END AS kind,
+       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+       CAST(doc_id % 48 + 16 AS INTEGER) AS width,
+       CAST((doc_id * 7) % 48 + 16 AS INTEGER) AS height,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS INTEGER) AS channels,
+       CASE WHEN doc_id % 3 = 0 THEN 'rawv' ELSE 'rawi' END AS format,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 8 + 2 ELSE 1 END AS INTEGER)
+           AS n_frames
+FROM documents
+""",
+    doc="multimodal metadata surface: binary payload length + typed meta "
+    "struct, fully relational — the layer scan-time pruning runs on",
+)
+def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _media(spark, sf_dir)
+    return m.select(
+        "media_id",
+        "kind",
+        F.octet_length("payload").alias("n_bytes"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.channels").alias("channels"),
+        F.col("meta.format").alias("format"),
+        F.col("meta.n_frames").alias("n_frames"),
+    )
+
+
+@register(
+    "media_image_features",
+    None,
+    doc="decode + feature-extract via mapInPandas (Arrow batches → numpy): "
+    "mean intensity + 16-bin histogram; metadata filter (width >= 32) "
+    "prunes BEFORE the decode stage — rows-only (decode stub not SQL)",
+)
+def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _media(spark, sf_dir).filter(
+        (F.col("kind") == "image") & (F.col("meta.width") >= 32)
+    )
+    feats = multimodal.image_features(m)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        "mean_intensity",
+        F.element_at("histogram", 1).alias("hist_bin0"),
+        F.aggregate(
+            "histogram", F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("hist_total"),
+    )
+
+
+@register(
+    "media_frame_sample",
+    None,
+    doc="video frame sampling via mapInPandas: every 2nd frame index + "
+    "per-frame checksum, exploded one-row-per-frame — rows-only",
+)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.sample_frames(_media(spark, sf_dir), every_k=2)

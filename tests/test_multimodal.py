@@ -1,0 +1,98 @@
+"""Multimodal plumbing tests: schema, batch shape, pruning, determinism.
+
+The decode step is a stub (no codecs in the container) — what these tests
+pin down is the REAL part: mapInPandas signatures, declared schemas,
+metadata-before-decode pruning, and that the whole pipeline is
+deterministic (same input → same bytes out, across runs and partitionings).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from myrecommendsystem_spark.operators import multimodal
+
+
+def _docs(spark):
+    rows = [(i, f"doc number {i} " + "tok " * (i % 7)) for i in range(12)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_synthesize_media_schema(spark):
+    m = multimodal.synthesize_media(_docs(spark))
+    assert m.schema.simpleString() == (
+        "struct<media_id:bigint,kind:string,payload:binary,"
+        "meta:struct<width:int,height:int,channels:int,format:string,"
+        "n_frames:int>>"
+    )
+    rows = {r.media_id: r for r in m.collect()}
+    assert rows[0].kind == "video" and rows[1].kind == "image"
+    assert bytes(rows[3].payload).decode() == "doc number 3 tok tok tok "
+    assert rows[4].meta.channels == 3 and rows[5].meta.channels == 1
+
+
+def test_image_features_deterministic_and_shaped(spark):
+    m = multimodal.synthesize_media(_docs(spark))
+    f1 = {r.media_id: r for r in multimodal.image_features(m).collect()}
+    f2 = {
+        r.media_id: r
+        for r in multimodal.image_features(m.repartition(5)).collect()
+    }
+    assert set(f1) == set(range(12))
+    for mid in f1:
+        a, b = f1[mid], f2[mid]
+        assert a.mean_intensity == b.mean_intensity
+        assert list(a.histogram) == list(b.histogram)
+        assert len(a.histogram) == 16
+        # histogram covers every pixel: sum == width*height*channels
+        meta = {r.media_id: r.meta for r in m.collect()}[mid]
+        assert sum(a.histogram) == meta.width * meta.height * meta.channels
+
+
+def test_decode_stub_tiles_payload():
+    img = multimodal._decode_payload(b"ab", width=2, height=2, channels=1)
+    assert img.shape == (2, 2, 1)
+    assert img.flatten().tolist() == [97, 98, 97, 98]
+    empty = multimodal._decode_payload(b"", width=2, height=1, channels=1)
+    assert empty.sum() == 0
+
+
+def test_resize_images(spark):
+    m = multimodal.synthesize_media(_docs(spark))
+    out = multimodal.resize_images(m, out_width=8, out_height=8).collect()
+    assert len(out) == 12
+    assert all(r.out_width == 8 and r.out_height == 8 for r in out)
+    # resized checksum must be reproducible
+    again = multimodal.resize_images(m, out_width=8, out_height=8).collect()
+    assert {(r.media_id, r.checksum) for r in out} == {
+        (r.media_id, r.checksum) for r in again
+    }
+
+
+def test_sample_frames_only_videos_every_k(spark):
+    m = multimodal.synthesize_media(_docs(spark))
+    frames = multimodal.sample_frames(m, every_k=2).collect()
+    vids = {r.media_id: r.meta.n_frames for r in m.collect() if r.kind == "video"}
+    got = {}
+    for r in frames:
+        got.setdefault(r.media_id, []).append(r.frame_idx)
+    assert set(got) == set(vids)
+    for mid, idxs in got.items():
+        assert sorted(idxs) == list(range(0, vids[mid], 2))
+
+
+def test_metadata_prune_before_decode(spark):
+    """The metadata filter must reach the parquet-side scan, not run after
+    the mapInPandas decode — check the optimized plan ordering."""
+    m = multimodal.synthesize_media(_docs(spark)).filter(
+        F.col("meta.width") >= 32
+    )
+    feats = multimodal.image_features(m)
+    plan = feats._jdf.queryExecution().optimizedPlan().toString()
+    # Filter node must appear BELOW (after, in print order) the python eval
+    # node, i.e. decode consumes pre-filtered rows.
+    assert "MapInPandas" in plan
+    filter_pos = plan.find("width")
+    map_pos = plan.find("MapInPandas")
+    assert filter_pos > map_pos >= 0
