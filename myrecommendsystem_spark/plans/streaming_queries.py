@@ -227,7 +227,14 @@ SELECT userId, candidateId, priority, CAST(rn AS INTEGER) AS rnk FROM (
 )
 def stream_recs_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratings = readers.events_as_ratings(spark, sf_dir)
-    sims = corating_similarities(ratings, threshold=_ITEMCF_THRESHOLD)
+    # The sim matrix feeds two join branches (candidate generation and
+    # recent-rating pairing).  Uncached, Spark re-runs the whole item-CF
+    # self-join + aggregation per branch (observed: 11 scans of events,
+    # 26 exchanges).  In production this table is precomputed and loaded
+    # (the reference reads it from storage too — StreamingRecommender
+    # .scala:78-88); the cache is the batch-query stand-in for that.
+    # It is small by construction: thresholded item×item pairs.
+    sims = corating_similarities(ratings, threshold=_ITEMCF_THRESHOLD).cache()
     batch = ratings.filter(F.col("userId") % 13 == 0)
     recent = compact_recent_ratings(ratings)
     return stream_recs_flat(

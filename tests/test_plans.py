@@ -1,0 +1,92 @@
+"""Physical-plan quality pins — the 100 TB checklist, asserted.
+
+Correctness tests prove the right rows come out; these prove the right
+PLAN produces them: filters pushed to the parquet scan, columns pruned,
+small sides broadcast, aggregates split partial/final, codegen engaged,
+and reused relations actually reused.  Each assertion is a property that
+silently degrading would not change any result — only the 1000-executor
+bill.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from myrecommendsystem_spark.plans import registry
+
+SF = "/root/testdata/sf0.001"
+
+
+def _executed(spark, name: str) -> str:
+    df = registry.all_queries()[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    plan = _executed(spark, "filter_project_lineitem")
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    # filters reach the scan
+    assert "PushedFilters: [" in scan and "IsNotNull" in scan
+    # projection pruning: lineitem has 16 columns; the scan must read few
+    read_schema = scan.split("ReadSchema:")[1] if "ReadSchema:" in scan else scan
+    assert read_schema.count(",") < 8, f"scan reads too many columns: {scan}"
+
+
+def test_small_dims_broadcast(spark):
+    plan = _executed(spark, "cross_join_region_nation")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_anti_join_is_broadcast_at_small_scale(spark):
+    # left-anti against a small right side must not sort-merge
+    plan = _executed(spark, "anti_join_unseen")
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_partial_aggregation_split(spark):
+    """groupBy().agg() must map-side combine (partial + final HashAggregate)
+    — the reference's groupByKey ships full rows instead."""
+    plan = _executed(spark, "stats_rate_more_products")
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_count" in plan
+
+
+def test_whole_stage_codegen_engaged(spark):
+    # AQE prints the initial plan until first execution — run the query,
+    # then inspect the finalized adaptive plan for codegen stages.
+    df = registry.all_queries()["stats_average_products"](spark, SF)
+    df.collect()  # count() would build a separate QueryExecution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    # codegen stages print as `*(n)` prefixes in the final plan
+    assert "*(1)" in plan or "WholeStageCodegen" in plan
+
+
+def test_stream_recs_batch_reuses_sim_matrix(spark):
+    """The item-CF sim matrix feeds two join branches; it must come from
+    one cached relation, not two full recomputes of the self-join."""
+    plan = _executed(spark, "stream_recs_batch")
+    # both consumers read the cache (InMemoryRelation pretty-prints its
+    # child subtree, so raw scan counts in the string are inflated — the
+    # two InMemoryTableScan nodes are the property that matters)
+    assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_topk_uses_window_not_global_sort(spark):
+    """Per-group top-k must be a partitioned window (spillable, no global
+    collect), matching SURVEY.md §2.5's design call."""
+    plan = _executed(spark, "topk_orders_per_customer")
+    assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["doc_token_counts", "doc_quality_scores", "dedup_exact_groups"],
+)
+def test_text_pipelines_have_no_python_stages(spark, name):
+    """Token counting / quality / exact dedup are pure Catalyst — a Python
+    eval node appearing here means someone reintroduced a slow-path UDF."""
+    plan = _executed(spark, name)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, f"{name} gained a Python stage: {marker}"
