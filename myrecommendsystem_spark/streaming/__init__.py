@@ -9,6 +9,9 @@ from myrecommendsystem_spark.streaming.recommender import (  # noqa: F401
     stream_recs_for_events,
     upsert_by_key,
 )
+from myrecommendsystem_spark.streaming.state import (  # noqa: F401
+    recent_ratings_state,
+)
 from myrecommendsystem_spark.streaming.windows import (  # noqa: F401
     dedup_within_watermark,
     sliding_event_counts,
