@@ -151,17 +151,6 @@ def shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
-def shingle_hashes(text: Column, n: int = 3) -> Column:
-    """64-bit hash per distinct shingle — ONE JVM pass over the text.
-
-    This is the compact form both the MinHash signature and the exact
-    Jaccard verify run on: hashing each shingle once up front means the
-    k-permutation stage never touches strings again (collision odds per
-    pair ~2⁻⁶⁴ — irrelevant next to the LSH approximation itself).
-    """
-    return F.transform(shingles(text, n), lambda sh: F.xxhash64(sh))
-
-
 _MINHASH_SEED = 0x5EED
 
 
@@ -172,32 +161,104 @@ def _affine_params(k: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def minhash_signature(shingle_hash_col: Column, k: int = 64) -> Column:
-    """k-permutation MinHash signature as array<bigint>.
+def _shingle_hashes_py(text: str, n: int) -> np.ndarray:
+    """Tokenize → distinct word n-grams → 64-bit siphash per shingle.
 
-    Input is the ``shingle_hashes`` array.  Permutation family: min over
-    ``h·a_s + b_s`` (odd ``a_s`` ⇒ bijection on Z/2⁶⁴), seeded constants.
-    Implemented as an Arrow-batched pandas UDF: the k×|shingles| min-
-    reduction is a dense numpy broadcast at C speed.  The expression-tree
-    alternative (transform×transform) evaluates interpreted per element —
-    measured 2 orders of magnitude slower at sf0.1 — because higher-order
-    lambdas never enter whole-stage codegen.
+    Mirrors :func:`shingles` semantics (lowercase, whitespace tokens,
+    whole-text fallback for short docs).  ``pd.util.hash_array`` is keyed
+    siphash — deterministic across runs, processes, and machines.
+    """
+    toks = text.lower().split()
+    if len(toks) > n:
+        grams = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+    else:
+        grams = {" ".join(toks)}
+    return pd.util.hash_array(np.array(sorted(grams), dtype=object)).view(
+        np.int64
+    )
+
+
+def shingle_hashes(text: Column, n: int = 3) -> Column:
+    """64-bit hash per distinct shingle, as one Arrow-batched pass.
+
+    The compact form both the MinHash signature and the exact Jaccard
+    verify run on (hash collisions ~2⁻⁶⁴ per pair — irrelevant next to
+    the LSH approximation).  Python, not a Catalyst ``transform``: the
+    shingle build is |tokens| slice+concat ops per row, and interpreted
+    higher-order lambdas were the measured bottleneck of the whole dedup
+    pipeline; CPython string slicing + vectorized siphash is ~5× faster
+    and one worker round-trip.
+    """
+
+    @pandas_udf("array<long>")
+    def _sh(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: _shingle_hashes_py(t or "", n))
+
+    return _sh(text)
+
+
+def minhash_signature(text: Column, k: int = 64, n: int = 3) -> Column:
+    """k-permutation MinHash signature as array<bigint>, from raw text.
+
+    One fused Arrow stage: shingle hashing (``_shingle_hashes_py``) and
+    the k min-permutations (min over ``h·a_s + b_s``; odd ``a_s`` ⇒
+    bijection on Z/2⁶⁴) — a dense numpy broadcast at C speed, no
+    intermediate array column shipped back through the JVM.  The
+    expression-tree alternative (transform×transform) is interpreted per
+    element and was measured 2 orders of magnitude slower at sf0.1.
     """
     a, b = _affine_params(k, _MINHASH_SEED)
     empty = np.full(k, np.iinfo(np.int64).max, dtype=np.int64)
 
     @pandas_udf("array<long>")
-    def _sig(hashes: pd.Series) -> pd.Series:
+    def _sig(texts: pd.Series) -> pd.Series:
         out = []
-        for h in hashes:
-            hv = np.asarray(h, dtype=np.int64)
+        for t in texts:
+            hv = _shingle_hashes_py(t or "", n)
             if hv.size == 0:
                 out.append(empty)
                 continue
             out.append((hv[None, :] * a[:, None] + b[:, None]).min(axis=1))
         return pd.Series(out)
 
-    return _sig(shingle_hash_col)
+    return _sig(text)
+
+
+def minhash_band_hashes(
+    text: Column, k: int = 64, n: int = 3, bands: int = 16
+) -> Column:
+    """Banded MinHash bucket keys as array<bigint> (length ``bands``).
+
+    Fuses the whole LSH prefix — shingle hashing, k min-permutations,
+    and per-band signature folding — into ONE Arrow stage: band ``j`` is
+    an LCG-mix fold of signature rows ``j·r .. j·r+r-1``.  Nothing but
+    the final ``bands`` longs ever leaves the Python worker, and the
+    downstream pipeline (posexplode → bucket join) is pure codegen.
+    """
+    assert k % bands == 0
+    r = k // bands
+    a, b = _affine_params(k, _MINHASH_SEED)
+    _MIX_A = np.int64(6364136223846793005)
+    _MIX_B = np.int64(1442695040888963407)
+
+    @pandas_udf("array<long>")
+    def _bands(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            hv = _shingle_hashes_py(t or "", n)
+            if hv.size == 0:
+                sig = np.full(k, np.iinfo(np.int64).max, dtype=np.int64)
+            else:
+                sig = (hv[None, :] * a[:, None] + b[:, None]).min(axis=1)
+            rows = sig.reshape(bands, r)
+            acc = np.full(bands, _MIX_B, dtype=np.int64)
+            for j in range(r):
+                acc = acc * _MIX_A + rows[:, j] + _MIX_B
+            # band index folded in so different bands never share buckets
+            out.append(acc * _MIX_A + np.arange(bands, dtype=np.int64))
+        return pd.Series(out)
+
+    return _bands(text)
 
 
 def simhash64(text: Column) -> Column:

@@ -74,31 +74,18 @@ def minhash_candidate_pairs(
     quadratic on 100 TB.  Dropped buckets are pairs we *choose* not to
     compare; exact-dup pass already caught identical texts.
     """
-    rows_per_band = num_hashes // bands
-    sig = df.select(
+    banded = df.select(
         F.col(id_col).alias("id"),
-        TXT.minhash_signature(
-            TXT.shingle_hashes(F.col(text_col), shingle_n), num_hashes
-        ).alias("sig"),
-    )
-    banded = sig.select(
-        "id",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                            lambda x: x.cast("string"),
-                        ),
-                    ),
-                    b,
-                ),
-            )
+            TXT.minhash_band_hashes(F.col(text_col), num_hashes, shingle_n, bands)
         ).alias("band_idx", "band_hash"),
     )
+    # Cache the banded signatures: the self-join consumes them twice, and
+    # uncached each side re-runs shingling + the signature UDF (measured
+    # 2× the whole signature cost at sf0.1).  Size is bands × docs × ~24 B
+    # — at 10⁹ docs this still fits a cluster's aggregate storage memory,
+    # and MEMORY_AND_DISK degrades gracefully if not.
+    banded = banded.persist()
     # skew guard: cap bucket size
     bucket_sizes = banded.groupBy("band_idx", "band_hash").agg(
         F.count("*").alias("bucket_n")
@@ -139,7 +126,7 @@ def minhash_near_duplicates(
     sh = df.select(
         F.col(id_col).alias("id"),
         TXT.shingle_hashes(F.col(text_col), shingle_n).alias("sh"),
-    )
+    ).persist()  # consumed by both join sides — don't re-shingle twice
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     joined = cands.join(a, "id_a").join(b, "id_b")
@@ -221,6 +208,7 @@ def simhash_near_duplicates(
             )
         ).alias("band_idx", "band_val"),
     )
+    banded = banded.persist()  # two join sides — don't re-fingerprint twice
     bucket_sizes = banded.groupBy("band_idx", "band_val").agg(
         F.count("*").alias("bucket_n")
     )
