@@ -27,6 +27,7 @@ from myrecommendsystem_spark.streaming.recommender import (
     compact_recent_ratings,
     stream_recs_flat,
 )
+from myrecommendsystem_spark.streaming.windows import session_event_stats
 
 # The reference's 0.6 threshold (OfflineRecommender.scala:105) is tuned for
 # dense ALS factor vectors; co-rating vectors get sparser as user count
@@ -269,4 +270,43 @@ def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt",
             "avg_value",
         )
+    )
+
+
+@register(
+    "events_session_windows",
+    f"""
+WITH marked AS (
+    SELECT user_id, ts, value,
+           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     < INTERVAL 30 MINUTE
+                THEN 0 ELSE 1 END AS new_sess
+    FROM events
+),
+grouped AS (
+    SELECT *, SUM(new_sess) OVER (
+        PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+    ) AS sess_id
+    FROM marked
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       {sql_round_stable('AVG(value)', 4)} AS avg_value
+FROM grouped
+GROUP BY user_id, sess_id
+""",
+    doc="Engine extension: session windows (30-minute gap) per user — "
+    "F.session_window on the Spark side, gaps-and-islands SQL as the "
+    "oracle; strict-inequality gap semantics pinned on both sides",
+)
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = readers.load_table(spark, sf_dir, "events")
+    return session_event_stats(events, gap="30 minutes").select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        "cnt",
+        "avg_value",
     )

@@ -68,6 +68,38 @@ def sliding_event_counts(
     )
 
 
+def session_event_stats(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    value_col: str = "value",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session windows: events of a key merge while gaps stay < ``gap``.
+
+    ``session_window`` sessions are half-open — an event exactly ``gap``
+    after the previous one opens a NEW session (the batch oracle's
+    gaps-and-islands SQL uses the same strict inequality).  Output:
+    (key, session_start, session_end, cnt, avg_value).
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key, F.session_window(ts_col, gap).alias("w"))
+        .agg(
+            F.count("*").alias("cnt"),
+            round_stable(F.avg(value_col), 4).alias("avg_value"),
+        )
+        .select(
+            key,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "cnt",
+            "avg_value",
+        )
+    )
+
+
 def dedup_within_watermark(
     events: DataFrame,
     keys: Sequence[str],
