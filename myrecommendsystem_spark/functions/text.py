@@ -224,6 +224,46 @@ def minhash_signature(text: Column, k: int = 64, n: int = 3) -> Column:
     return _sig(text)
 
 
+_RK_BASE = 257
+_RK_MOD = (1 << 31) - 1
+
+
+def rolling_fingerprints(text: Column, window: int = 16) -> Column:
+    """Rabin-Karp rolling-hash fingerprints: one hash per byte window.
+
+    The substring-level fingerprint family (vs. the document-level md5 and
+    the token-level MinHash): two documents sharing any ``window``-byte
+    run share a hash, which is the primitive for plagiarism-style overlap
+    detection and content-defined chunking.  Vectorized per doc as a
+    sliding-window matmul mod 2³¹−1; docs shorter than ``window`` get one
+    hash of the whole text.
+    """
+    powers = np.array(
+        [pow(_RK_BASE, window - 1 - j, _RK_MOD) for j in range(window)],
+        dtype=np.int64,
+    )
+
+    @pandas_udf("array<long>")
+    def _fp(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            data = np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8)
+            if data.size < window:
+                p = np.array(
+                    [pow(_RK_BASE, data.size - 1 - j, _RK_MOD) for j in range(data.size)],
+                    dtype=np.int64,
+                )
+                h = int((data.astype(np.int64) * p % _RK_MOD).sum() % _RK_MOD)
+                out.append(np.array([h], dtype=np.int64))
+                continue
+            w = np.lib.stride_tricks.sliding_window_view(data, window)
+            hashes = (w.astype(np.int64) * powers % _RK_MOD).sum(axis=1) % _RK_MOD
+            out.append(hashes)
+        return pd.Series(out)
+
+    return _fp(text)
+
+
 def minhash_band_hashes(
     text: Column, k: int = 64, n: int = 3, bands: int = 16
 ) -> Column:

@@ -104,6 +104,32 @@ def read_ratings_csv(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.csv(path, sep=",", schema=schemas.RATING)
 
 
+def read_kafka_lines(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topics: str,
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """Kafka streaming source (S7) — value bytes as a string column.
+
+    Mirrors the reference's direct stream (StreamingRecommender.scala:
+    94-107: subscribe + ``auto.offset.reset=latest``).  Compose with
+    :func:`read_rating_lines` / ``streaming.filter_rating_log`` for the
+    full topology.  Requires the spark-sql-kafka package on the cluster;
+    this container has no broker, so the wiring is exercised via the file
+    source in tests (same downstream code path — both yield a streaming
+    DataFrame with one ``value`` string column).
+    """
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topics)
+        .option("startingOffsets", starting_offsets)
+        .load()
+        .select(F.col("value").cast("string").alias("value"))
+    )
+
+
 def read_rating_lines(df: DataFrame, value_col: str = "value") -> DataFrame:
     """Parse ``UID|MID|SCORE|TIMESTAMP`` event lines into typed columns.
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 
 
 def write_overwrite(
@@ -33,3 +33,30 @@ def write_overwrite(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_by: Sequence[str],
+    num_buckets: int = 16,
+    sort_by: Sequence[str] | None = None,
+) -> None:
+    """Save as a bucketed managed table — the co-located-join layout.
+
+    Two tables bucketed the same way on the join key let Catalyst plan a
+    sort-merge join with ZERO shuffle exchanges: each bucket pair joins
+    locally.  At 100 TB this converts the dominant repeated cost of a
+    fact-fact join (re-shuffling both sides per query) into a one-time
+    write-side layout decision — the parquet analogue of the reference's
+    MongoDB secondary indexes (DataLoader.scala:93-95), but for joins
+    instead of point reads.
+    """
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.format("parquet").saveAsTable(table)
+
+
+def drop_table(spark: SparkSession, table: str) -> None:
+    spark.sql(f"DROP TABLE IF EXISTS {table}")

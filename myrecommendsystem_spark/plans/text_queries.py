@@ -215,3 +215,20 @@ WHERE {sql_round_stable('list_cosine_similarity(a.v, b.v)', 4)} >= 0.35
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.near_duplicate_pairs(_emb(spark, sf_dir), threshold=0.35)
+
+
+@register(
+    "doc_rolling_fingerprints",
+    None,
+    doc="document fingerprinting: Rabin-Karp rolling hashes over 16-byte "
+    "windows (substring-overlap primitive) — rows-only; window-share "
+    "properties asserted in tests/test_text_dedup.py",
+)
+def doc_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fps = TXT.rolling_fingerprints(F.col("text"), window=16)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(fps).alias("n_windows"),
+        F.array_min(fps).alias("min_fp"),
+        F.array_max(fps).alias("max_fp"),
+    )

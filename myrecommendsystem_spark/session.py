@@ -55,6 +55,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # managed-table support (bucketed co-located joins) without
+        # polluting the repo: warehouse + embedded-metastore dirs in /tmp
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("MRS_WAREHOUSE_DIR", "/tmp/mrs-warehouse"),
+        )
+        .config(
+            "spark.driver.extraJavaOptions", "-Dderby.system.home=/tmp/mrs-derby"
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

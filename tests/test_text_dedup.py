@@ -161,3 +161,30 @@ def test_near_duplicate_pairs(vectors):
     out = similarity.near_duplicate_pairs(vectors, threshold=0.99)
     rows = out.collect()
     assert [(r.id_a, r.id_b) for r in rows] == [(0, 1)]
+
+
+def test_rolling_fingerprints_detect_shared_substrings(spark):
+    from myrecommendsystem_spark.functions import text as TXT
+    from pyspark.sql import functions as F
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [
+            (0, f"AAA {shared} BBB"),
+            (1, f"XXXXX {shared} YYYYY"),
+            (2, "completely unrelated content with different words"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = docs.select(
+        "doc_id", TXT.rolling_fingerprints(F.col("text"), 16).alias("fp")
+    ).collect()
+    sets = {r.doc_id: set(r.fp) for r in fps}
+    # docs 0 and 1 share a 44-byte run -> 44-16+1 = 29 shared window hashes
+    assert len(sets[0] & sets[1]) >= 25
+    assert not (sets[0] & sets[2])
+    # short doc: single whole-text hash, deterministic across calls
+    short = spark.createDataFrame([(9, "tiny")], "doc_id long, text string")
+    h1 = short.select(TXT.rolling_fingerprints(F.col("text"), 16)).collect()
+    h2 = short.select(TXT.rolling_fingerprints(F.col("text"), 16)).collect()
+    assert h1 == h2 and len(h1[0][0]) == 1
