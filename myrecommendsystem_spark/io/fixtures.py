@@ -50,6 +50,50 @@ def make_ratings(
     )
 
 
+def make_structured_ratings(
+    spark: SparkSession,
+    n_rows: int = 44_852,
+    n_users: int = 8_923,
+    n_products: int = 96,
+    latent_rank: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Reference-shaped corpus WITH low-rank latent structure.
+
+    ``make_ratings`` scores are hash noise (right for relational-operator
+    tests, wrong for model-quality tests — no model can beat the noise
+    floor).  Here score = quantized affinity of deterministic rank-4
+    user/product factors, so a factorization model genuinely can recover
+    it and a hold-out RMSE bound is a meaningful quality gate
+    (tests/test_ml.py pins it at the reference's recorded 1.2837,
+    ALSTrainer.scala:47).
+    """
+    df = spark.range(0, n_rows, 1)
+    mix = F.abs(F.xxhash64(F.col("id") + F.lit(seed)))
+    user = (mix % n_users).cast("int")
+    product = F.floor(mix / n_users).cast("long") % n_products
+
+    # deterministic latent factors in [-1, 1]
+    affinity = F.lit(0.0)
+    for k in range(latent_rank):
+        u_k = ((user * (3 + 2 * k) % 7) - 3) / 3.0
+        p_k = ((product * (5 + 2 * k) % 7) - 3) / 3.0
+        affinity = affinity + u_k * p_k
+    raw = 3.0 + 1.5 * affinity / latent_rank
+    # quantize to half steps, clip to [0.5, 5.0]
+    score = F.least(
+        F.greatest(F.round(raw * 2) / 2.0, F.lit(0.5)), F.lit(5.0)
+    )
+    base_ts = 1_420_070_400
+    ts = base_ts + (mix % (3 * 365 * 24 * 3600))
+    return df.select(
+        user.alias("userId"),
+        product.cast("int").alias("productId"),
+        score.cast("double").alias("score"),
+        ts.cast("int").alias("timestamp"),
+    )
+
+
 def make_products(spark: SparkSession, n_products: int = 96) -> DataFrame:
     """Product(productId, name, imageUrl, categories, tags) — deterministic."""
     df = spark.range(0, n_products, 1)

@@ -139,3 +139,18 @@ def test_grid_search_returns_best(ratings):
     assert best.rmse == min(r.rmse for r in rows)
     # sanity: RMSE should beat predicting nothing (score std is ~1.2)
     assert best.rmse < 2.5
+
+
+def test_rmse_parity_with_reference_quality_bar(spark):
+    """Production ALS config (rank=50, iter=5, reg=0.01 —
+    OfflineRecommender.scala:66) on a reference-shaped corpus with real
+    latent structure must beat the reference's recorded hold-out RMSE of
+    1.2837 (ALSTrainer.scala:47, 80/20 split)."""
+    ratings = fixtures.make_structured_ratings(spark).cache()
+    train, test = ratings.randomSplit([0.8, 0.2], seed=7)
+    model = als_mod.train_als(train, rank=50, max_iter=5, reg_param=0.01)
+    pred = model.transform(test.select("userId", "productId", "score"))
+    rmse = pred.agg(
+        F.sqrt(F.avg((F.col("prediction") - F.col("score")) ** 2)).alias("rmse")
+    ).first().rmse
+    assert rmse is not None and rmse <= 1.2837, f"RMSE {rmse} above reference bar"
