@@ -91,3 +91,35 @@ def test_anti_join_removes_seen(spark):
     seen = spark.createDataFrame([Row(userId=1, productId=2)])
     out = relational.anti_join(left, seen, ["userId", "productId"]).collect()
     assert sorted(r.productId for r in out) == [1, 3]
+
+
+def test_read_products_delimited(spark, tmp_path):
+    """S1/S2: reference-style ^-delimited product lines (DataLoader.scala:
+    40-43) — keep fields 0,1,4,5,6, trim, split categories/tags on |."""
+    p = tmp_path / "products.csv"
+    p.write_text(
+        "1^ widget one ^100|200|300^B000X^http://img/1.jpg^cat1|cat2^tagA|tagB\n"
+        "2^gadget^4|5^B000Y^http://img/2.jpg^cat3^tagC\n"
+    )
+    from myrecommendsystem_spark.io import readers
+
+    rows = {r.productId: r for r in readers.read_products_delimited(
+        spark, str(p)
+    ).collect()}
+    assert rows[1].name == "widget one"
+    assert rows[1].imageUrl == "http://img/1.jpg"
+    assert rows[1].categories == ["cat1", "cat2"]
+    assert rows[2].tags == ["tagC"]
+
+
+def test_read_ratings_csv(spark, tmp_path):
+    """S3: comma-delimited rating lines (DataLoader.scala:47-50)."""
+    p = tmp_path / "ratings.csv"
+    p.write_text("7,42,4.5,1260759144\n8,43,2.0,1260759145\n")
+    from myrecommendsystem_spark.io import readers
+
+    rows = readers.read_ratings_csv(spark, str(p)).collect()
+    assert [(r.userId, r.productId, r.score, r.timestamp) for r in rows] == [
+        (7, 42, 4.5, 1260759144),
+        (8, 43, 2.0, 1260759145),
+    ]
