@@ -23,6 +23,8 @@ from pyspark.ml.functions import array_to_vector, vector_to_array
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.column import Column
 
+from myrecommendsystem_spark.functions.compat import round_stable
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -67,7 +69,7 @@ def brute_force_topk(
         .select(
             "query_id",
             "vec_id",
-            F.round(_dot(F.col("cu"), F.col("qu")), 4).alias("cos"),
+            round_stable(_dot(F.col("cu"), F.col("qu")), 4).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -99,7 +101,7 @@ def near_duplicate_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(_dot(F.col("ua"), F.col("ub")), 4).alias("cos"),
+            round_stable(_dot(F.col("ua"), F.col("ub")), 4).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )
@@ -223,7 +225,7 @@ def ivf_topk(
         .select(
             "query_id",
             "vec_id",
-            F.round(_dot(F.col("cu"), F.col("qu")), 4).alias("cos"),
+            round_stable(_dot(F.col("cu"), F.col("qu")), 4).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -172,3 +172,39 @@ def test_tumbling_counts_streaming_complete_mode(spark, tmp_path):
         for r in spark.sql("SELECT * FROM tumbling_t").collect()
     }
     assert got == {("2024-01-01 00:00:00", 2), ("2024-01-01 01:00:00", 1)}
+
+
+def test_full_topology_log_lines_to_recs(spark, tmp_path):
+    """Kafka-stand-in capstone: raw log lines stream in (S11), the rating
+    filter + parse (P6/T2), the recommendation cycle (T5/T6), and the
+    replace-by-key sink (S10) all run inside one real streaming query."""
+    from myrecommendsystem_spark.io import readers
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "log_in"
+    src.mkdir()
+    (src / "log.txt").write_text(
+        "web PRODUCT_RATING_PREFIX:100|5|2.0|10\n"
+        "heartbeat noise line\n"
+        "web PRODUCT_RATING_PREFIX:100|1|5.0|20\n"
+    )
+    _, sims, seen, recent = _scenario(spark)
+
+    stream = spark.readStream.text(str(src))
+    events = readers.read_rating_lines(filter_rating_log(stream)).select(
+        "userId", "productId", "score", F.col("timestamp").cast("long").alias("ts")
+    )
+    out_path = str(tmp_path / "recs_out")
+    q = run_streaming_recommender(
+        events,
+        sims,
+        seen,
+        recent,
+        out_path=out_path,
+        checkpoint=str(tmp_path / "ckpt"),
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out_path).collect()
+    assert len(rows) == 1 and rows[0].userId == 100
+    assert [(r.productId, r.score) for r in rows[0].recs] == [(4, 3.5), (2, 2.9)]
