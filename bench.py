@@ -36,10 +36,13 @@ HEADLINE: tuple[str, ...] = (
     "itemcf_similarities",
     "stream_recs_batch",
     "events_tumbling_hourly",
-    # LLM-data-pipeline: dedup / ANN / text
+    "events_session_windows",
+    # LLM-data-pipeline: dedup / ANN / text / multimodal
     "doc_token_counts",
     "dedup_minhash_pairs",
+    "dedup_simhash_pairs",
     "ann_topk_bruteforce",
+    "media_metadata",
 )
 
 

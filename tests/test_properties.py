@@ -1,0 +1,133 @@
+"""Hypothesis property tests: Spark operators vs plain-Python models.
+
+Each test generates small random inputs and checks the DataFrame operator
+against an independent pure-Python computation of the same semantics —
+the strongest local guard for the non-obvious pieces (priority formula
+default-1 counts, top-k tie-breaking, MinHash Jaccard estimation).
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from myrecommendsystem_spark.operators.relational import (
+    streaming_priority_scores,
+    top_k_per_group,
+)
+
+_settings = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+pairs_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 3),  # candidateId
+        st.floats(0.125, 1.0, allow_nan=False, width=32),  # sim
+        st.sampled_from([0.5, 1.0, 2.5, 3.0, 3.5, 4.5, 5.0]),  # score
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _py_priority(rows):
+    """StreamingRecommender.scala:223-229 semantics in plain Python."""
+    out = {}
+    by_cand = {}
+    for cand, sim, score in rows:
+        by_cand.setdefault(cand, []).append((sim, score))
+    for cand, ps in by_cand.items():
+        base = sum(s * r for s, r in ps) / len(ps)
+        gt = sum(1 for _, r in ps if r > 3)
+        le = sum(1 for _, r in ps if r <= 3)
+        out[cand] = round(
+            base + math.log10(max(gt, 1)) - math.log10(max(le, 1)) + 1e-9, 4
+        )
+    return out
+
+
+@given(rows=pairs_strategy)
+@_settings
+def test_priority_formula_matches_python_model(spark, rows):
+    df = spark.createDataFrame(
+        [(c, float(s), float(r)) for c, s, r in rows],
+        "candidateId int, sim double, score double",
+    )
+    got = {
+        r.candidateId: r.priority
+        for r in streaming_priority_scores(df).collect()
+    }
+    expected = _py_priority([(c, float(s), float(r)) for c, s, r in rows])
+    assert set(got) == set(expected)
+    for cand in got:
+        assert math.isclose(got[cand], expected[cand], abs_tol=2e-4), (
+            cand,
+            got[cand],
+            expected[cand],
+        )
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(0, 5)),
+        min_size=1,
+        max_size=40,
+    ),
+    k=st.integers(1, 5),
+)
+@_settings
+def test_top_k_matches_python_sort(spark, rows, k):
+    df = spark.createDataFrame(rows, "g int, item int, v int")
+    got = top_k_per_group(
+        df, ["g"], [F.col("v").desc(), F.col("item")], k
+    ).collect()
+    by_group = {}
+    for g, item, v in rows:
+        by_group.setdefault(g, []).append((item, v))
+    expected = {}
+    for g, items in by_group.items():
+        ordered = sorted(items, key=lambda t: (-t[1], t[0]))
+        expected[g] = ordered[:k]
+    got_by_group = {}
+    for r in got:
+        got_by_group.setdefault(r.g, []).append((r.rnk, r.item, r.v))
+    for g, lst in got_by_group.items():
+        lst.sort()
+        assert [(item, v) for _, item, v in lst] == expected[g]
+    assert set(got_by_group) == set(expected)
+
+
+@given(
+    base=st.lists(st.text(min_size=3, max_size=8), min_size=30, max_size=40, unique=True),
+    overlap=st.floats(0.3, 0.9),
+)
+@_settings
+def test_minhash_estimates_jaccard(spark, base, overlap):
+    """Signature agreement rate ≈ true shingle-hash Jaccard (±0.25 with
+    k=64) — the statistical contract LSH banding relies on."""
+    import numpy as np
+
+    from myrecommendsystem_spark.functions.text import (
+        _shingle_hashes_py,
+        minhash_signature,
+    )
+
+    n_shared = int(len(base) * overlap)
+    a = " ".join(base)
+    b = " ".join(base[:n_shared] + [w + "zz" for w in base[n_shared:]])
+    df = spark.createDataFrame([(0, a), (1, b)], "id long, text string")
+    sigs = {
+        r.id: np.array(r.sig)
+        for r in df.select(
+            "id", minhash_signature(F.col("text"), 64, 3).alias("sig")
+        ).collect()
+    }
+    est = float((sigs[0] == sigs[1]).mean())
+    ha, hb = set(_shingle_hashes_py(a, 3)), set(_shingle_hashes_py(b, 3))
+    true_j = len(ha & hb) / len(ha | hb)
+    assert abs(est - true_j) <= 0.25
