@@ -30,6 +30,7 @@ HEADLINE: tuple[str, ...] = (
     "topk_orders_per_customer",
     "anti_join_unseen",
     "priority_scores",
+    "revenue_by_nation",
     # t_als: MLlib pipeline
     "als_user_recs",
     # t_batch_stream: itemcf sim matrix + one full micro-batch cycle

@@ -442,3 +442,58 @@ def scalar_text_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper(F.col("lang")).alias("lang_uc"),
         F.length(F.col("text")).cast("long").alias("text_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-way join pipeline (TPC-H Q5 shape) — the join-reordering exercise
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "revenue_by_nation",
+    f"""
+SELECT n_name,
+       {sql_round_stable('SUM(l_extendedprice * (1 - l_discount))', 2)} AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""",
+    doc="6-way join pipeline (TPC-H Q5 shape): fact-fact join on orderkey "
+    "with dimension broadcasts, selective region filter, local-supplier "
+    "theta condition — the Catalyst join-reordering / AQE exercise no "
+    "2-table query covers",
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = lambda name: _t(spark, sf_dir, name)  # noqa: E731
+    return (
+        t("customer")
+        .join(t("orders"), F.col("c_custkey") == F.col("o_custkey"))
+        .join(t("lineitem"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            t("supplier"),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(t("nation"), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(t("region"), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(
+            (F.col("r_name") == "ASIA")
+            & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("n_name")
+        .agg(
+            round_stable(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )

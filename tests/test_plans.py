@@ -73,6 +73,19 @@ def test_stream_recs_batch_reuses_sim_matrix(spark):
     assert plan.count("InMemoryTableScan") >= 2
 
 
+def test_q5_pipeline_pushdown_and_broadcast(spark):
+    """6-way join: the date filter must reach the orders scan and the
+    dimension joins must broadcast (no sort-merge at this scale)."""
+    df = registry.all_queries()["revenue_by_nation"](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    orders_scan = next(
+        l for l in plan.splitlines() if "FileScan" in l and "orders" in l
+    )
+    assert "o_orderdate" in orders_scan.split("DataFilters:")[1]
+
+
 def test_topk_uses_window_not_global_sort(spark):
     """Per-group top-k must be a partitioned window (spillable, no global
     collect), matching SURVEY.md §2.5's design call."""
