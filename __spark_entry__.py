@@ -19,11 +19,11 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on sf0.001: per-(day, product) rating counts —
-    the StatisticsRecommender "rate more recently" table."""
-    return registry.all_queries()["stats_rate_more_recently_products"](
-        spark, SMOKE_SF_DIR
-    )
+    """Flagship query on sf0.001: one full streaming-recommender
+    micro-batch cycle in batch form — trigger selection, broadcast
+    similarity join, seen anti-join, recent-K pairing, priority top-20
+    (the whole §2.9 pipeline in one plan)."""
+    return registry.all_queries()["stream_recs_batch"](spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -63,8 +63,12 @@ def main() -> None:
     elif extra:
         names = [n for n in extra.split(",") if n in all_q]
 
-    # Warmup: touch the session + JIT with the smallest table.
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # Warmup: exercise the parquet reader, shuffle machinery, and codegen
+    # JIT once so the first timed query doesn't absorb one-time session
+    # costs (measured ~2s of the first query before this).
+    from myrecommendsystem_spark.io import readers as _r
+
+    _r.events_as_ratings(spark, sf_dir).groupBy("productId").count().count()
 
     timings: dict[str, float] = {}
     for name in names:

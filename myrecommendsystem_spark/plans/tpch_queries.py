@@ -497,3 +497,21 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("revenue").desc(), "n_name")
     )
+
+
+@register(
+    "approx_distinct_users",
+    None,
+    doc="approximate aggregates (engine extension, SURVEY.md §2.4 absent "
+    "list): HLL++ distinct-user count at 2% target error — the 100 TB "
+    "cardinality tool; rows-only (DuckDB's HLL differs), accuracy vs the "
+    "exact count asserted in tests/test_operators.py",
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = readers.events_as_ratings(spark, sf_dir)
+    return r.agg(
+        F.approx_count_distinct("userId", rsd=0.02).alias("approx_users"),
+        F.expr("approx_percentile(score, array(0.5, 0.9, 0.99))").alias(
+            "score_quantiles"
+        ),
+    )

@@ -123,3 +123,15 @@ def test_read_ratings_csv(spark, tmp_path):
         (7, 42, 4.5, 1260759144),
         (8, 43, 2.0, 1260759145),
     ]
+
+
+def test_approx_distinct_within_tolerance(spark, sf_dir):
+    from myrecommendsystem_spark.io import readers
+    from myrecommendsystem_spark.plans import registry
+
+    r = readers.events_as_ratings(spark, sf_dir)
+    exact = r.select("userId").distinct().count()
+    row = registry.all_queries()["approx_distinct_users"](spark, sf_dir).first()
+    assert abs(row.approx_users - exact) <= max(0.05 * exact, 2)
+    q50, q90, q99 = row.score_quantiles
+    assert q50 <= q90 <= q99
