@@ -142,6 +142,87 @@ def minhash_near_duplicates(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    max_iter: int = 20,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Connected components of an undirected pair graph: (id, component).
+
+    ``component`` is the minimum id reachable from ``id`` — min-label
+    propagation, one hash join + grouped min per iteration, converging in
+    O(graph diameter) rounds.  Near-dup graphs are dense clumps (diameter
+    2-3), so the cap is generous; iteration stops early at fixpoint
+    (checked with one count per round).  ``localCheckpoint`` truncates
+    the lineage each round — without it the plan doubles per iteration
+    and the job dies long before 100 TB does.
+
+    This is the step that turns near-dup PAIRS into dedup DECISIONS:
+    survivors = min id per component (transitive closure), matching the
+    exact-dup pass's min-id rule.
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("comp").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                labels.id,
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_near_survivors(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.7,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Rows surviving transitive MinHash near-dedup (min-id per cluster).
+
+    Pipeline: LSH candidates → exact-Jaccard verify → connected
+    components → keep one representative per component (plus every row
+    that matched no near-dup pair).
+    """
+    pairs = minhash_near_duplicates(
+        df, id_col, text_col, jaccard_threshold, shingle_n
+    )
+    comps = connected_components(pairs)
+    drop = comps.filter(F.col("comp") != F.col("id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     pairs: DataFrame,

@@ -107,6 +107,41 @@ def near_duplicate_pairs(
     )
 
 
+def near_duplicate_pairs_ivf(
+    df: DataFrame,
+    threshold: float = 0.35,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs, IVF-bucketed — the O(N²) escape hatch.
+
+    Vectors are compared only when they share a cell; each vector is
+    multi-probed into its ``nprobe`` nearest cells so pairs straddling a
+    cell boundary are still found.  Pair volume shrinks
+    ~n_cells/nprobe²× on uniform data.  Approximate — recall vs the
+    exact join is asserted in tests; same output shape as
+    :func:`near_duplicate_pairs` so the two are drop-in comparable.
+    """
+    centroids = fit_ivf_centroids(df, n_cells, id_col, vec_col, seed)
+    assigned = ivf_assign(df, centroids, id_col, vec_col, nprobe=nprobe)
+    a = assigned.withColumnsRenamed({"id": "id_a", "unit": "ua"})
+    b = assigned.withColumnsRenamed({"id": "id_b", "unit": "ub"})
+    return (
+        a.join(b, "cell_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            round_stable(_dot(F.col("ua"), F.col("ub")), 4).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def fit_ivf_centroids(
     df: DataFrame,
     n_cells: int = 16,
@@ -131,11 +166,14 @@ def ivf_assign(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """Assign each vector to its nearest centroid: (id, cell_id, unit).
+    """Assign each vector to its ``nprobe`` nearest centroids:
+    (id, cell_id, unit) — one row per probed cell.
 
-    Broadcast the (tiny) centroid table, score all cells per row with
-    max_by — one narrow pass over the corpus, no shuffle.
+    Broadcast the (tiny) centroid table, score all cells per row — one
+    narrow pass over the corpus, no shuffle.  ``nprobe=1`` is plain IVF
+    assignment; >1 is the multi-probe form the near-dup self-join uses.
     """
     u = as_unit_vectors(df, id_col, vec_col)
     cent = F.broadcast(
@@ -143,20 +181,28 @@ def ivf_assign(
             F.collect_list(F.struct("cell_id", "centroid")).alias("cells")
         )
     )
-    scored = u.crossJoin(cent).select(
+    ranked = F.slice(
+        F.reverse(
+            F.array_sort(
+                F.transform(
+                    F.col("cells"),
+                    lambda c: F.struct(
+                        _dot(F.col("unit"), c.getField("centroid")).alias("score"),
+                        c.getField("cell_id").alias("cell_id"),
+                    ),
+                )
+            )
+        ),
+        1,
+        nprobe,
+    )
+    return u.crossJoin(cent).select(
         "id",
         "unit",
-        F.array_max(
-            F.transform(
-                F.col("cells"),
-                lambda c: F.struct(
-                    _dot(F.col("unit"), c.getField("centroid")).alias("score"),
-                    c.getField("cell_id").alias("cell_id"),
-                ),
-            )
-        ).getField("cell_id").alias("cell_id"),
+        F.explode(
+            F.transform(ranked, lambda p: p.getField("cell_id"))
+        ).alias("cell_id"),
     )
-    return scored
 
 
 def ivf_topk(

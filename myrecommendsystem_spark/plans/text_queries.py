@@ -232,3 +232,30 @@ def doc_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(fps).alias("min_fp"),
         F.array_max(fps).alias("max_fp"),
     )
+
+
+@register(
+    "dedup_minhash_survivors",
+    None,
+    doc="transitive near-dedup: MinHash pairs -> connected components "
+    "(min-label propagation) -> one min-id survivor per cluster — "
+    "rows-only (iterative + hash-family-dependent); transitive-closure "
+    "semantics asserted in tests",
+)
+def dedup_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_near_survivors(
+        _docs(spark, sf_dir), jaccard_threshold=0.5
+    ).select("doc_id", "lang", F.length("text").alias("text_len"))
+
+
+@register(
+    "embedding_near_dup_ivf",
+    None,
+    doc="embedding near-dup scale path: multi-probe IVF bucketed self-join "
+    "(nprobe=2 of 16 KMeans cells) — rows-only (KMeans); recall vs the "
+    "exact join asserted in tests",
+)
+def embedding_near_dup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.near_duplicate_pairs_ivf(
+        _emb(spark, sf_dir), threshold=0.35, n_cells=16, nprobe=2
+    )

@@ -188,3 +188,58 @@ def test_rolling_fingerprints_detect_shared_substrings(spark):
     h1 = short.select(TXT.rolling_fingerprints(F.col("text"), 16)).collect()
     h2 = short.select(TXT.rolling_fingerprints(F.col("text"), 16)).collect()
     assert h1 == h2 and len(h1[0][0]) == 1
+
+
+def test_connected_components_matches_transitive_closure(spark):
+    from myrecommendsystem_spark.operators.dedup import connected_components
+
+    # two chains + one triangle + an isolated pair
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.id: r.comp for r in connected_components(df).collect()}
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
+
+
+def test_dedup_near_survivors_transitive(spark):
+    """A~B and B~C near-dups (A and C differ more) must still collapse to
+    ONE survivor via the component step."""
+    from myrecommendsystem_spark.operators.dedup import dedup_near_survivors
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    docs = spark.createDataFrame(
+        [
+            (1, base + "one two"),
+            (2, base + "one three"),   # near 1 and 3
+            (3, base + "four three"),
+            (50, "totally different text about other things entirely here"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r.doc_id
+        for r in dedup_near_survivors(docs, jaccard_threshold=0.7).collect()
+    )
+    assert kept == [1, 50]
+
+
+def test_ivf_near_dup_recall(spark):
+    from myrecommendsystem_spark.io import readers
+    from myrecommendsystem_spark.operators.similarity import (
+        near_duplicate_pairs,
+        near_duplicate_pairs_ivf,
+    )
+
+    emb = readers.load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {
+        (r.id_a, r.id_b) for r in near_duplicate_pairs(emb, 0.35).collect()
+    }
+    ivf = {
+        (r.id_a, r.id_b)
+        for r in near_duplicate_pairs_ivf(emb, 0.35, n_cells=8).collect()
+    }
+    assert ivf <= exact          # bucketing must not invent pairs
+    assert len(ivf) >= 0.5 * len(exact)  # and should keep the majority
