@@ -515,3 +515,38 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "score_quantiles"
         ),
     )
+
+
+@register(
+    "profile_lineitem",
+    """
+SELECT 'l_orderkey' AS column, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+       CAST(MIN(l_orderkey) AS VARCHAR) AS min_val,
+       CAST(MAX(l_orderkey) AS VARCHAR) AS max_val
+FROM lineitem
+UNION ALL
+SELECT 'l_quantity', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT l_quantity) AS BIGINT),
+       CAST(MIN(l_quantity) AS VARCHAR), CAST(MAX(l_quantity) AS VARCHAR)
+FROM lineitem
+UNION ALL
+SELECT 'l_returnflag', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT l_returnflag) AS BIGINT),
+       CAST(MIN(l_returnflag) AS VARCHAR), CAST(MAX(l_returnflag) AS VARCHAR)
+FROM lineitem
+""",
+    doc="column profiling: row/null/distinct counts + min/max for three "
+    "lineitem columns in ONE wide aggregation (one scan, not one per "
+    "column) — the first pass a pipeline runs over new data",
+)
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myrecommendsystem_spark.operators.profiling import profile_columns
+
+    return profile_columns(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_orderkey", "l_quantity", "l_returnflag"],
+    )
