@@ -14,18 +14,27 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, functions as F
 
 
-def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+def profile_columns(
+    df: DataFrame, cols: Sequence[str], approx_rsd: float | None = None
+) -> DataFrame:
     """(column, n_rows, n_nulls, n_distinct, min_val, max_val) per column.
 
-    ``n_distinct`` is exact (count-distinct inside the same aggregate);
-    swap in ``approx_count_distinct`` for the cheap variant at extreme
-    cardinalities.  min/max are cast to string for a uniform schema.
+    ``approx_rsd=None`` → exact count-distinct (each one adds an EXPAND
+    replication of the input — C distinct columns scan-equivalent to
+    C+1×); pass e.g. ``0.02`` to use HLL++ instead, which keeps the whole
+    profile a single-pass pipeline — the right default at 100 TB.
+    min/max are cast to string for a uniform schema.
     """
+    def dist(c):
+        if approx_rsd is not None:
+            return F.approx_count_distinct(c, rsd=approx_rsd)
+        return F.countDistinct(c)
+
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs += [
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__null_{c}"),
-            F.countDistinct(c).alias(f"__dist_{c}"),
+            dist(c).alias(f"__dist_{c}"),
             F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
             F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
         ]
