@@ -132,6 +132,44 @@ def predicted_lang(text: Column) -> Column:
     )
 
 
+def language_id_table(
+    docs, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Relational language-ID: (id, predicted_lang) for a documents table.
+
+    The set-oriented form of :func:`predicted_lang`: explode tokens,
+    broadcast-join the stopword lexicon, count hits per (doc, lang),
+    window-argmax.  Every stage is codegen (the per-row
+    ``filter(array_contains)`` expression version evaluates interpreted
+    per token×language — measured ~4.5 s vs ~1 s at sf0.1).  Ties break
+    to the lexicographically first language; zero hits → 'und'.
+    """
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    lex = spark.createDataFrame(
+        [(lang, w) for lang, words in LANG_STOPWORDS.items() for w in words],
+        "lang string, tok string",
+    )
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    hits = toks.join(F.broadcast(lex), "tok").groupBy(id_col, "lang").count()
+    w = Window.partitionBy(id_col).orderBy(F.col("count").desc(), F.col("lang"))
+    best = (
+        hits.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select(id_col, "lang")
+    )
+    return (
+        docs.select(id_col)
+        .join(best, id_col, "left")
+        .select(
+            id_col, F.coalesce(F.col("lang"), F.lit("und")).alias("predicted_lang")
+        )
+    )
+
+
 def exact_fingerprint(text: Column) -> Column:
     """Normalization-stable exact-dup fingerprint (md5 of squashed text).
 

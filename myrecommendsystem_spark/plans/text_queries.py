@@ -99,10 +99,7 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the operator shape is)",
 )
 def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _docs(spark, sf_dir).select(
-        "doc_id",
-        TXT.predicted_lang(F.col("text")).alias("predicted_lang"),
-    )
+    return TXT.language_id_table(_docs(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------

@@ -243,3 +243,32 @@ def test_ivf_near_dup_recall(spark):
     }
     assert ivf <= exact          # bucketing must not invent pairs
     assert len(ivf) >= 0.5 * len(exact)  # and should keep the majority
+
+
+def test_language_id_relational_matches_expression(spark):
+    """Set-oriented language-ID must agree with the per-row expression
+    form on unambiguous (non-tie) inputs."""
+    from myrecommendsystem_spark.functions import text as TXT
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat and the dog in a house for it is that"),
+            (1, "el que la de una y los en las que el"),
+            (2, "der und das ist nicht eine zu der und ist"),
+            (3, "xyzzy plugh foobar qux"),
+        ],
+        "doc_id long, text string",
+    )
+    rel = {
+        r.doc_id: r.predicted_lang
+        for r in TXT.language_id_table(docs).collect()
+    }
+    expr = {
+        r.doc_id: r.pl
+        for r in docs.select(
+            "doc_id", TXT.predicted_lang(F.col("text")).alias("pl")
+        ).collect()
+    }
+    assert rel == {0: "en", 1: "es", 2: "de", 3: "und"}
+    assert expr == rel
