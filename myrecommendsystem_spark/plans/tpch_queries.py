@@ -550,3 +550,83 @@ def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "lineitem"),
         ["l_orderkey", "l_quantity", "l_returnflag"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins (as-of / range) — engine extensions, DuckDB-native oracle
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_asof_prior_value",
+    f"""
+WITH probes AS (
+    SELECT user_id, ts FROM events WHERE user_id % 7 = 0
+),
+r AS (
+    SELECT user_id, ts, {sql_round_stable('MAX(value)', 4)} AS value
+    FROM events GROUP BY user_id, ts
+)
+SELECT p.user_id,
+       CAST(FLOOR(epoch(p.ts)) AS BIGINT) AS ts_sec,
+       CAST(FLOOR(epoch(r.ts)) AS BIGINT) AS asof_ts_sec,
+       r.value AS asof_value
+FROM probes p
+ASOF LEFT JOIN r ON p.user_id = r.user_id AND p.ts > r.ts
+""",
+    doc="as-of join (engine extension): each probe event gets the user's "
+    "latest strictly-prior event value — union+window implementation, one "
+    "shuffle, no theta join; oracle is DuckDB's native ASOF LEFT JOIN",
+)
+def events_asof_prior_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myrecommendsystem_spark.operators.asof import asof_join
+
+    ev = readers.load_table(spark, sf_dir, "events")
+    probes = ev.filter(F.col("user_id") % 7 == 0).select("user_id", "ts")
+    prior = ev.groupBy("user_id", "ts").agg(
+        round_stable(F.max("value"), 4).alias("value")
+    )
+    out = asof_join(
+        probes, prior, "user_id", "ts", "ts", ["value"], strict=True
+    )
+    return out.select(
+        "user_id",
+        F.unix_timestamp("ts").cast("bigint").alias("ts_sec"),
+        F.unix_timestamp("asof_ts").cast("bigint").alias("asof_ts_sec"),
+        F.col("asof_value"),
+    )
+
+
+@register(
+    "events_range_hourly_activity",
+    """
+WITH probes AS (
+    SELECT user_id, ts FROM events WHERE user_id % 11 = 0
+)
+SELECT p.user_id,
+       CAST(FLOOR(epoch(p.ts)) AS BIGINT) AS ts_sec,
+       CAST(SUM(CASE WHEN e.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_in_band
+FROM probes p
+LEFT JOIN events e
+  ON e.user_id = p.user_id
+ AND FLOOR(epoch(e.ts)) >= FLOOR(epoch(p.ts)) - 3600
+ AND FLOOR(epoch(e.ts)) <  FLOOR(epoch(p.ts))
+GROUP BY p.user_id, p.ts
+""",
+    doc="range join (engine extension): per probe event, same-user event "
+    "count in the preceding hour — bucketized band join (explode right "
+    "side into 2 buckets, equi-join on (key, bucket), residual filter in "
+    "the aggregate), never a nested-loop theta join",
+)
+def events_range_hourly_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myrecommendsystem_spark.operators.asof import range_join_count
+
+    ev = readers.load_table(spark, sf_dir, "events")
+    probes = ev.filter(F.col("user_id") % 11 == 0).select("user_id", "ts")
+    out = range_join_count(probes, ev, "user_id", "ts", "ts", 3600)
+    return out.select(
+        "user_id",
+        F.unix_timestamp("ts").cast("bigint").alias("ts_sec"),
+        "n_in_band",
+    )
