@@ -1,0 +1,53 @@
+"""Deterministic sampling — stable subsets for training pipelines.
+
+``df.sample()`` draws differently on every execution, partitioning
+change, and retry — useless when a 100 TB corpus must yield the SAME
+eval split next month.  Hash-based sampling keys the decision on the
+ROW (md5 of a key column), so membership is a pure function of the
+data: reproducible across runs, engines (md5 is universal — the DuckDB
+oracle computes the identical subset), cluster sizes, and incremental
+appends (new rows don't reshuffle old ones between splits).
+
+The cut is a lexicographic threshold on the first 8 hex chars of the
+md5 — pure string comparison, no hex→int conversion, identical in any
+SQL dialect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _hex_cut(fraction: float) -> str:
+    return format(int(round(fraction * 16**8)), "08x")
+
+
+def hash_key(key: Column, salt: str = "") -> Column:
+    """First 8 hex chars of md5(salt || key) — the sampling coordinate.
+
+    ``salt`` derives independent samplings from the same key (train vs
+    eval vs holdout must not correlate).
+    """
+    return F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 8)
+
+
+def sample_fraction(
+    df: DataFrame, key: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, decided by the key's hash coordinate.
+
+    All rows sharing a key land on the same side of the cut — sampling
+    by user keeps each kept user's history COMPLETE, which row-level
+    random sampling destroys.
+    """
+    return df.filter(hash_key(F.col(key), salt) < F.lit(_hex_cut(fraction)))
+
+
+def train_eval_split(
+    df: DataFrame, key: str, eval_fraction: float = 0.1, salt: str = "split"
+) -> tuple[DataFrame, DataFrame]:
+    """Disjoint, exhaustive (train, eval) split by key hash — the
+    deterministic replacement for ``randomSplit`` in M4."""
+    cut = F.lit(_hex_cut(eval_fraction))
+    coord = hash_key(F.col(key), salt)
+    return df.filter(coord >= cut), df.filter(coord < cut)

@@ -630,3 +630,28 @@ def events_range_hourly_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp("ts").cast("bigint").alias("ts_sec"),
         "n_in_band",
     )
+
+
+@register(
+    "sample_users_deterministic",
+    """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+WHERE substring(md5('s1' || CAST(CAST(user_id AS BIGINT) AS VARCHAR)), 1, 8)
+      < '1999999a'
+GROUP BY user_id
+""",
+    doc="deterministic hash sampling (engine extension): ~10% of users by "
+    "md5-prefix cut — same subset on every run, engine, and cluster size; "
+    "whole-key semantics keep each sampled user's history complete",
+)
+def sample_users_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myrecommendsystem_spark.operators.sampling import sample_fraction
+
+    ev = readers.load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("bigint").alias("user_id")
+    )
+    return sample_fraction(ev, "user_id", 0.1, salt="s1").groupBy(
+        "user_id"
+    ).agg(F.count("*").alias("n_events"))

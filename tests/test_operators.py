@@ -135,3 +135,25 @@ def test_approx_distinct_within_tolerance(spark, sf_dir):
     assert abs(row.approx_users - exact) <= max(0.05 * exact, 2)
     q50, q90, q99 = row.score_quantiles
     assert q50 <= q90 <= q99
+
+
+def test_deterministic_split_disjoint_exhaustive_stable(spark):
+    from myrecommendsystem_spark.operators.sampling import (
+        sample_fraction,
+        train_eval_split,
+    )
+
+    df = spark.range(0, 5000).select(F.col("id").alias("k"))
+    train, ev = train_eval_split(df, "k", eval_fraction=0.2)
+    n_train, n_eval = train.count(), ev.count()
+    assert n_train + n_eval == 5000
+    assert abs(n_eval - 1000) < 150  # ~20% within sampling noise
+    assert train.join(ev, "k", "inner").count() == 0
+    # stability: same result on a differently-partitioned input
+    ev2 = train_eval_split(df.repartition(17), "k", eval_fraction=0.2)[1]
+    assert {r.k for r in ev.collect()} == {r.k for r in ev2.collect()}
+    # independent salts decorrelate
+    s_a = {r.k for r in sample_fraction(df, "k", 0.2, salt="a").collect()}
+    s_b = {r.k for r in sample_fraction(df, "k", 0.2, salt="b").collect()}
+    overlap = len(s_a & s_b) / max(len(s_a), 1)
+    assert 0.05 < overlap < 0.40  # ≈20% if independent
