@@ -655,3 +655,88 @@ def sample_users_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_fraction(ev, "user_id", 0.1, salt="s1").groupBy(
         "user_id"
     ).agg(F.count("*").alias("n_events"))
+
+
+@register(
+    "rollup_revenue_region_nation",
+    f"""
+SELECT COALESCE(r_name, 'ALL') AS region,
+       COALESCE(n_name, 'ALL') AS nation,
+       {sql_round_stable('SUM(o_totalprice)', 2)} AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+""",
+    doc="grouping-sets rollup (engine extension; absent in reference per "
+    "SURVEY.md §2.4): region/nation/grand-total revenue in ONE pass — "
+    "Spark's rollup plans a single Expand+HashAggregate instead of three "
+    "separate scans of the fact table; dims broadcast, fact never shuffles "
+    "for the joins",
+)
+def rollup_revenue_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey", "n_name")
+    region = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    joined = (
+        orders.select("o_custkey", "o_totalprice")
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            round_stable(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region"),
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
+@register(
+    "events_rolling_frames",
+    f"""
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       {sql_round_stable(
+           "AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+           "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)", 4)} AS avg_7,
+       CAST(COUNT(*) OVER (PARTITION BY user_id
+                           ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+                           RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_last_hour
+FROM events
+""",
+    doc="window frame specs (engine extension; SURVEY.md §2.5 notes the "
+    "reference needs none): per-user trailing 7-row average (ROWS frame, "
+    "event_id tiebreak for cross-engine determinism) and trailing-hour "
+    "event count (RANGE frame over epoch seconds) in one windowed pass — "
+    "one shuffle on user_id serves both frames",
+)
+def events_rolling_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = readers.load_table(spark, sf_dir, "events").select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "ts",
+        "value",
+        F.unix_timestamp("ts").cast("bigint").alias("ts_sec"),
+    )
+    w_rows = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-6, 0)
+    )
+    w_range = Window.partitionBy("user_id").orderBy("ts_sec").rangeBetween(-3599, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        round_stable(F.avg("value").over(w_rows), 4).alias("avg_7"),
+        F.count(F.lit(1)).over(w_range).cast("bigint").alias("n_last_hour"),
+    )

@@ -103,3 +103,21 @@ def test_text_pipelines_have_no_python_stages(spark, name):
     plan = _executed(spark, name)
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan, f"{name} gained a Python stage: {marker}"
+
+
+def test_rollup_single_pass(spark):
+    """rollup must be ONE Expand + aggregate over one fact scan — not one
+    scan per grouping set — and the dims must broadcast."""
+    plan = _executed(spark, "rollup_revenue_region_nation")
+    assert plan.count("Expand") == 1
+    assert plan.count("FileScan parquet") <= 4  # orders + 3 dims, each once
+    assert "BroadcastHashJoin" in plan
+
+
+def test_rolling_frames_single_window_exchange(spark):
+    """both frame specs partition on user_id — one shuffle must serve both
+    Window operators (no second hashpartitioning exchange)."""
+    plan = _executed(spark, "events_rolling_frames")
+    assert plan.count("Window") >= 1
+    ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(ex) == 1, f"expected one window shuffle, got: {ex}"
