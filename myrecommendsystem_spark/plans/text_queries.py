@@ -91,12 +91,38 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LEX_VALUES = ", ".join(
+    f"('{lang}', '{w}')"
+    for lang, words in TXT.LANG_STOPWORDS.items()
+    for w in words
+)
+
+
 @register(
     "doc_lang_id",
-    None,
-    doc="language-ID: stopword-hit argmax over per-language lists "
-    "(rows-only: tiny built-in lexicons; accuracy is not the contract, "
-    "the operator shape is)",
+    rf"""
+WITH lex(lang, tok) AS (VALUES {_LEX_VALUES}),
+toks AS (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+    FROM documents
+),
+hits AS (
+    SELECT doc_id, lang, COUNT(*) AS cnt
+    FROM toks JOIN lex USING (tok)
+    GROUP BY doc_id, lang
+),
+best AS (
+    SELECT doc_id, lang,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, lang) AS r
+    FROM hits
+)
+SELECT d.doc_id, COALESCE(b.lang, 'und') AS predicted_lang
+FROM documents d
+LEFT JOIN (SELECT doc_id, lang FROM best WHERE r = 1) b USING (doc_id)
+""",
+    doc="language-ID: stopword-hit argmax (explode tokens → broadcast "
+    "lexicon join → count per (doc, lang) → window argmax, ties to first "
+    "lang, no hits → 'und'); oracle embeds the same lexicon as VALUES",
 )
 def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TXT.language_id_table(_docs(spark, sf_dir))

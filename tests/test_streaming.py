@@ -22,7 +22,10 @@ from myrecommendsystem_spark.streaming.recommender import (
     stream_recs_flat,
     upsert_by_key,
 )
-from myrecommendsystem_spark.streaming.windows import tumbling_event_counts
+from myrecommendsystem_spark.streaming.windows import (
+    dedup_within_watermark,
+    tumbling_event_counts,
+)
 
 EVENT_SCHEMA = "userId int, productId int, score double, ts long"
 
@@ -208,3 +211,37 @@ def test_full_topology_log_lines_to_recs(spark, tmp_path):
     rows = spark.read.parquet(out_path).collect()
     assert len(rows) == 1 and rows[0].userId == 100
     assert [(r.productId, r.score) for r in rows[0].recs] == [(4, 3.5), (2, 2.9)]
+
+
+def test_dedup_within_watermark_streaming(spark, tmp_path):
+    """duplicate keys inside the watermark horizon are emitted once; state
+    is bounded by the watermark, so a key re-appearing is NOT a duplicate
+    once the horizon has passed it."""
+    src = tmp_path / "dd_in"
+    src.mkdir()
+    rows = [
+        (1, "2024-01-01 00:00:00", 1.0),
+        (1, "2024-01-01 00:05:00", 2.0),   # dup key within horizon → dropped
+        (2, "2024-01-01 00:10:00", 3.0),
+        (2, "2024-01-01 00:10:00", 3.0),   # exact dup → dropped
+        (3, "2024-01-01 09:00:00", 4.0),
+    ]
+    with open(src / "e.json", "w") as f:
+        for uid, ts, v in rows:
+            f.write(json.dumps({"userId": uid, "value": v, "ts": ts}) + "\n")
+    stream = (
+        spark.readStream.schema("userId int, value double, ts string")
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    q = (
+        dedup_within_watermark(stream, ["userId"], watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("dedup_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT userId FROM dedup_t").collect()
+    assert sorted(r.userId for r in got) == [1, 2, 3]
