@@ -740,3 +740,42 @@ def events_rolling_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_stable(F.avg("value").over(w_rows), 4).alias("avg_7"),
         F.count(F.lit(1)).over(w_range).cast("bigint").alias("n_last_hour"),
     )
+
+
+@register(
+    "sql_string_lifecycle",
+    f"""
+WITH {RATINGS_CTE},
+rating_of_day AS (
+    SELECT userId, productId, score,
+           CAST(strftime(ts, '%Y%m%d') AS INTEGER) AS yearmonthday
+    FROM ratings
+)
+SELECT yearmonthday, productId, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM rating_of_day
+GROUP BY yearmonthday, productId
+ORDER BY yearmonthday DESC, cnt DESC, productId
+""",
+    doc="SURVEY.md §3.1 lifecycle parity: the reference's SQL-string path "
+    "run literally — testdata tables registered as temp views, a first "
+    "spark.sql result registered as a SECOND view (the ratingOfMonth "
+    "chaining at StatisticsRecommender.scala:79-86), consumed by a second "
+    "SQL string; both strings go through full Catalyst parse/analyze/"
+    "optimize, and the chained views fuse into one physical plan (no "
+    "materialization between them)",
+)
+def sql_string_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    readers.register_views(spark, sf_dir)
+    spark.sql(
+        "SELECT CAST(user_id AS INT) AS userId, "
+        "CAST(regexp_extract(props, '[0-9]+', 0) AS INT) AS productId, "
+        "value AS score, "
+        "CAST(date_format(ts, 'yyyyMMdd') AS INT) AS yearmonthday "
+        "FROM events"
+    ).createOrReplaceTempView("rating_of_day")
+    return spark.sql(
+        "SELECT yearmonthday, productId, CAST(COUNT(*) AS BIGINT) AS cnt "
+        "FROM rating_of_day "
+        "GROUP BY yearmonthday, productId "
+        "ORDER BY yearmonthday DESC, cnt DESC, productId"
+    )
