@@ -310,3 +310,29 @@ def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
         "avg_value",
     )
+
+
+@register(
+    "events_sliding_counts",
+    """
+SELECT strftime(time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE,
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM events, (SELECT unnest(range(4)) AS k)
+GROUP BY window_start
+""",
+    doc="Engine extension: sliding windows (1 hour window, 15 minute "
+    "slide) — every event lands in exactly window/slide = 4 buckets; "
+    "Spark's F.window replicates rows at the EXPAND stage before the "
+    "partial aggregate, the oracle replicates via a 4-row range join",
+)
+def events_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myrecommendsystem_spark.streaming.windows import sliding_event_counts
+
+    events = readers.load_table(spark, sf_dir, "events")
+    return sliding_event_counts(events).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "cnt",
+    )
