@@ -374,3 +374,54 @@ def simhash64(text: Column) -> Column:
 def hamming64(fp_a: Column, fp_b: Column) -> Column:
     """Hamming distance between two packed 64-bit fingerprints."""
     return F.bit_count(fp_a.bitwiseXOR(fp_b))
+
+
+def tfidf_top_terms(
+    docs, k: int = 5, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Top-k TF-IDF terms per document — the relational form.
+
+    SURVEY.md §7.6 names TF-IDF as a text-analysis extension; the
+    ``pyspark.ml.feature`` HashingTF/IDF pair buries terms behind feature
+    hashing, so this uses the transparent relational pipeline instead:
+    explode tokens → term frequency per (doc, term) → document frequency
+    per term (one reusable aggregate) → smooth idf ``ln((N+1)/(df+1))+1``
+    → window top-k.  Every stage is codegen; the doc-count N rides a
+    1-row broadcast cross join, never a driver collect.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    ).filter(F.length("term") > 0)
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(
+        F.count(F.lit(1)).cast("double").alias("__n_docs")
+    )
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * (F.log((F.col("__n_docs") + 1) / (F.col("df") + 1)) + 1),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    from myrecommendsystem_spark.functions.compat import round_stable
+
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .select(
+            id_col,
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            round_stable(F.col("tfidf"), 4).alias("tfidf"),
+            F.col("__r").cast("int").alias("rnk"),
+        )
+    )

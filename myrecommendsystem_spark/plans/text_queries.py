@@ -282,3 +282,40 @@ def embedding_near_dup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.near_duplicate_pairs_ivf(
         _emb(spark, sf_dir), threshold=0.35, n_cells=16, nprobe=2
     )
+
+
+@register(
+    "doc_tfidf_top_terms",
+    rf"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM toks WHERE length(term) > 0
+    GROUP BY doc_id, term
+),
+df AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           {sql_round_stable('tf.tf * (ln((n.n_docs + 1) / (df.df + 1)) + 1)', 4)}
+               AS tfidf
+    FROM tf JOIN df USING (term), n
+)
+SELECT doc_id, term, tf, df, tfidf, CAST(rnk AS INTEGER) AS rnk FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term
+    ) AS rnk FROM scored
+) WHERE rnk <= 5
+""",
+    doc="TF-IDF top-5 terms per document (SURVEY.md §7.6 text-analysis "
+    "extension): relational explode→tf→df→smooth-idf→window top-k; "
+    "doc-count N is a 1-row broadcast, never a driver collect",
+)
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TXT.tfidf_top_terms(_docs(spark, sf_dir), k=5)
