@@ -95,7 +95,13 @@ def test_topk_uses_window_not_global_sort(spark):
 
 @pytest.mark.parametrize(
     "name",
-    ["doc_token_counts", "doc_quality_scores", "dedup_exact_groups"],
+    [
+        "doc_token_counts",
+        "doc_quality_scores",
+        "dedup_exact_groups",
+        "doc_lang_id",
+        "doc_tfidf_top_terms",
+    ],
 )
 def test_text_pipelines_have_no_python_stages(spark, name):
     """Token counting / quality / exact dedup are pure Catalyst — a Python
@@ -121,3 +127,11 @@ def test_rolling_frames_single_window_exchange(spark):
     assert plan.count("Window") >= 1
     ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
     assert len(ex) == 1, f"expected one window shuffle, got: {ex}"
+
+
+def test_tfidf_doc_count_is_broadcast_not_collected(spark):
+    """the corpus doc-count N must ride a broadcast join into the scoring
+    expression — a driver-side collect would serialize the whole plan."""
+    plan = _executed(spark, "doc_tfidf_top_terms")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CollectLimit" not in plan
