@@ -51,3 +51,32 @@ def train_eval_split(
     cut = F.lit(_hex_cut(eval_fraction))
     coord = hash_key(F.col(key), salt)
     return df.filter(coord >= cut), df.filter(coord < cut)
+
+
+def sample_stratified(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum keep fractions — corpus rebalancing (e.g. downsample the
+    dominant language) with the same deterministic membership guarantees
+    as :func:`sample_fraction`.
+
+    The fraction table joins in as a broadcast (it has one row per
+    stratum), so the cut comparison stays a codegen filter over the scan —
+    no shuffle, no driver loop.  Strata absent from ``fractions`` are
+    DROPPED (inner join), which is the usual "keep only listed sources"
+    pipeline semantics.
+    """
+    spark = df.sparkSession
+    frac = spark.createDataFrame(
+        [(s, _hex_cut(f)) for s, f in fractions.items()],
+        f"{strata_col} string, __cut string",
+    )
+    return (
+        df.join(F.broadcast(frac), strata_col)
+        .filter(hash_key(F.col(key), salt) < F.col("__cut"))
+        .drop("__cut")
+    )

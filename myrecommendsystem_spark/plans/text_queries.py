@@ -319,3 +319,43 @@ SELECT doc_id, term, tf, df, tfidf, CAST(rnk AS INTEGER) AS rnk FROM (
 )
 def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TXT.tfidf_top_terms(_docs(spark, sf_dir), k=5)
+
+
+# Rebalance the corpus: downsample dominant English, keep the rest at 90%,
+# drop zh entirely (absent stratum = dropped).  Keep in sync with the
+# oracle VALUES below, which are generated from the same dict.
+_STRATA_FRACTIONS = {"en": 0.3, "de": 0.9, "es": 0.9, "fr": 0.9}
+
+
+def _strata_values() -> str:
+    from myrecommendsystem_spark.operators.sampling import _hex_cut
+
+    return ", ".join(
+        f"('{s}', '{_hex_cut(f)}')" for s, f in _STRATA_FRACTIONS.items()
+    )
+
+
+@register(
+    "sample_docs_stratified",
+    f"""
+WITH frac(lang, cut) AS (VALUES {_strata_values()})
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents JOIN frac USING (lang)
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < cut
+GROUP BY lang
+""",
+    doc="stratified deterministic sampling (engine extension): per-language "
+    "keep fractions rebalance the corpus (en downsampled to 30%, zh "
+    "dropped as an unlisted stratum); membership is md5(doc_id) — same "
+    "subset on every run and engine; fraction table broadcast, filter "
+    "stays codegen at the scan",
+)
+def sample_docs_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myrecommendsystem_spark.operators.sampling import sample_stratified
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return (
+        sample_stratified(docs, "doc_id", "lang", _STRATA_FRACTIONS)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
