@@ -779,3 +779,55 @@ def sql_string_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "GROUP BY yearmonthday, productId "
         "ORDER BY yearmonthday DESC, cnt DESC, productId"
     )
+
+
+@register(
+    "pivot_orders_status",
+    """
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+FROM orders
+GROUP BY o_orderpriority
+""",
+    doc="pivot (engine extension): order counts by priority × status — "
+    "explicit value list so Spark skips the distinct-values discovery job "
+    "and plans ONE aggregation pass (pivot_first), same shape as the "
+    "oracle's conditional-aggregation rewrite",
+)
+def pivot_orders_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .select(
+            "o_orderpriority",
+            F.col("F").cast("bigint").alias("F"),
+            F.col("O").cast("bigint").alias("O"),
+            F.col("P").cast("bigint").alias("P"),
+        )
+    )
+
+
+@register(
+    "events_json_props",
+    """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(json_extract(props, '$.k') AS INTEGER) AS prop_k
+FROM events
+""",
+    doc="semi-structured extraction (engine extension): typed field pulled "
+    "from a JSON string column via from_json with an explicit schema — "
+    "schema-on-read stays a codegen expression, no inference pass and no "
+    "Python; oracle uses DuckDB json_extract",
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = readers.load_table(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "k INT")
+    return ev.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        parsed.getField("k").alias("prop_k"),
+    )
