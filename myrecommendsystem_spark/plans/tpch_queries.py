@@ -831,3 +831,94 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").cast("bigint").alias("event_id"),
         parsed.getField("k").alias("prop_k"),
     )
+
+
+@register(
+    "outer_join_custdist",
+    """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+    SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+    FROM customer c LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+) t
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+    doc="left outer join (engine extension; SURVEY §2.3 lists outer joins "
+    "as absent from the reference): TPC-H Q13 shape — customers kept even "
+    "with zero orders (COUNT over the nullable side), then a second "
+    "aggregation for the distribution.  Scale: join shuffles on custkey "
+    "once; both aggregations get map-side partials; the second groupBy is "
+    "over a tiny domain (distinct order counts)",
+)
+def outer_join_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "set_ops_order_status",
+    """
+WITH f_cust AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS custkey
+                FROM orders WHERE o_orderstatus = 'F'),
+     o_cust AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS custkey
+                FROM orders WHERE o_orderstatus = 'O')
+SELECT custkey, 'both' AS tag FROM (SELECT custkey FROM f_cust INTERSECT SELECT custkey FROM o_cust)
+UNION ALL
+SELECT custkey, 'f_only' AS tag FROM (SELECT custkey FROM f_cust EXCEPT SELECT custkey FROM o_cust)
+ORDER BY tag, custkey
+""",
+    doc="set operations (engine extension): INTERSECT and EXCEPT over "
+    "distinct customer keys by order status, tagged and unioned.  Spark "
+    "compiles intersect/exceptAll to aggregate+join under Catalyst — no "
+    "custom operator; both branches reuse one cached base scan so the "
+    "orders parquet is read once",
+)
+def set_ops_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("bigint").alias("custkey"), "o_orderstatus"
+    )
+    f_cust = orders.filter(F.col("o_orderstatus") == "F").select("custkey").distinct()
+    o_cust = orders.filter(F.col("o_orderstatus") == "O").select("custkey").distinct()
+    both = f_cust.intersect(o_cust).withColumn("tag", F.lit("both"))
+    f_only = f_cust.exceptAll(o_cust.distinct()).withColumn("tag", F.lit("f_only"))
+    return both.unionByName(f_only).select("custkey", "tag").orderBy("tag", "custkey")
+
+
+@register(
+    "events_lag_delta",
+    f"""
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       {sql_round_stable('value - LAG(value) OVER (PARTITION BY user_id ORDER BY event_id)', 2)} AS delta
+FROM events
+ORDER BY user_id, event_id
+""",
+    doc="lag/lead window (engine extension; reference's only window pattern "
+    "is top-k ranking, SURVEY §2.5): per-user value delta vs the previous "
+    "event, deterministic order by unique event_id.  One shuffle on "
+    "user_id serves the window; no frame materialization (LAG is an "
+    "offset window function)",
+)
+def events_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = readers.load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return (
+        ev.select(
+            F.col("event_id").cast("bigint").alias("event_id"),
+            F.col("user_id").cast("bigint").alias("user_id"),
+            round_stable(F.col("value") - F.lag("value").over(w), 2).alias("delta"),
+        )
+        .orderBy("user_id", "event_id")
+    )
