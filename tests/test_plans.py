@@ -135,3 +135,33 @@ def test_tfidf_doc_count_is_broadcast_not_collected(spark):
     plan = _executed(spark, "doc_tfidf_top_terms")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "CollectLimit" not in plan
+
+
+def test_outer_join_no_python_and_two_agg_levels(spark):
+    """Q13 shape: the left-outer join must stay a hash join (broadcast at
+    this scale; AQE may pick SMJ at 100 TB — both fine, never nested-loop),
+    and both aggregation levels must split partial/final."""
+    plan = _executed(spark, "outer_join_custdist")
+    assert "LeftOuter" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4  # two groupBys × partial+final
+    assert "Python" not in plan
+
+
+def test_set_ops_compile_to_joins_not_python(spark):
+    """intersect/exceptAll must lower to Catalyst join/aggregate operators
+    — no Python stages, no cartesian fallback."""
+    plan = _executed(spark, "set_ops_order_status")
+    assert "CartesianProduct" not in plan and "Python" not in plan
+    assert "Join" in plan
+
+
+def test_lag_single_window_exchange(spark):
+    """LAG is an offset window function: exactly one shuffle on user_id
+    serves it; no frame buffer, no Python stages."""
+    plan = _executed(spark, "events_lag_delta")
+    assert plan.count("Window") >= 1
+    assert "Python" not in plan
+    # one exchange for the window partition + one for the final orderBy
+    # (range partitioning); nothing else.
+    assert plan.count("Exchange") <= 3, plan
