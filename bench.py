@@ -38,11 +38,17 @@ HEADLINE: tuple[str, ...] = (
     "stream_recs_batch",
     "events_tumbling_hourly",
     "events_session_windows",
+    # outer join / set ops / offset windows (round-1 extensions)
+    "outer_join_custdist",
+    "set_ops_order_status",
+    "events_lag_delta",
     # LLM-data-pipeline: dedup / ANN / text / multimodal
     "doc_token_counts",
     "dedup_minhash_pairs",
     "dedup_simhash_pairs",
     "ann_topk_bruteforce",
+    "ann_topk_ivf",
+    "embedding_near_dup_ivf",
     "media_metadata",
 )
 

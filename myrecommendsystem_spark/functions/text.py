@@ -355,6 +355,8 @@ def simhash64(text: Column) -> Column:
     def _fp(hashes: pd.Series) -> pd.Series:
         out = np.zeros(len(hashes), dtype=np.int64)
         for i, h in enumerate(hashes):
+            if h is None:  # NULL text → tokens() → NULL; fingerprint 0,
+                continue  # same as empty text (mirrors _shingle_hashes_py)
             hv = np.asarray(h, dtype=np.int64)
             if hv.size == 0:
                 continue

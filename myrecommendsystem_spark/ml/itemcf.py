@@ -17,6 +17,9 @@ Scale notes: the userId self-join produces Σ_u n_u² pairs — a power-law
 bounds this by pre-compacting each user to their most recent K ratings
 (the same recent-K state the streaming job keeps), making pair volume
 O(users · K²) and the shuffle key (pid, other_pid) well-distributed.
+The cap defaults ON (K=20, matching the reference's Redis recent-K list,
+StreamingRecommender.scala:48) — the uncapped exact cosine is an explicit
+opt-in via ``per_user_cap=None``, not a scale trap a caller falls into.
 """
 
 from __future__ import annotations
@@ -27,10 +30,13 @@ from myrecommendsystem_spark.functions.compat import round_stable
 from myrecommendsystem_spark.operators.relational import top_k_per_group
 
 
+DEFAULT_PER_USER_CAP = 20
+
+
 def corating_similarities(
     ratings: DataFrame,
     threshold: float = 0.6,
-    per_user_cap: int | None = None,
+    per_user_cap: int | None = DEFAULT_PER_USER_CAP,
 ) -> DataFrame:
     """Thresholded item-item cosine over co-ratings.
 
@@ -40,6 +46,8 @@ def corating_similarities(
 
     ``per_user_cap``: bound each user's contribution to their most recent
     K ratings before pairing (requires a ``ts`` column) — the 100 TB knob.
+    Defaults to 20 (the reference's recent-K); pass ``None`` for the exact
+    uncapped cosine (Σ_u n_u² pairs — safe only for bounded user activity).
     """
     if per_user_cap is not None:
         ratings = top_k_per_group(

@@ -61,6 +61,10 @@ def grid_search_als(
         evaluator=evaluator,
         trainRatio=train_ratio,
         seed=seed,
+        # Grid points are independent fits; running them serially leaves
+        # the cluster idle between stages.  4 concurrent fits ~halves the
+        # registry query's wall time on local[32] with identical metrics.
+        parallelism=4,
     )
     model = tvs.fit(ratings.select("userId", "productId", "score"))
 

@@ -223,6 +223,68 @@ def dedup_near_survivors(
     return df.join(drop, id_col, "left_anti")
 
 
+def ngram_jaccard_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    max_df: int = 50,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via an inverted shingle index.
+
+    End-to-end EXACT dedup (unlike the MinHash/SimHash families, which
+    are probabilistic): (id_a < id_b, jaccard ≥ threshold) over df-capped
+    shingle sets.  Fully relational — shingle explode, document-frequency
+    cap, self-join on shingle, grouped intersection count — so it is
+    DuckDB-oracle-checkable, the driver-green representative of the dedup
+    family (``dedup_ngram_jaccard``).
+
+    ``max_df`` is the scale guard: a shingle occurring in D documents
+    produces D² join pairs, and boilerplate shingles (headers, license
+    text) have D in the millions at corpus scale.  Dropping shingles with
+    document frequency > max_df bounds every join bucket at max_df² pairs
+    — the standard stop-shingle move — and Jaccard is then DEFINED over
+    the capped sets on both engines, keeping the semantics deterministic
+    rather than best-effort.  One shuffle on the shingle string, one on
+    the (id_a, id_b) pair key; both well-distributed after the cap.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(TXT.shingles(F.col(text_col), shingle_n)).alias("s"),
+    )
+    rare = (
+        sh.groupBy("s")
+        .agg(F.count("*").alias("df_cnt"))
+        .filter(F.col("df_cnt") <= max_df)
+        .select("s")
+    )
+    shf = sh.join(rare, "s").persist()  # feeds sizes + both join sides
+    sizes = shf.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = shf.select(F.col("id").alias("id_a"), "s")
+    b = shf.select(F.col("id").alias("id_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("double").alias("inter"))
+    )
+    from myrecommendsystem_spark.functions.compat import round_stable
+
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "na"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "nb"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            round_stable(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     pairs: DataFrame,

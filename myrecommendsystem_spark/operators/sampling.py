@@ -19,6 +19,14 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 
 def _hex_cut(fraction: float) -> str:
+    # Clamp: fraction >= 1.0 must keep ALL rows, but its 9-char "100000000"
+    # would compare lexicographically BELOW most 8-char hashes and silently
+    # keep only ~6%.  "g" sorts above every hex digit → keeps everything;
+    # "00000000" is below every hash (strict <) → keeps nothing.
+    if fraction >= 1.0:
+        return "g"
+    if fraction <= 0.0:
+        return "00000000"
     return format(int(round(fraction * 16**8)), "08x")
 
 

@@ -61,12 +61,22 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[Builder]
     return deco
 
 
+def _ordered() -> list[QuerySpec]:
+    """Oracle-gated queries first (registration order preserved), rows-only
+    last.  External harnesses may evaluate only a prefix of the query dict;
+    this ordering guarantees every hash-verifiable query is inside any
+    reasonable prefix window, with the weaker rows-only checks trailing."""
+    gated = [s for s in REGISTRY if s.oracle is not None]
+    rows_only = [s for s in REGISTRY if s.oracle is None]
+    return gated + rows_only
+
+
 def all_queries() -> dict[str, Builder]:
-    return {spec.name: spec.builder for spec in REGISTRY}
+    return {spec.name: spec.builder for spec in _ordered()}
 
 
 def all_oracle_sql() -> dict[str, str]:
-    return {spec.name: spec.oracle for spec in REGISTRY if spec.oracle is not None}
+    return {spec.name: spec.oracle for spec in _ordered() if spec.oracle is not None}
 
 
 # ---------------------------------------------------------------------------

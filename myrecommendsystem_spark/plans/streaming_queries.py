@@ -36,10 +36,20 @@ from myrecommendsystem_spark.streaming.windows import session_event_stats
 _ITEMCF_THRESHOLD = 0.3
 
 # DuckDB twins of ml.itemcf.corating_similarities — keep in sync.
+# The capped CTE mirrors the default per_user_cap=20 (recent-K compaction,
+# same ordering as stream_recent_ratings) applied before the self-join.
 _ITEMCF_CTES = f"""
+capped AS (
+    SELECT userId, productId, score FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY userId
+            ORDER BY ts DESC, productId DESC, score DESC
+        ) AS rn FROM ratings
+    ) WHERE rn <= 20
+),
 r AS (
     SELECT userId, productId, AVG(score) AS score
-    FROM ratings GROUP BY userId, productId
+    FROM capped GROUP BY userId, productId
 ),
 norms AS (
     SELECT productId, SQRT(SUM(score * score)) AS nrm
@@ -151,7 +161,8 @@ SELECT pid, other_pid, sim FROM sims WHERE sim > {_ITEMCF_THRESHOLD}
 """,
     doc="M7 (deterministic variant): item-item cosine over co-rating "
     "vectors, thresholded, both directions — the oracle-able stand-in for "
-    "the ALS-factor similarity matrix (OfflineRecommender.scala:92-109)",
+    "the ALS-factor similarity matrix (OfflineRecommender.scala:92-109); "
+    "per-user recent-20 cap bounds the self-join to O(users·K²) pairs",
 )
 def itemcf_similarities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corating_similarities(

@@ -36,7 +36,9 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_token_counts",
     rf"""
 SELECT doc_id,
-       CAST(length(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE length(regexp_split_to_array(trim(text), '\s+'))
+            END AS INTEGER) AS n_tokens,
        CAST(length(regexp_extract_all(text, '{TXT.BPE_ISH_PATTERN}', 0)) AS INTEGER)
            AS n_bpe_tokens
 FROM documents
@@ -60,7 +62,9 @@ _PUNCT_SQL = TXT.PUNCT_CLASS.replace("'", "''")
     rf"""
 WITH t AS (
     SELECT doc_id,
-           length(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE length(regexp_split_to_array(trim(text), '\s+'))
+                END AS n_tok,
            length(text) AS n_char,
            length(text) - length(regexp_replace(text, '{_PUNCT_SQL}', '', 'g'))
                AS n_punct,
@@ -70,8 +74,9 @@ WITH t AS (
 m AS (
     SELECT doc_id,
            LEAST(n_tok / 100.0, 1.0) AS len_score,
-           GREATEST(0.0, 1.0 - (n_punct / CAST(n_char AS DOUBLE)) * 4.0)
-               AS punct_pen,
+           CASE WHEN n_char = 0 THEN 1.0
+                ELSE GREATEST(0.0, 1.0 - (n_punct / CAST(n_char AS DOUBLE)) * 4.0)
+                END AS punct_pen,
            CASE WHEN tok_chars / CAST(n_tok AS DOUBLE) BETWEEN 3.0 AND 10.0
                 THEN 1.0 ELSE 0.5 END AS shape_score
     FROM t
@@ -159,6 +164,49 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_near_duplicates(
         _docs(spark, sf_dir), jaccard_threshold=0.5
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    rf"""
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+    FROM documents
+),
+shl AS (
+    SELECT doc_id,
+           list_distinct([array_to_string(t[i:i+2], ' ')
+                          for i in generate_series(1, greatest(len(t)-2, 1))])
+               AS sh
+    FROM toks
+),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM shl),
+rare AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= 50),
+shf AS (SELECT ex.doc_id, ex.s FROM ex JOIN rare USING (s)),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS n_sh FROM shf GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS DOUBLE) AS inter
+    FROM shf a JOIN shf b USING (s)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY id_a, id_b
+)
+SELECT id_a, id_b,
+       {sql_round_stable('inter / (sa.n_sh + sb.n_sh - inter)', 4)} AS jaccard
+FROM inter
+JOIN sizes sa ON inter.id_a = sa.doc_id
+JOIN sizes sb ON inter.id_b = sb.doc_id
+WHERE {sql_round_stable('inter / (sa.n_sh + sb.n_sh - inter)', 4)} >= 0.5
+""",
+    doc="n-gram Jaccard dedup, EXACT and fully relational (the "
+    "driver-green representative of the near-dup family): 3-gram shingle "
+    "explode → document-frequency cap 50 (stop-shingle scale guard — a "
+    "shingle in D docs makes D² join pairs) → inverted-index self-join → "
+    "grouped intersection count → Jaccard ≥ 0.5 over the capped sets",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_dedup_pairs(
+        _docs(spark, sf_dir), max_df=50, threshold=0.5
     )
 
 

@@ -505,15 +505,18 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="approximate aggregates (engine extension, SURVEY.md §2.4 absent "
     "list): HLL++ distinct-user count at 2% target error — the 100 TB "
     "cardinality tool; rows-only (DuckDB's HLL differs), accuracy vs the "
-    "exact count asserted in tests/test_operators.py",
+    "exact count asserted in tests/test_operators.py.  Quantiles are "
+    "projected to scalar q50/q90/q99 columns (not an array) so the "
+    "driver's pandas canonicalizer can sort/hash the output.",
 )
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = readers.events_as_ratings(spark, sf_dir)
+    q = F.expr("approx_percentile(score, array(0.5, 0.9, 0.99))")
     return r.agg(
         F.approx_count_distinct("userId", rsd=0.02).alias("approx_users"),
-        F.expr("approx_percentile(score, array(0.5, 0.9, 0.99))").alias(
-            "score_quantiles"
-        ),
+        F.element_at(q, 1).alias("q50"),
+        F.element_at(q, 2).alias("q90"),
+        F.element_at(q, 3).alias("q99"),
     )
 
 
@@ -882,17 +885,22 @@ ORDER BY tag, custkey
     doc="set operations (engine extension): INTERSECT and EXCEPT over "
     "distinct customer keys by order status, tagged and unioned.  Spark "
     "compiles intersect/exceptAll to aggregate+join under Catalyst — no "
-    "custom operator; both branches reuse one cached base scan so the "
-    "orders parquet is read once",
+    "custom operator.  The two distinct inputs each feed two set-op "
+    "branches, so they are cached: the orders parquet is scanned once "
+    "per side instead of twice (cache-reuse pinned in tests/test_plans.py)",
 )
 def set_ops_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").select(
         F.col("o_custkey").cast("bigint").alias("custkey"), "o_orderstatus"
     )
-    f_cust = orders.filter(F.col("o_orderstatus") == "F").select("custkey").distinct()
-    o_cust = orders.filter(F.col("o_orderstatus") == "O").select("custkey").distinct()
+    f_cust = (
+        orders.filter(F.col("o_orderstatus") == "F").select("custkey").distinct().cache()
+    )
+    o_cust = (
+        orders.filter(F.col("o_orderstatus") == "O").select("custkey").distinct().cache()
+    )
     both = f_cust.intersect(o_cust).withColumn("tag", F.lit("both"))
-    f_only = f_cust.exceptAll(o_cust.distinct()).withColumn("tag", F.lit("f_only"))
+    f_only = f_cust.exceptAll(o_cust).withColumn("tag", F.lit("f_only"))
     return both.unionByName(f_only).select("custkey", "tag").orderBy("tag", "custkey")
 
 

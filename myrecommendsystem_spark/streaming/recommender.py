@@ -174,30 +174,67 @@ def stream_recs_for_events(
     return collect_recs(flat, "userId", "candidateId", "priority", k=k)
 
 
+BUCKET_COL = "__bucket"
+
+
 def upsert_by_key(
-    spark: SparkSession, batch_df: DataFrame, path: str, key: str = "userId"
+    spark: SparkSession,
+    batch_df: DataFrame,
+    path: str,
+    key: str = "userId",
+    num_buckets: int = 16,
 ) -> None:
-    """Replace-by-key upsert into a parquet table (S10).
+    """Replace-by-key upsert into a key-bucketed parquet table (S10).
 
     Reference: per-user ``findAndRemove`` + ``insert``
-    (StreamingRecommender.scala:254-263).  Parquet form: existing rows
-    whose key appears in the batch are dropped (anti join), batch rows
-    appended, table overwritten.  On a real deployment this is a MERGE
-    into a transactional table format (Delta/Iceberg) partitioned by key
-    bucket; plain parquet needs the rewrite.
+    (StreamingRecommender.scala:254-263).  The table is partitioned by
+    ``pmod(hash(key), num_buckets)`` so each micro-batch touches only the
+    partitions its keys hash into:
+
+    1. tag batch rows with their bucket id, collect the distinct ids
+       (≤ num_buckets ints — a metadata-sized driver hop);
+    2. read ONLY those partitions back (the ``isin`` filter is partition
+       pruning — untouched partitions' files are never opened);
+    3. anti-join out replaced keys, union the batch rows;
+    4. overwrite ONLY the touched partitions
+       (``partitionOverwriteMode=dynamic`` — partitions absent from the
+       merged frame are left on disk untouched).
+
+    Per-trigger IO is O(touched partitions), not O(table) — the plain-
+    parquet middle ground between full rewrite and a Delta/Iceberg MERGE
+    (which is what a production deployment would use).
     """
-    batch_df = batch_df.cache()
+    bucket = F.pmod(F.hash(F.col(key)), F.lit(num_buckets)).cast("int")
+    batch_df = batch_df.withColumn(BUCKET_COL, bucket).cache()
     try:
+        touched = [
+            r[BUCKET_COL]
+            for r in batch_df.select(BUCKET_COL).distinct().collect()
+        ]
+        if not touched:
+            return
         if os.path.exists(path):
-            existing = spark.read.parquet(path)
+            existing = spark.read.parquet(path).filter(
+                F.col(BUCKET_COL).isin(touched)
+            )
             keep = anti_join(existing, batch_df.select(key), [key])
             merged = keep.unionByName(batch_df)
         else:
             merged = batch_df
         merged.cache().count()  # materialize before overwriting the source
-        merged.write.mode("overwrite").parquet(path)
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     finally:
         batch_df.unpersist()
+
+
+def read_upserted(spark: SparkSession, path: str) -> DataFrame:
+    """Read an :func:`upsert_by_key` table without its layout column."""
+    return spark.read.parquet(path).drop(BUCKET_COL)
 
 
 def run_streaming_recommender(

@@ -4,6 +4,7 @@ than the reference, which has no tests at all)."""
 from __future__ import annotations
 
 import math
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -154,3 +155,24 @@ def test_rmse_parity_with_reference_quality_bar(spark):
         F.sqrt(F.avg((F.col("prediction") - F.col("score")) ** 2)).alias("rmse")
     ).first().rmse
     assert rmse is not None and rmse <= 1.2837, f"RMSE {rmse} above reference bar"
+
+
+@pytest.mark.skipif(
+    not os.environ.get("MRS_FULL_GRID"),
+    reason="opt-in (MRS_FULL_GRID=1): the reference's full 3×4 grid "
+    "(ALSTrainer.scala:55) — 12 ALS fits, minutes of wall time",
+)
+def test_reference_scale_grid_search(spark):
+    """Run the tuner over the reference's ACTUAL search space
+    (rank ∈ {100,200,250} × λ ∈ {1,0.1,0.01,0.001}) at reduced data
+    scale: 12 grid points all evaluated, metrics finite, best is min."""
+    from myrecommendsystem_spark.io.fixtures import make_structured_ratings
+
+    ratings = make_structured_ratings(
+        spark, n_rows=6000, n_users=400, n_products=60
+    ).withColumnRenamed("timestamp", "ts")
+    best, results = grid_search_als(ratings)  # defaults ARE the ref grid
+    rows = results.collect()
+    assert len(rows) == 12
+    assert all(r.rmse == r.rmse for r in rows)  # no NaNs
+    assert best.rmse == min(r.rmse for r in rows)

@@ -133,8 +133,7 @@ def test_approx_distinct_within_tolerance(spark, sf_dir):
     exact = r.select("userId").distinct().count()
     row = registry.all_queries()["approx_distinct_users"](spark, sf_dir).first()
     assert abs(row.approx_users - exact) <= max(0.05 * exact, 2)
-    q50, q90, q99 = row.score_quantiles
-    assert q50 <= q90 <= q99
+    assert row.q50 <= row.q90 <= row.q99  # scalar columns (driver-canon safe)
 
 
 def test_deterministic_split_disjoint_exhaustive_stable(spark):
@@ -157,3 +156,43 @@ def test_deterministic_split_disjoint_exhaustive_stable(spark):
     s_b = {r.k for r in sample_fraction(df, "k", 0.2, salt="b").collect()}
     overlap = len(s_a & s_b) / max(len(s_a), 1)
     assert 0.05 < overlap < 0.40  # ≈20% if independent
+
+
+def test_sample_fraction_boundary_values(spark):
+    """fraction >= 1.0 keeps everything, <= 0.0 keeps nothing — the naive
+    9-char hex cut for 1.0 silently kept ~6% (lexicographic '100000000'
+    vs 8-char hashes)."""
+    from myrecommendsystem_spark.operators.sampling import (
+        sample_fraction,
+        sample_stratified,
+        train_eval_split,
+    )
+
+    df = spark.range(0, 500).select(F.col("id").alias("k"))
+    assert sample_fraction(df, "k", 1.0).count() == 500
+    assert sample_fraction(df, "k", 1.5).count() == 500
+    assert sample_fraction(df, "k", 0.0).count() == 0
+    assert sample_fraction(df, "k", -0.5).count() == 0
+    train, ev = train_eval_split(df, "k", eval_fraction=1.0)
+    assert train.count() == 0 and ev.count() == 500
+    strat = df.withColumn("s", (F.col("k") % 2 == 0).cast("string"))
+    kept = sample_stratified(strat, "k", "s", {"true": 1.0, "false": 0.0})
+    got = {r.k for r in kept.collect()}
+    assert got == {k for k in range(500) if k % 2 == 0}
+
+
+def test_itemcf_per_user_cap_bounds_pair_volume(spark):
+    """The default recent-K cap makes co-rating pair volume O(users·K²):
+    a 60-rating whale contributes at most K·(K-1) ordered pairs, not
+    60·59.  threshold=-1 keeps every pair so the count IS the volume."""
+    from myrecommendsystem_spark.ml.itemcf import corating_similarities
+
+    rows = [(1, p, float(1 + p % 5), p) for p in range(60)]  # whale
+    rows += [(2, p, 3.0, p) for p in range(3)]
+    df = spark.createDataFrame(rows, "userId int, productId int, score double, ts long")
+    k = 5
+    capped = corating_similarities(df, threshold=-1.0, per_user_cap=k)
+    assert capped.count() <= 2 * k * (k - 1)
+    # user 2's products ⊂ whale's, so distinct pairs = whale's 60·59
+    uncapped = corating_similarities(df, threshold=-1.0, per_user_cap=None)
+    assert uncapped.count() == 60 * 59

@@ -165,3 +165,11 @@ def test_lag_single_window_exchange(spark):
     # one exchange for the window partition + one for the final orderBy
     # (range partitioning); nothing else.
     assert plan.count("Exchange") <= 3, plan
+
+
+def test_set_ops_reuses_cached_distinct_inputs(spark):
+    """f_cust/o_cust each feed two set-op branches (intersect + except);
+    both must come from cached relations so the orders parquet is scanned
+    once per side, not once per branch."""
+    plan = _executed(spark, "set_ops_order_status")
+    assert plan.count("InMemoryTableScan") >= 4  # 2 relations × 2 consumers

@@ -101,6 +101,51 @@ def test_upsert_by_key_replaces(spark, tmp_path):
     assert got == {(1, "a"), (2, "b"), (3, "b")}
 
 
+def _partition_files(path):
+    """{partition dir → {(file, size, mtime_ns)}} for a bucketed table."""
+    out = {}
+    for d in os.listdir(path):
+        full = os.path.join(path, d)
+        if not (os.path.isdir(full) and d.startswith("__bucket=")):
+            continue
+        out[d] = {
+            (f, os.path.getsize(os.path.join(full, f)),
+             os.stat(os.path.join(full, f)).st_mtime_ns)
+            for f in os.listdir(full)
+            if f.endswith(".parquet")
+        }
+    return out
+
+
+def test_upsert_by_key_rewrites_only_touched_partitions(spark, tmp_path):
+    """Incremental-IO contract: a micro-batch rewrites the partitions its
+    keys hash into and leaves every other partition's files byte-for-byte
+    (same names, sizes, mtimes) on disk — per-trigger cost is O(touched),
+    not O(table)."""
+    from myrecommendsystem_spark.streaming.recommender import read_upserted
+
+    path = str(tmp_path / "recs")
+    b1 = spark.createDataFrame(
+        [(u, "a") for u in range(40)], "userId int, payload string"
+    )
+    upsert_by_key(spark, b1, path, num_buckets=8)
+    before = _partition_files(path)
+    assert len(before) > 1  # the layout actually spreads across partitions
+
+    upsert_by_key(
+        spark,
+        spark.createDataFrame([(0, "b")], "userId int, payload string"),
+        path,
+        num_buckets=8,
+    )
+    after = _partition_files(path)
+    changed = [d for d in before if before[d] != after.get(d)]
+    assert len(changed) == 1  # exactly user 0's bucket
+    got = {(r.userId, r.payload) for r in read_upserted(spark, path).collect()}
+    assert got == {(u, "a") for u in range(1, 40)} | {(0, "b")}
+    assert "__bucket" not in read_upserted(spark, path).columns
+
+
 def test_streaming_recommender_end_to_end(spark, tmp_path):
     """File source → foreachBatch cycle → parquet sink, availableNow."""
     src = tmp_path / "events_in"
@@ -245,3 +290,23 @@ def test_dedup_within_watermark_streaming(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("SELECT userId FROM dedup_t").collect()
     assert sorted(r.userId for r in got) == [1, 2, 3]
+
+
+def test_kafka_source_schema_contract(spark, tmp_path):
+    """S7 contract: read_kafka_lines and the file source feed the SAME
+    downstream parse path, so their output schema must be identical —
+    one `value: string` column.  The container has no broker/connector;
+    if the kafka DataSource is unavailable the wiring claim is untestable
+    here and the test skips (the schema pin still guards any environment
+    that does ship the connector)."""
+    from myrecommendsystem_spark.io.readers import read_kafka_lines
+
+    src = tmp_path / "contract_in"
+    src.mkdir()
+    (src / "x.txt").write_text("a\n")
+    file_df = spark.readStream.text(str(src))
+    try:
+        kafka_df = read_kafka_lines(spark, "localhost:9092", "ratings")
+    except Exception as e:  # missing spark-sql-kafka package
+        pytest.skip(f"kafka connector unavailable: {type(e).__name__}")
+    assert kafka_df.schema == file_df.schema

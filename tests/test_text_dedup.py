@@ -272,3 +272,35 @@ def test_language_id_relational_matches_expression(spark):
     }
     assert rel == {0: "en", 1: "es", 2: "de", 3: "und"}
     assert expr == rel
+
+
+def test_simhash_null_text(spark):
+    """NULL text must not crash the Arrow kernel (documents.text is
+    nullable); it fingerprints to 0."""
+    from myrecommendsystem_spark.functions import text as TXT
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "some real text here")],
+        "doc_id int, text string",
+    )
+    got = {r.doc_id: r.fp for r in df.select(
+        "doc_id", TXT.simhash64(F.col("text")).alias("fp")
+    ).collect()}
+    assert got[1] == 0 and got[3] != 0
+    assert got[2] is not None  # "" tokenizes to [""] — defined, no crash
+
+
+def test_near_duplicate_pairs_auto_routes_to_ivf(vectors, monkeypatch):
+    """Above the exact_row_limit the auto method must delegate to the IVF
+    bucketed join — never the driver-collect broadcast-GEMM path."""
+    from myrecommendsystem_spark.operators import similarity as sim_mod
+
+    sentinel = object()
+    monkeypatch.setattr(
+        sim_mod, "near_duplicate_pairs_ivf", lambda df, **kw: sentinel
+    )
+    out = sim_mod.near_duplicate_pairs(vectors, threshold=0.99, exact_row_limit=10)
+    assert out is sentinel  # corpus (40 rows) > limit → IVF, no collect
+    # small corpus still takes the exact path (sentinel NOT returned)
+    exact = sim_mod.near_duplicate_pairs(vectors, threshold=0.99)
+    assert [(r.id_a, r.id_b) for r in exact.collect()] == [(0, 1)]
