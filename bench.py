@@ -76,6 +76,16 @@ def main() -> None:
 
     _r.events_as_ratings(spark, sf_dir).groupBy("productId").count().count()
 
+    # Also warm the Python-worker/Arrow path: the daemon fork + Arrow serde
+    # init otherwise lands entirely on the first Pandas-UDF query (IVF/ALS),
+    # misattributing ~2-4s of one-time session cost to that query's timing.
+    import pandas as _pd
+    from pyspark.sql import functions as _F
+    from pyspark.sql.functions import pandas_udf as _pudf
+
+    _warm = _pudf(lambda s: s + 0, "long")
+    spark.range(0, 1000, 1, 8).select(_F.sum(_warm("id"))).count()
+
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()

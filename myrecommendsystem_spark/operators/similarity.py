@@ -183,9 +183,11 @@ def near_duplicate_pairs_ivf(
     :func:`near_duplicate_pairs` so the two are drop-in comparable.
     """
     centroids = fit_ivf_centroids(df, n_cells, id_col, vec_col, seed)
-    # both self-join sides consume the assignment — persist so the
-    # normalize+probe Arrow pass runs once, not twice
+    # Both self-join sides consume the assignment.  A lazy persist lets the
+    # two scans race (each computing the Arrow kernel); materialize eagerly
+    # so the normalize+probe pass runs exactly once.
     assigned = ivf_assign(df, centroids, id_col, vec_col, nprobe=nprobe).persist()
+    assigned.count()
     a = assigned.withColumnsRenamed({"id": "id_a", "unit": "ua"})
     b = assigned.withColumnsRenamed({"id": "id_b", "unit": "ub"})
     return (
@@ -208,8 +210,8 @@ def fit_ivf_centroids(
     vec_col: str = "embedding",
     seed: int = 42,
     max_train: int = 100_000,
-) -> DataFrame:
-    """Coarse quantizer → (cell_id, centroid array<double>).
+) -> np.ndarray:
+    """Coarse quantizer → (n_cells, d) float64 unit-space centroid matrix.
 
     Trained the way production IVF indexes train (faiss-style): on a
     BOUNDED deterministic subsample (≤ ``max_train`` rows, hash-keyed so
@@ -217,16 +219,23 @@ def fit_ivf_centroids(
     iterations in numpy on the driver.  The sample cap makes this O(1) in
     corpus size — at 100 TB the quantizer still trains on ≤100k vectors
     while ASSIGNMENT (:func:`ivf_assign`) stays fully distributed.
-    Replaces a distributed MLlib KMeans fit that spent ~10 s of job-
-    scheduling overhead per bench run on data that fits in one task.
+
+    RAW vectors are collected and normalized in numpy: routing the sample
+    through ``as_unit_vectors`` first cost ~1.2 s per pass at 2k×64 —
+    Spark evaluates higher-order array lambdas interpreted per element —
+    and the quantizer needs no Spark-side normalization at all.  Returns
+    the bare matrix (kernel-closure state for :func:`ivf_assign`), not a
+    DataFrame: the fit is driver-local, a round-trip through
+    ``createDataFrame`` + re-collect added two more jobs for nothing.
     """
-    u = as_unit_vectors(df, id_col, vec_col)
-    n = u.count()
+    raw = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    n = raw.count()
     if n > max_train:
         from myrecommendsystem_spark.operators.sampling import sample_fraction
 
-        u = sample_fraction(u, "id", max_train / n, salt="ivf")
-    mat = np.array([r.unit for r in u.collect()], dtype=np.float64)
+        raw = sample_fraction(raw, "id", max_train / n, salt="ivf")
+    mat = np.array([r.vec for r in raw.collect()], dtype=np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
 
     rng = np.random.RandomState(seed)
     # k-means++ init
@@ -238,8 +247,8 @@ def fit_ivf_centroids(
         probs = d2 / d2.sum() if d2.sum() > 0 else None
         centers.append(mat[rng.choice(len(mat), p=probs)])
     cent = np.array(centers)
-    for _ in range(20):  # Lloyd
-        assign = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    for _ in range(20):  # Lloyd — unit vectors, so argmin ||x-c||² = argmax x·c
+        assign = (mat @ cent.T).argmax(axis=1)
         new = np.array(
             [
                 mat[assign == c].mean(axis=0) if (assign == c).any() else cent[c]
@@ -250,40 +259,12 @@ def fit_ivf_centroids(
             cent = new
             break
         cent = new
-
-    spark = df.sparkSession
-    rows = [(i, [float(x) for x in c]) for i, c in enumerate(cent)]
-    return spark.createDataFrame(rows, "cell_id INT, centroid ARRAY<DOUBLE>")
-
-
-def _probe_cells(centroids: DataFrame, nprobe: int) -> Column:
-    """array<int> of the ``nprobe`` nearest cell ids for a ``unit`` column.
-
-    The centroid table is tiny (n_cells × d) and fixed for the query, so
-    it rides into the Arrow kernel as a closure matrix — each batch is
-    one (B, d) @ (d, C) matmul + argsort, no per-element interpretation
-    and no join.  Ties break on cell_id ascending (argsort stability).
-    """
-    cmat = np.array(
-        [r.centroid for r in centroids.orderBy("cell_id").collect()],
-        dtype=np.float64,
-    ).T  # (d, C)
-
-    @pandas_udf("array<int>")
-    def _k(units: pd.Series) -> pd.Series:
-        m = np.array(list(units), dtype=np.float64)  # (B, d)
-        top = np.argsort(-(m @ cmat), axis=1, kind="stable")[:, :nprobe]
-        return pd.Series(list(top.astype(np.int32)))
-
-    def col(unit: Column) -> Column:
-        return _k(unit)
-
-    return col
+    return cent
 
 
 def ivf_assign(
     df: DataFrame,
-    centroids: DataFrame,
+    centroids: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nprobe: int = 1,
@@ -291,16 +272,35 @@ def ivf_assign(
     """Assign each vector to its ``nprobe`` nearest centroids:
     (id, cell_id, unit) — one row per probed cell.
 
-    One narrow Arrow pass over the corpus (no shuffle, no join): the
-    centroid matrix is kernel-closure state, scoring is a batch matmul.
-    ``nprobe=1`` is plain IVF assignment; >1 is the multi-probe form the
-    near-dup self-join uses.
+    One narrow FUSED Arrow pass over the corpus (no shuffle, no join):
+    each batch is normalized and probed by a single numpy kernel — the
+    (C, d) centroid matrix is closure state, scoring one (B, d) @ (d, C)
+    matmul + argsort.  Fused because a separate ``as_unit_vectors`` step
+    evaluates interpreted array lambdas per element (~1.2 s per pass at
+    just 2k×64 — the dominant cost of the whole IVF query before fusion).
+    Ties break on cell_id ascending (argsort stability).
     """
-    u = as_unit_vectors(df, id_col, vec_col)
-    probe = _probe_cells(centroids, nprobe)
-    return u.select(
-        "id", "unit", F.explode(probe(F.col("unit"))).alias("cell_id")
-    )
+    cmat = np.ascontiguousarray(centroids.T)  # (d, C)
+
+    def kernel(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            m = np.array(list(pdf["vec"]), dtype=np.float64)  # (B, d)
+            if len(m) == 0:
+                continue
+            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            top = np.argsort(-(m @ cmat), axis=1, kind="stable")[:, :nprobe]
+            rep = np.repeat(np.arange(len(ids)), nprobe)
+            yield pd.DataFrame(
+                {
+                    "id": ids[rep],
+                    "unit": [m[i].tolist() for i in rep],
+                    "cell_id": top.reshape(-1).astype(np.int32),
+                }
+            )
+
+    raw = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    return raw.mapInPandas(kernel, "id long, unit array<double>, cell_id int")
 
 
 def ivf_topk(
@@ -319,18 +319,14 @@ def ivf_topk(
     two are drop-in comparable (recall measured in tests).
     """
     centroids = fit_ivf_centroids(corpus, n_cells, id_col, vec_col, seed)
-    assigned = ivf_assign(corpus, centroids, id_col, vec_col).withColumnsRenamed(
-        {"id": "vec_id", "unit": "cu"}
-    )
+    assigned = ivf_assign(
+        corpus, centroids, id_col, vec_col, nprobe=1
+    ).withColumnsRenamed({"id": "vec_id", "unit": "cu"})
 
-    qu = as_unit_vectors(queries, id_col, vec_col).withColumnsRenamed(
-        {"id": "query_id", "unit": "qu"}
-    )
-    # nprobe nearest cells per query — same Arrow kernel as the corpus side
-    probe = _probe_cells(centroids, nprobe)
-    q_cells = qu.select(
-        "query_id", "qu", F.explode(probe(F.col("qu"))).alias("cell_id")
-    )
+    # nprobe nearest cells per query — same fused Arrow kernel as the corpus
+    q_cells = ivf_assign(
+        queries, centroids, id_col, vec_col, nprobe=nprobe
+    ).withColumnsRenamed({"id": "query_id", "unit": "qu"})
     scored = (
         assigned.join(F.broadcast(q_cells), "cell_id")
         .filter(F.col("vec_id") != F.col("query_id"))
