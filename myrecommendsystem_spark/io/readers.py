@@ -13,7 +13,7 @@ data (one less job, and stable types at 100 TB).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from myrecommendsystem_spark import schemas
 
@@ -102,6 +102,33 @@ def read_ratings_csv(spark: SparkSession, path: str) -> DataFrame:
     with explicit schema (no inference job).
     """
     return spark.read.csv(path, sep=",", schema=schemas.RATING)
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType | str
+) -> DataFrame:
+    """Read newline-delimited JSON with an EXPLICIT schema.
+
+    Schema is mandatory by design: ``spark.read.json`` without one runs a
+    full inference pass over the data — an extra scan that at 100 TB costs
+    as much as the query itself, and whose inferred types can drift between
+    runs (a column that happens to hold only integers today infers long,
+    tomorrow double).  Permissive mode keeps corrupt lines as nulls instead
+    of failing the scan.
+    """
+    ensure_engine_confs(spark)
+    return spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Read an ORC file/directory — columnar like parquet, same pushdown.
+
+    ORC carries its schema, so no explicit schema needed; Catalyst gets
+    predicate pushdown + column pruning exactly as with parquet (both are
+    tested in tests/test_io_formats.py via the round-trip plan check).
+    """
+    ensure_engine_confs(spark)
+    return spark.read.orc(path)
 
 
 def read_kafka_lines(

@@ -19,6 +19,7 @@ def write_overwrite(
     path: str,
     partition_by: Sequence[str] | None = None,
     sort_by: Sequence[str] | None = None,
+    fmt: str = "parquet",
 ) -> None:
     """Overwrite ``path`` with ``df``; optional partitioning/clustering.
 
@@ -26,13 +27,18 @@ def write_overwrite(
     the key column (DataLoader.scala:93-95): queries filtering on the
     partition column get partition pruning.  ``sort_by`` clusters rows
     within files so min/max parquet stats become selective.
+
+    ``fmt``: ``parquet`` (default) or ``orc`` keep columnar stats +
+    pushdown; ``json`` (newline-delimited) and ``csv`` are interchange
+    sinks — row-oriented, no stats, strictly for handoff to systems that
+    can't read columnar.  Partitioning/sorting applies to all formats.
     """
     if sort_by:
         df = df.sortWithinPartitions(*sort_by)
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(path)
+    writer.format(fmt).save(path)
 
 
 def write_bucketed_table(

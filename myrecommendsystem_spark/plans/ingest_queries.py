@@ -27,6 +27,7 @@ from myrecommendsystem_spark.plans.registry import register
 _FIXTURE_DIR = Path(__file__).resolve().parents[2] / "fixtures"
 PRODUCTS_CSV = str(_FIXTURE_DIR / "products_ref.csv")
 RATINGS_CSV = str(_FIXTURE_DIR / "ratings_ref.csv")
+RATINGS_JSONL = str(_FIXTURE_DIR / "ratings_ref.jsonl")
 
 
 @register(
@@ -76,4 +77,34 @@ def ingest_ratings_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         readers.read_ratings_csv(spark, RATINGS_CSV)
         .withColumnRenamed("timestamp", "ts_sec")
         .orderBy("ts_sec")
+    )
+
+
+@register(
+    "ingest_ratings_jsonl",
+    f"""
+SELECT userId, productId, score, ts_sec,
+       CAST(COUNT(*) OVER (PARTITION BY userId) AS BIGINT) AS user_n
+FROM read_json('{RATINGS_JSONL}', format='newline_delimited',
+               columns={{'userId':'INTEGER','productId':'INTEGER',
+                         'score':'DOUBLE','ts_sec':'INTEGER'}})
+ORDER BY ts_sec, userId
+""",
+    doc="JSON-lines ingestion with an explicit schema (no inference scan — "
+    "a second full pass at 100 TB) plus a per-user window count proving the "
+    "parsed relation composes with downstream operators; both engines parse "
+    "the same fixture bytes",
+    defer=True,
+)
+def ingest_ratings_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window, functions as F2
+
+    df = readers.read_jsonl(
+        spark,
+        RATINGS_JSONL,
+        "userId INT, productId INT, score DOUBLE, ts_sec INT",
+    )
+    w = Window.partitionBy("userId")
+    return df.withColumn("user_n", F2.count("*").over(w)).orderBy(
+        "ts_sec", "userId"
     )
