@@ -42,6 +42,10 @@ HEADLINE: tuple[str, ...] = (
     "outer_join_custdist",
     "set_ops_order_status",
     "events_lag_delta",
+    # correlated-subquery / decorrelation shapes (round-2 extensions)
+    "q4_order_priority_exists",
+    "q18_large_volume_customers",
+    "q21_late_exclusive_suppliers",
     # LLM-data-pipeline: dedup / ANN / text / multimodal
     "doc_token_counts",
     "dedup_minhash_pairs",

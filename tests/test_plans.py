@@ -173,3 +173,45 @@ def test_set_ops_reuses_cached_distinct_inputs(spark):
     once per side, not once per branch."""
     plan = _executed(spark, "set_ops_order_status")
     assert plan.count("InMemoryTableScan") >= 4  # 2 relations × 2 consumers
+
+
+def test_exists_shapes_lower_to_hash_semi_anti(spark):
+    """Q4/Q21 shapes: correlated EXISTS/NOT EXISTS must be hash semi/anti
+    joins with the non-equi conjunct as a join residual — a nested-loop
+    fallback would turn the fact self-pairing O(n²) at scale."""
+    plan = _executed(spark, "q4_order_priority_exists")
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+    plan = _executed(spark, "q21_late_exclusive_suppliers")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "Python" not in plan
+
+
+def test_q17_decorrelates_to_agg_join_not_window(spark):
+    """Correlated scalar AVG per part: partial-agg + equi join back on the
+    key.  No window sort over the fact, no nested loop, map-side combine
+    on the per-part aggregate."""
+    plan = _executed(spark, "q17_small_quantity_revenue")
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "partial_avg" in plan
+
+
+def test_q22_scalar_subquery_is_broadcast_not_collect(spark):
+    """The global-average cutoff must ride a 1-row broadcast join; the anti
+    join on custkey must be a hash join."""
+    plan = _executed(spark, "q22_idle_rich_customers")
+    assert "BroadcastExchange" in plan
+    assert "LeftAnti" in plan
+    assert "CollectLimit" not in plan and "Python" not in plan
+
+
+def test_cube_single_expand_pass(spark):
+    """CUBE(flag, status) = one Expand + partial/final HashAggregate over
+    ONE scan of the fact — not four scans unioned."""
+    plan = _executed(spark, "cube_lineitem_status")
+    assert plan.count("Expand") == 1
+    assert plan.count("FileScan") == 1
+    assert plan.count("HashAggregate") >= 2
