@@ -347,3 +347,56 @@ def events_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "cnt",
     )
+
+
+@register(
+    "events_view_purchase_attrib",
+    f"""
+SELECT v.event_id AS view_id, v.user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       {sql_round_stable('SUM(p.value)', 4)} AS purchase_value
+FROM events v
+JOIN events p
+  ON p.user_id = v.user_id
+ AND p.event_type = 'purchase'
+ AND p.ts >= v.ts
+ AND p.ts <= v.ts + INTERVAL 30 MINUTE
+WHERE v.event_type = 'view'
+GROUP BY view_id, v.user_id
+ORDER BY view_id
+""",
+    doc="Engine extension (SURVEY.md §2.9 'absent' list): interval-join "
+    "attribution — purchases within 30 minutes after each view by the same "
+    "user.  Batch twin of streaming/joins.py::interval_join (identical "
+    "plan; watermarks are batch no-ops): equi hash join on user_id with "
+    "the time range as join residual, then partial/final count-sum.  In "
+    "streaming mode the watermark+interval bound evicts join state, "
+    "keeping it O(horizon) instead of O(stream lifetime)",
+    defer=True,
+)
+def events_view_purchase_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myrecommendsystem_spark.streaming.joins import interval_join
+
+    events = readers.load_table(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_val"),
+    )
+    joined = interval_join(
+        views, purchases, key="user_id", left_ts="view_ts",
+        right_ts="purchase_ts", upper="30 minutes",
+    )
+    return (
+        joined.groupBy("view_id", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            round_stable(F.sum("purchase_val"), 4).alias("purchase_value"),
+        )
+        .orderBy("view_id")
+    )

@@ -310,3 +310,57 @@ def test_kafka_source_schema_contract(spark, tmp_path):
     except Exception as e:  # missing spark-sql-kafka package
         pytest.skip(f"kafka connector unavailable: {type(e).__name__}")
     assert kafka_df.schema == file_df.schema
+
+
+def test_interval_join_streaming(spark, tmp_path):
+    """Stream-stream interval join: purchases within 30 min after a view by
+    the same user, both sides watermarked.  The streamed result must equal
+    the batch execution of the identical plan (the oracle-gated twin)."""
+    from myrecommendsystem_spark.streaming.joins import interval_join
+
+    vdir, pdir = tmp_path / "views", tmp_path / "purch"
+    vdir.mkdir(); pdir.mkdir()
+    views = [
+        (100, 1, "2024-01-01 10:00:00"),
+        (101, 1, "2024-01-01 12:00:00"),
+        (102, 2, "2024-01-01 10:05:00"),
+    ]
+    purchases = [
+        (1, "2024-01-01 10:10:00", 5.0),   # within 30m of view 100
+        (1, "2024-01-01 10:29:59", 7.0),   # boundary: still within view 100
+        (1, "2024-01-01 12:31:00", 9.0),   # beyond 30m of view 101 → no match
+        (2, "2024-01-01 10:04:00", 3.0),   # before view 102 → no match
+    ]
+    with open(vdir / "v.json", "w") as f:
+        for vid, uid, ts in views:
+            f.write(json.dumps({"view_id": vid, "user_id": uid, "view_ts": ts}) + "\n")
+    with open(pdir / "p.json", "w") as f:
+        for uid, ts, val in purchases:
+            f.write(json.dumps({"user_id": uid, "purchase_ts": ts, "purchase_val": val}) + "\n")
+
+    vstream = (
+        spark.readStream.schema("view_id int, user_id int, view_ts string")
+        .json(str(vdir))
+        .withColumn("view_ts", F.to_timestamp("view_ts"))
+    )
+    pstream = (
+        spark.readStream.schema("user_id int, purchase_ts string, purchase_val double")
+        .json(str(pdir))
+        .withColumn("purchase_ts", F.to_timestamp("purchase_ts"))
+    )
+    q = (
+        interval_join(vstream, pstream, key="user_id",
+                      left_ts="view_ts", right_ts="purchase_ts")
+        .select("view_id", "purchase_val")
+        .writeStream.format("memory")
+        .queryName("ij_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.view_id, r.purchase_val)
+        for r in spark.sql("SELECT view_id, purchase_val FROM ij_t").collect()
+    )
+    assert got == [(100, 5.0), (100, 7.0)]
