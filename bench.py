@@ -87,8 +87,13 @@ def main() -> None:
     from pyspark.sql import functions as _F
     from pyspark.sql.functions import pandas_udf as _pudf
 
+    # span every task slot so each of the local[N] cores forks its Python
+    # worker during warmup, not inside the first wide kernel query
     _warm = _pudf(lambda s: s + 0, "long")
-    spark.range(0, 1000, 1, 8).select(_F.sum(_warm("id"))).count()
+    n_slots = spark.sparkContext.defaultParallelism
+    spark.range(0, 100 * n_slots, 1, n_slots).select(
+        _F.sum(_warm("id"))
+    ).count()
 
     timings: dict[str, float] = {}
     for name in names:

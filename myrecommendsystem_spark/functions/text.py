@@ -339,6 +339,47 @@ def minhash_band_hashes(
     return _bands(text)
 
 
+def minhash_bands_and_shingles(
+    text: Column, k: int = 64, n: int = 3, bands: int = 16
+) -> Column:
+    """``struct<bands: array<long>, sh: array<long>>`` in ONE Arrow pass.
+
+    The near-dup pipeline needs both the banded LSH keys (candidate
+    generation) and the raw shingle hashes (exact-Jaccard verify).
+    Computing them separately ran TWO full Python passes over every doc —
+    each re-tokenizing and re-hashing the text from scratch; this kernel
+    shares the shingle-hash array between both outputs, halving the
+    dominant cost of the whole dedup pipeline (the signature kernel).
+    Band values are identical to :func:`minhash_band_hashes`, shingle
+    hashes to :func:`shingle_hashes` — pinned by test_text_dedup.
+    """
+    assert k % bands == 0
+    r = k // bands
+    a, b = _affine_params(k, _MINHASH_SEED)
+    _MIX_A = np.int64(6364136223846793005)
+    _MIX_B = np.int64(1442695040888963407)
+    band_ids = np.arange(bands, dtype=np.int64)
+
+    @pandas_udf("struct<bands: array<long>, sh: array<long>>")
+    def _both(texts: pd.Series) -> pd.DataFrame:
+        out_b, out_s = [], []
+        for t in texts:
+            hv = _shingle_hashes_py(t or "", n)
+            if hv.size == 0:
+                sig = np.full(k, np.iinfo(np.int64).max, dtype=np.int64)
+            else:
+                sig = (hv[None, :] * a[:, None] + b[:, None]).min(axis=1)
+            rows = sig.reshape(bands, r)
+            acc = np.full(bands, _MIX_B, dtype=np.int64)
+            for j in range(r):
+                acc = acc * _MIX_A + rows[:, j] + _MIX_B
+            out_b.append(acc * _MIX_A + band_ids)
+            out_s.append(hv)
+        return pd.DataFrame({"bands": out_b, "sh": out_s})
+
+    return _both(text)
+
+
 def simhash64(text: Column) -> Column:
     """64-bit SimHash fingerprint packed into ONE BIGINT.
 

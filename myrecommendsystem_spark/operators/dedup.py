@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from myrecommendsystem_spark.functions import text as TXT
+from myrecommendsystem_spark.operators.parallelism import widen_for_kernel
 
 
 def exact_duplicates(
@@ -74,7 +75,7 @@ def minhash_candidate_pairs(
     quadratic on 100 TB.  Dropped buckets are pairs we *choose* not to
     compare; exact-dup pass already caught identical texts.
     """
-    banded = df.select(
+    banded = widen_for_kernel(df).select(
         F.col(id_col).alias("id"),
         F.posexplode(
             TXT.minhash_band_hashes(F.col(text_col), num_hashes, shingle_n, bands)
@@ -86,16 +87,21 @@ def minhash_candidate_pairs(
     # — at 10⁹ docs this still fits a cluster's aggregate storage memory,
     # and MEMORY_AND_DISK degrades gracefully if not.
     banded = banded.persist()
-    # skew guard: cap bucket size
+    return _candidates_from_banded(banded, max_bucket)
+
+
+def _candidates_from_banded(banded: DataFrame, max_bucket: int) -> DataFrame:
+    """(id, band_idx, band_hash) → distinct candidate pairs (id_a < id_b),
+    self-joined within buckets only, degenerate buckets dropped."""
     bucket_sizes = banded.groupBy("band_idx", "band_hash").agg(
         F.count("*").alias("bucket_n")
     )
-    banded = banded.join(
+    capped = banded.join(
         bucket_sizes.filter(F.col("bucket_n") <= max_bucket),
         ["band_idx", "band_hash"],
     )
-    a = banded.select("band_idx", "band_hash", F.col("id").alias("id_a"))
-    b = banded.select("band_idx", "band_hash", F.col("id").alias("id_b"))
+    a = capped.select("band_idx", "band_hash", F.col("id").alias("id_a"))
+    b = capped.select("band_idx", "band_hash", F.col("id").alias("id_b"))
     return (
         a.join(b, ["band_idx", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
@@ -119,14 +125,28 @@ def minhash_near_duplicates(
     join ships shingle-hash sets only for candidate ids — at scale that is
     the small side and broadcasts; intersecting int64 arrays instead of
     strings keeps the verify cheap.
+
+    One FUSED signature pass: band keys (candidate generation) and shingle
+    hashes (verify) come from a single Arrow kernel over each doc
+    (``minhash_bands_and_shingles``), persisted and materialized eagerly so
+    every downstream consumer — the bucket-size aggregate, both self-join
+    sides, and both verify sides — reads the cache instead of racing to
+    recompute the kernel.  Before fusion the pipeline tokenized and hashed
+    every doc twice (band pass + shingle pass), which was the measured
+    majority of its sf0.1 wall time.
     """
-    cands = minhash_candidate_pairs(
-        df, id_col, text_col, shingle_n, num_hashes, bands
-    )
-    sh = df.select(
+    sigs = widen_for_kernel(df).select(
         F.col(id_col).alias("id"),
-        TXT.shingle_hashes(F.col(text_col), shingle_n).alias("sh"),
-    ).persist()  # consumed by both join sides — don't re-shingle twice
+        TXT.minhash_bands_and_shingles(
+            F.col(text_col), num_hashes, shingle_n, bands
+        ).alias("s"),
+    ).persist()
+    sigs.count()  # eager: the one Arrow pass runs exactly once
+    banded = sigs.select(
+        "id", F.posexplode("s.bands").alias("band_idx", "band_hash")
+    )
+    cands = _candidates_from_banded(banded, max_bucket=1000)
+    sh = sigs.select("id", F.col("s.sh").alias("sh"))
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     joined = cands.join(a, "id_a").join(b, "id_b")
@@ -249,7 +269,7 @@ def ngram_jaccard_dedup_pairs(
     rather than best-effort.  One shuffle on the shingle string, one on
     the (id_a, id_b) pair key; both well-distributed after the cap.
     """
-    sh = df.select(
+    sh = widen_for_kernel(df).select(
         F.col(id_col).alias("id"),
         F.explode(TXT.shingles(F.col(text_col), shingle_n)).alias("s"),
     )
@@ -333,7 +353,7 @@ def simhash_near_duplicates(
     """
     bits_per_band = 64 // bands
     mask = (1 << bits_per_band) - 1
-    fp = df.select(
+    fp = widen_for_kernel(df).select(
         F.col(id_col).alias("id"),
         TXT.simhash64(F.col(text_col)).alias("fp"),
     )

@@ -32,6 +32,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.column import Column
 
 from myrecommendsystem_spark.functions.compat import round_stable
+from myrecommendsystem_spark.operators.parallelism import widen_for_kernel
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -77,9 +78,9 @@ def brute_force_topk(
     by corpus id for determinism.  Excludes self-matches when a query id
     also appears in the corpus.
     """
-    c = as_unit_vectors(corpus, id_col, vec_col).withColumnsRenamed(
-        {"id": "vec_id", "unit": "cu"}
-    )
+    c = as_unit_vectors(
+        widen_for_kernel(corpus), id_col, vec_col
+    ).withColumnsRenamed({"id": "vec_id", "unit": "cu"})
     q = as_unit_vectors(queries, id_col, vec_col).withColumnsRenamed(
         {"id": "query_id", "unit": "qu"}
     )
@@ -135,7 +136,7 @@ def near_duplicate_pairs(
             df, threshold=threshold, id_col=id_col, vec_col=vec_col
         )
 
-    u = as_unit_vectors(df, id_col, vec_col)
+    u = as_unit_vectors(widen_for_kernel(df), id_col, vec_col)
     rows = u.collect()  # corpus side must fit the driver — see docstring
     ids = np.array([r.id for r in rows], dtype=np.int64)
     mat = np.array([r.unit for r in rows], dtype=np.float64)
@@ -299,6 +300,11 @@ def ivf_assign(
                 }
             )
 
+    # NOT widened: the batch-matmul kernel costs ~µs/row, so fanning a
+    # small input out to defaultParallelism loses more to the repartition
+    # shuffle + per-partition Python worker spin-up than the kernel takes
+    # (measured 1.4 s → 6 s at 2k vectors).  At scale the corpus arrives
+    # already-wide from the scan; tiny inputs are fastest narrow.
     raw = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     return raw.mapInPandas(kernel, "id long, unit array<double>, cell_id int")
 

@@ -304,3 +304,24 @@ def test_near_duplicate_pairs_auto_routes_to_ivf(vectors, monkeypatch):
     # small corpus still takes the exact path (sentinel NOT returned)
     exact = sim_mod.near_duplicate_pairs(vectors, threshold=0.99)
     assert [(r.id_a, r.id_b) for r in exact.collect()] == [(0, 1)]
+
+
+def test_fused_bands_and_shingles_matches_separate_kernels(spark, sf_dir):
+    """The fused struct kernel must reproduce minhash_band_hashes and
+    shingle_hashes exactly — the near-dup pipeline's semantics may not
+    drift when the fusion changes the execution shape."""
+    from myrecommendsystem_spark.functions import text as TXT
+    from myrecommendsystem_spark.io import readers
+
+    docs = readers.load_table(spark, sf_dir, "documents").limit(50)
+    fused = docs.select(
+        "doc_id", TXT.minhash_bands_and_shingles(F.col("text")).alias("s")
+    ).collect()
+    sep = docs.select(
+        "doc_id",
+        TXT.minhash_band_hashes(F.col("text")).alias("bands"),
+        TXT.shingle_hashes(F.col("text")).alias("sh"),
+    ).collect()
+    f = {r.doc_id: (list(r.s.bands), sorted(r.s.sh)) for r in fused}
+    s = {r.doc_id: (list(r.bands), sorted(r.sh)) for r in sep}
+    assert f == s
