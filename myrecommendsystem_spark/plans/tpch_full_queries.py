@@ -1,0 +1,775 @@
+"""Remaining TPC-H query shapes (Q2/Q6/Q7/Q8/Q9/Q10/Q11/Q12/Q14/Q15/Q16/
+Q19/Q20 adaptations) — completes the classic warehouse surface.
+
+With these, every TPC-H query shape is covered: Q1/Q3/Q4/Q5/Q13/Q17/Q18/
+Q21/Q22 landed in earlier modules (tpch_queries, subquery_queries;
+Q13 = outer_join_custdist).  The testdata schema is TPC-H-reduced — no
+partsupp table, no l_shipmode/l_commitdate/l_receiptdate, no p_container —
+so queries needing those are ADAPTED: the join/subquery/aggregation SHAPE
+(what the optimizer must do) is preserved, the missing column is replaced
+by a semantically-similar one that exists (adaptations documented
+per-query).  The DuckDB oracles keep the classic spelling (CTEs, IN/NOT
+IN, scalar subqueries) so both engines must agree after their own
+decorrelation.
+
+Scale notes common to all: dims (part/supplier/customer/nation/region)
+broadcast — at 100 TB the lineitem fact dominates and must never be on
+the build side; every aggregate is partial-aggregatable (map-side
+combine); date/brand/size filters sit directly on scan columns so they
+push to parquet.  Floating-point determinism: outputs round via
+round_stable; internal comparisons (Q2's min-cost equality) compare only
+order-independent aggregates (MIN of identical per-row IEEE divisions),
+never cross-engine SUM tails.
+
+All registered ``defer=True`` (registry tier 2): full DuckDB oracles,
+replayed by tests/test_registry_oracle.py at the driver's scale, behind
+the round-1-verified prefix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from myrecommendsystem_spark.functions.compat import round_stable, sql_round_stable
+from myrecommendsystem_spark.io import readers
+from myrecommendsystem_spark.plans.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return readers.load_table(spark, sf_dir, name)
+
+
+@register(
+    "q6_revenue_forecast",
+    f"""
+SELECT {sql_round_stable('SUM(l_extendedprice * l_discount)', 2)} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    doc="TPC-H Q6: pure scan-side conjunctive filter + global agg.  The "
+    "whole WHERE clause pushes to the parquet scan (date + two numeric "
+    "ranges are all plain column comparisons); the agg is a single "
+    "partial/final sum — the cheapest possible shape, and the benchmark's "
+    "canonical test that predicate pushdown actually happens",
+    defer=True,
+)
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            round_stable(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "q7_volume_shipping",
+    f"""
+SELECT supp_nation, cust_nation, l_year, {sql_round_stable('SUM(volume)', 2)} AS revenue
+FROM (
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS INTEGER) AS l_year,
+           l.l_extendedprice * (1 - l.l_discount) AS volume
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+    doc="TPC-H Q7: bidirectional nation-pair volume by ship year.  Both "
+    "nation dims broadcast; the disjunctive nation-pair predicate is a "
+    "post-join residual on two broadcast-joined columns (cheap), while "
+    "lineitem→orders is the one real shuffle.  year() is a codegen "
+    "expression, not a UDF",
+    defer=True,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    rev = (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair | rev)
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(round_stable(F.sum("volume"), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "q8_market_share",
+    f"""
+SELECT o_year,
+       {sql_round_stable(
+           "SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END) / SUM(volume)",
+           4,
+       )} AS mkt_share
+FROM (
+    SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+           l.l_extendedprice * (1 - l.l_discount) AS volume,
+           n1.n_name AS supp_nation
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n2.n_regionkey
+    WHERE r.r_name = 'EUROPE' AND p.p_type = 'PROMO'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+""",
+    doc="TPC-H Q8: market-share ratio via conditional aggregation — ONE "
+    "pass computes both numerator (CASE WHEN) and denominator, never two "
+    "scans.  7-way join: part filter broadcasts and prunes lineitem "
+    "first (most selective), then orders (shuffle), then all-broadcast "
+    "dims.  Ratio rounded to 4 places (sum tails are engine-dependent; "
+    "the quotient is stable)",
+    defer=True,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey")
+    )
+    region = (
+        _t(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "EUROPE")
+        .select("r_regionkey")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    in_nation = F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .select(F.year("o_orderdate").alias("o_year"), vol.alias("volume"), "supp_nation")
+        .groupBy("o_year")
+        .agg(
+            round_stable(F.sum(in_nation) / F.sum("volume"), 4).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q9_product_profit",
+    f"""
+SELECT nation, o_year, {sql_round_stable('SUM(amount)', 2)} AS sum_profit
+FROM (
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+           l.l_extendedprice * (1 - l.l_discount)
+             - 0.5 * p.p_retailprice * l.l_quantity AS amount
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%red%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+""",
+    doc="TPC-H Q9 adapted: no partsupp/ps_supplycost in testdata → unit "
+    "cost proxied by 0.5·p_retailprice (shape preserved: LIKE-filtered "
+    "part dim broadcast, profit expression over fact×dim columns, "
+    "two-key agg).  The LIKE '%red%' is a non-prefix contains — not "
+    "pushable to parquet, but evaluated on the broadcast-small part dim, "
+    "not the fact",
+    defer=True,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount",
+        "l_quantity",
+    )
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("red"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    nation = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "nation", F.year("o_orderdate").alias("o_year"), amount.alias("amount")
+        )
+        .groupBy("nation", "o_year")
+        .agg(round_stable(F.sum("amount"), 2).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@register(
+    "q10_returned_items",
+    f"""
+SELECT c_custkey, c_name, revenue, c_acctbal, n_name
+FROM (
+    SELECT c.c_custkey, c.c_name,
+           {sql_round_stable('SUM(l.l_extendedprice * (1 - l.l_discount))', 2)} AS revenue,
+           c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-07-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+) g
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+    doc="TPC-H Q10: top-20 customers by returned-item revenue.  Global "
+    "top-k over an aggregate → TakeOrderedAndProject (never a full sort); "
+    "ORDER BY uses the ROUNDED revenue with c_custkey tiebreak so the "
+    "top-20 cut is deterministic across engines (raw double sums differ "
+    "in the last ulp between summation orders)",
+    defer=True,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    customer = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            round_stable(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q11_important_parts",
+    f"""
+WITH val AS (
+    SELECT l.l_partkey AS partkey,
+           SUM(l.l_extendedprice * (1 - l.l_discount)) AS v
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_5'
+    GROUP BY l.l_partkey
+)
+SELECT partkey, {sql_round_stable('v', 2)} AS part_value
+FROM val
+WHERE v > (SELECT SUM(v) * 0.005 FROM val)
+ORDER BY part_value DESC, partkey
+""",
+    doc="TPC-H Q11 adapted: no partsupp → per-part 'stock value' proxied "
+    "by one-nation lineitem revenue (shape preserved: grouped agg "
+    "compared against an uncorrelated scalar fraction of ITS OWN total). "
+    "Spark plan: the val aggregate computes once and is reused for both "
+    "the global sum (1-row broadcast cross join) and the filter — a "
+    "cached self-referential CTE, never two scans of the fact",
+    defer=True,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_name") == "NATION_5")
+        .select("n_nationkey")
+    )
+    val = (
+        li.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("v")
+        )
+    ).persist()  # consumed twice: global-sum side and filter side
+    cut = val.agg((F.sum("v") * F.lit(0.005)).alias("cut"))
+    return (
+        val.crossJoin(F.broadcast(cut))
+        .filter(F.col("v") > F.col("cut"))
+        .select("partkey", round_stable(F.col("v"), 2).alias("part_value"))
+        .orderBy(F.col("part_value").desc(), "partkey")
+    )
+
+
+@register(
+    "q12_priority_linestatus",
+    """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 30 DAY
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+""",
+    doc="TPC-H Q12 adapted: no l_shipmode/l_commitdate → grouped by "
+    "l_linestatus with 'late' = shipped ≥30 days after order (shape "
+    "preserved: join + dual conditional counts in one aggregate pass). "
+    "The date-range conjuncts push to the lineitem scan; the "
+    "late-shipment comparison is a join residual",
+    defer=True,
+)
+def q12_priority_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_shipdate", "l_linestatus")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            orders,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "q14_promo_effect",
+    f"""
+SELECT {sql_round_stable(
+        "100.0 * SUM(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) "
+        "ELSE 0 END) / SUM(l_extendedprice * (1 - l_discount))",
+        4,
+    )} AS promo_revenue
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+  AND l.l_shipdate < TIMESTAMP '1997-10-01'
+""",
+    doc="TPC-H Q14: promo revenue share — conditional-aggregate ratio in "
+    "one pass (p_type carried through a broadcast join of the part dim; "
+    "p_type = 'PROMO' replaces LIKE 'PROMO%' — the testdata p_type domain "
+    "is single-word).  Month filter pushes to the lineitem scan",
+    defer=True,
+)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            round_stable(
+                F.lit(100.0) * F.sum(promo) / F.sum(rev), 4
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@register(
+    "q15_top_supplier",
+    f"""
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l_shipdate < TIMESTAMP '1998-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, {sql_round_stable('r.total_revenue', 2)} AS total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s.s_suppkey
+""",
+    doc="TPC-H Q15: CTE reused by both the probe and the scalar MAX "
+    "subquery.  Spark plan: the revenue aggregate persists and feeds (a) "
+    "a 1-row MAX broadcast cross join and (b) the equality filter — the "
+    "quarter of lineitem is scanned ONCE.  Cross-engine determinism: each "
+    "engine compares its own sums to its own max, so ulp-level sum "
+    "differences cannot flip membership unless two suppliers tie within "
+    "1 ulp of the top",
+    defer=True,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-04-01").cast("timestamp"))
+    ).select("l_suppkey", "l_extendedprice", "l_discount")
+    supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "total_revenue"
+            )
+        )
+    ).persist()  # reused: MAX side + probe side, one lineitem scan
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(supplier), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            round_stable(F.col("total_revenue"), 2).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q16_part_supplier_cnt",
+    """
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#5'
+  AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l.l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+""",
+    doc="TPC-H Q16 adapted: no partsupp → part-supplier pairs come from "
+    "lineitem; 'customer complaints' blacklist proxied by negative-balance "
+    "suppliers (shape preserved: NOT IN → left anti broadcast join on a "
+    "non-nullable key, then COUNT DISTINCT over a filtered dim join). "
+    "The brand/size filters prune the broadcast part dim before the fact "
+    "join",
+    defer=True,
+)
+def q16_part_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#5")
+            & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    blacklist = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(blacklist, "l_suppkey", "leftanti")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    f"""
+SELECT {sql_round_stable('SUM(l_extendedprice * (1 - l_discount))', 2)} AS revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 15)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 25)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 35)
+""",
+    doc="TPC-H Q19: OR-of-conjunct-groups spanning both join sides.  The "
+    "Spark plan adds the IMPLIED single-table conjuncts (brand IN (...), "
+    "quantity BETWEEN overall min/max) ahead of the join — Catalyst does "
+    "not factor disjunctions across tables itself, so the classic Q19 "
+    "rewrite is done here: both scans prune before the broadcast join, "
+    "and the full disjunction remains as the post-join residual (oracle "
+    "keeps the pure OR spelling; the added conjuncts are implied, so "
+    "semantics are identical)",
+    defer=True,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 35)
+    ).select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+            & (F.col("p_size") >= 1)
+            & (F.col("p_size") <= 35)
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    g1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 15)
+    )
+    g2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 25)
+    )
+    g3 = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 35)
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(g1 | g2 | g3)
+        .agg(
+            round_stable(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    f"""
+WITH cost AS (
+    SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS unit_cost
+    FROM lineitem
+    GROUP BY l_partkey, l_suppkey
+)
+SELECT p.p_partkey, p.p_name, s.s_name, n.n_name,
+       {sql_round_stable('c.unit_cost', 4)} AS unit_cost
+FROM part p
+JOIN cost c ON c.l_partkey = p.p_partkey
+JOIN supplier s ON s.s_suppkey = c.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE p.p_size = 15 AND r.r_name = 'EUROPE'
+  AND c.unit_cost = (
+      SELECT MIN(c2.unit_cost)
+      FROM cost c2
+      JOIN supplier s2 ON s2.s_suppkey = c2.l_suppkey
+      JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+      JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+      WHERE c2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE'
+  )
+ORDER BY s.s_name, p.p_partkey
+""",
+    doc="TPC-H Q2 adapted: no partsupp/ps_supplycost → supply cost proxied "
+    "by each (part, supplier)'s best observed unit price from lineitem "
+    "(shape preserved: correlated MIN subquery over the same derived "
+    "relation, decorrelated to a per-part MIN + equality join back). "
+    "Cross-engine safe: MIN is order-independent and the per-row division "
+    "is identical IEEE on both engines — unlike SUM, equality on it "
+    "cannot diverge.  Region filter applies to BOTH the probe and the "
+    "min-scope, matching the classic query",
+    defer=True,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 15)
+        .select("p_partkey", "p_name")
+    )
+    supplier = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nation = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = (
+        _t(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "EUROPE")
+        .select("r_regionkey")
+    )
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    # region-scoped costs: used for both the probe side and the per-part min
+    eu_cost = (
+        cost.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("l_partkey", "l_suppkey", "unit_cost", "s_name", "n_name")
+    ).persist()
+    best = eu_cost.groupBy(F.col("l_partkey").alias("bk")).agg(
+        F.min("unit_cost").alias("best_cost")
+    )
+    return (
+        eu_cost.join(
+            best,
+            (F.col("l_partkey") == F.col("bk"))
+            & (F.col("unit_cost") == F.col("best_cost")),
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "n_name",
+            round_stable(F.col("unit_cost"), 4).alias("unit_cost"),
+        )
+        .orderBy("s_name", "p_partkey")
+    )
+
+
+@register(
+    "q20_part_qty_suppliers",
+    """
+SELECT s.s_name, n.n_name AS nation
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE s.s_suppkey IN (
+    SELECT l.l_suppkey
+    FROM lineitem l
+    WHERE l.l_partkey IN (
+        SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+    )
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l.l_suppkey, l.l_partkey
+    HAVING SUM(l.l_quantity) > 40
+)
+ORDER BY s.s_name
+""",
+    doc="TPC-H Q20 adapted: no partsupp/ps_availqty → 'heavily shipping' "
+    "suppliers = shipped >40 units of some small-part in the year (shape "
+    "preserved: nested IN subqueries → prefix-filtered dim semi join "
+    "inside a grouped-HAVING derivation, then a semi join to supplier). "
+    "LIKE 'small%' is a prefix → pushes as a range predicate on the part "
+    "scan",
+    defer=True,
+)
+def q20_part_qty_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    small_parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("small"))
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
+    supplier = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    heavy = (
+        li.join(F.broadcast(small_parts), "l_partkey", "leftsemi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 40)
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+    )
+    return (
+        supplier.join(heavy, "s_suppkey", "leftsemi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", F.col("n_name").alias("nation"))
+        .orderBy("s_name")
+    )
