@@ -215,3 +215,74 @@ def test_cube_single_expand_pass(spark):
     assert plan.count("Expand") == 1
     assert plan.count("FileScan") == 1
     assert plan.count("HashAggregate") >= 2
+
+
+def test_q6_all_filters_reach_scan(spark):
+    """Q6 is THE pushdown benchmark: date range, discount range, and
+    quantity cap are all plain column predicates — every one must appear
+    in the lineitem scan's pushed/data filters, and the plan is scan+agg
+    only (no shuffle besides the 1-partition final agg)."""
+    plan = _executed(spark, "q6_revenue_forecast")
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in scan, f"{col} not pushed to scan: {scan}"
+    assert "Join" not in plan
+
+
+def test_q19_implied_conjuncts_prune_both_scans(spark):
+    """The OR-of-conjunct-groups can't cross the join, but the implied
+    single-table conjuncts must: brand IN (...) on the part scan, quantity
+    range on the lineitem scan, with the disjunction as post-join filter."""
+    plan = _executed(spark, "q19_disjunctive_revenue")
+    part_scan = next(
+        l for l in plan.splitlines() if "FileScan" in l and "/part" in l
+    )
+    li_scan = next(
+        l for l in plan.splitlines() if "FileScan" in l and "lineitem" in l
+    )
+    assert "p_brand" in part_scan
+    assert "l_quantity" in li_scan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q15_scans_lineitem_once_via_cache(spark):
+    """The revenue CTE feeds both the scalar MAX and the probe; the persist
+    must make both consumers read the cache — one lineitem scan total."""
+    plan = _executed(spark, "q15_top_supplier")
+    assert plan.count("InMemoryTableScan") >= 2
+    assert "CollectLimit" not in plan
+
+
+def test_q11_value_agg_reused_for_cut_and_probe(spark):
+    """val is compared against a fraction of its own total: both readers
+    must hit the cached aggregate, and the cut rides a broadcast."""
+    plan = _executed(spark, "q11_important_parts")
+    assert plan.count("InMemoryTableScan") >= 2
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_q2_min_decorrelation_no_nested_loop(spark):
+    """Correlated MIN → per-part aggregate + equality join back.  No
+    nested-loop join, no cartesian, no window sort over the fact."""
+    plan = _executed(spark, "q2_min_cost_supplier")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_min" in plan
+
+
+def test_q10_topk_is_take_ordered(spark):
+    """Global top-20 over an aggregate must be TakeOrderedAndProject —
+    never a full global sort materialization."""
+    plan = _executed(spark, "q10_returned_items")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q12_q16_hash_joins_no_python(spark):
+    """Non-equi residual (Q12) and NOT-IN blacklist (Q16) both stay in
+    hash-join land with zero Python stages."""
+    for name in ("q12_priority_linestatus", "q16_part_supplier_cnt"):
+        plan = _executed(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "Python" not in plan, name
+    assert "LeftAnti" in _executed(spark, "q16_part_supplier_cnt")
