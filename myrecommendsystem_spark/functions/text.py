@@ -468,3 +468,63 @@ def tfidf_top_terms(
             F.col("__r").cast("int").alias("rnk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cleaning / PII scrubbing — pure regexp expressions, JVM-side.
+#
+# Patterns deliberately use only syntax with identical semantics in Java
+# regex (Spark) and RE2 (DuckDB oracle): character classes, bounded
+# repetition, \b word boundaries, alternation.  No lookaround (RE2 has
+# none), no backreferences.  Scrub ORDER matters (a URL contains dots an
+# IP pattern could claim, and may embed an email-shaped userinfo) — both
+# engines must apply: URL → EMAIL → IP → PHONE.
+# ---------------------------------------------------------------------------
+
+URL_PATTERN = r"https?://[^\s]+"
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_PATTERN = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PHONE_PATTERN = r"\+?[0-9][0-9() -]{6,}[0-9]"
+
+_SCRUB_ORDER: tuple[tuple[str, str], ...] = (
+    (URL_PATTERN, "<URL>"),
+    (EMAIL_PATTERN, "<EMAIL>"),
+    (IPV4_PATTERN, "<IP>"),
+    (PHONE_PATTERN, "<PHONE>"),
+)
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-category PII match counts (url/email/ip/phone) as int columns.
+
+    Counted BEFORE scrubbing, each pattern independently on the raw text —
+    counting after a prior substitution would undercount categories that
+    overlap (an email inside a URL)."""
+    return {
+        "n_urls": F.size(F.regexp_extract_all(text, F.lit(URL_PATTERN), 0)),
+        "n_emails": F.size(F.regexp_extract_all(text, F.lit(EMAIL_PATTERN), 0)),
+        "n_ips": F.size(F.regexp_extract_all(text, F.lit(IPV4_PATTERN), 0)),
+        "n_phones": F.size(F.regexp_extract_all(text, F.lit(PHONE_PATTERN), 0)),
+    }
+
+
+def scrub_pii(text: Column) -> Column:
+    """Replace URLs, emails, IPv4s, and phone-shaped digit runs with typed
+    placeholder tokens, in the fixed documented order."""
+    out = text
+    for pattern, token in _SCRUB_ORDER:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def normalize_whitespace(text: Column) -> Column:
+    """Collapse all whitespace runs (incl. control chars matched by \\s)
+    to single spaces and trim the ends."""
+    return F.trim(F.regexp_replace(text, r"\s+", " "))
+
+
+def clean_text(text: Column) -> Column:
+    """The standard pre-training scrub: PII placeholders, then whitespace
+    normalization.  Pure Catalyst expression chain — codegen end-to-end,
+    pushable through projections, zero Python."""
+    return normalize_whitespace(scrub_pii(text))

@@ -407,3 +407,102 @@ def sample_docs_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Cleaning / PII scrub + sequence packing (deferred tier)
+# ---------------------------------------------------------------------------
+
+_CLEAN_ORACLE = r"""
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text, '<<URL>>')) AS INTEGER) AS n_urls,
+       CAST(length(regexp_extract_all(text, '<<EMAIL>>')) AS INTEGER) AS n_emails,
+       CAST(length(regexp_extract_all(text, '<<IP>>')) AS INTEGER) AS n_ips,
+       CAST(length(regexp_extract_all(text, '<<PHONE>>')) AS INTEGER) AS n_phones,
+       trim(regexp_replace(
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(text, '<<URL>>', '<URL>', 'g'),
+                       '<<EMAIL>>', '<EMAIL>', 'g'),
+                   '<<IP>>', '<IP>', 'g'),
+               '<<PHONE>>', '<PHONE>', 'g'),
+           '\s+', ' ', 'g')) AS cleaned,
+       CAST(length(trim(regexp_replace(
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(text, '<<URL>>', '<URL>', 'g'),
+                       '<<EMAIL>>', '<EMAIL>', 'g'),
+                   '<<IP>>', '<IP>', 'g'),
+               '<<PHONE>>', '<PHONE>', 'g'),
+           '\s+', ' ', 'g'))) AS INTEGER) AS clean_chars
+FROM documents
+""" \
+    .replace("<<URL>>", TXT.URL_PATTERN) \
+    .replace("<<EMAIL>>", TXT.EMAIL_PATTERN) \
+    .replace("<<IP>>", TXT.IPV4_PATTERN) \
+    .replace("<<PHONE>>", TXT.PHONE_PATTERN)
+
+
+@register(
+    "doc_clean_scrub",
+    _CLEAN_ORACLE,
+    doc="pre-training text scrub: PII placeholder substitution (URL → "
+    "EMAIL → IP → PHONE, order-sensitive) + whitespace normalization, "
+    "with per-category match counts.  Pure regexp expression chain — "
+    "codegen end-to-end; the oracle reproduces it in RE2, pinning the "
+    "patterns to the Java∩RE2 common syntax subset",
+    defer=True,
+)
+def doc_clean_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    counts = TXT.pii_counts(F.col("text"))
+    cleaned = TXT.clean_text(F.col("text"))
+    return docs.select(
+        "doc_id",
+        counts["n_urls"].cast("int").alias("n_urls"),
+        counts["n_emails"].cast("int").alias("n_emails"),
+        counts["n_ips"].cast("int").alias("n_ips"),
+        counts["n_phones"].cast("int").alias("n_phones"),
+        cleaned.alias("cleaned"),
+        F.length(cleaned).cast("int").alias("clean_chars"),
+    )
+
+
+@register(
+    "doc_pack_bins",
+    r"""
+WITH t AS (
+    SELECT doc_id, source,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE length(regexp_split_to_array(trim(text), '\s+'))
+                END AS BIGINT) AS n_tokens
+    FROM documents
+), c AS (
+    SELECT doc_id, source, n_tokens,
+           SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS end_offset
+    FROM t
+)
+SELECT doc_id, source, n_tokens,
+       CAST(end_offset AS BIGINT) AS end_offset,
+       CAST(FLOOR((end_offset - n_tokens) / 256.0) AS INTEGER) AS bin_id
+FROM c
+ORDER BY source, doc_id
+""",
+    doc="sequence packing: start-offset chunking into 256-token bins per "
+    "source (operators/packing.py).  One shuffle on source, one "
+    "streaming ROWS-frame window — the distributed-friendly packing "
+    "formulation; greedy first-fit is a sequential recurrence that "
+    "cannot window",
+    defer=True,
+)
+def doc_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myrecommendsystem_spark.operators import packing
+
+    return packing.pack_by_token_budget(
+        _docs(spark, sf_dir), budget=256
+    ).orderBy("source", "doc_id")
