@@ -506,3 +506,87 @@ def doc_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.pack_by_token_budget(
         _docs(spark, sf_dir), budget=256
     ).orderBy("source", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Embedding vector aggregation (deferred tier)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_label_centroids",
+    f"""
+SELECT label, pos, {sql_round_stable('AVG(v)', 6)} AS c,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+    SELECT label, unnest(embedding) AS v,
+           generate_subscripts(embedding, 1) AS pos
+    FROM embeddings
+)
+GROUP BY label, pos
+ORDER BY label, pos
+""",
+    doc="per-label mean embedding (class centroids), exploded to scalar "
+    "(label, pos, value) rows — arrays never appear in gated outputs "
+    "(driver canon sorts pandas columns; lists are unhashable).  Shape: "
+    "posexplode → narrow (label, pos) partial/final agg — fully "
+    "distributed, no vector ever assembled on one node; the 100 TB form "
+    "of 'average the embeddings'.  1-based pos matches SQL subscripts",
+    defer=True,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _emb(spark, sf_dir)
+        .select("label", F.posexplode("embedding").alias("p", "v"))
+        .groupBy("label", (F.col("p") + 1).cast("int").alias("pos"))
+        .agg(
+            round_stable(F.avg("v"), 6).alias("c"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("label", "pos")
+    )
+
+
+@register(
+    "embedding_vector_stats",
+    f"""
+SELECT vec_id,
+       CAST(len(embedding) AS INTEGER) AS dim,
+       {sql_round_stable(
+           'sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))', 6
+       )} AS l2,
+       {sql_round_stable('list_sum(list_transform(embedding, x -> x::DOUBLE)) / len(embedding)', 6)} AS mean_v,
+       {sql_round_stable("list_aggregate(list_transform(embedding, x -> abs(x::DOUBLE)), 'max')", 6)} AS max_abs
+FROM embeddings
+ORDER BY vec_id
+""",
+    doc="per-vector moments: dim, L2 norm, component mean, max |x|.  "
+    "Higher-order array fns (aggregate/transform) — interpreted, not "
+    "codegen, but O(dim) per row with zero shuffle; elements cast to "
+    "double BEFORE squaring on both engines so float32 accumulation "
+    "can't diverge",
+    defer=True,
+)
+def embedding_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sq_sum = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda a, x: a + x.cast("double") * x.cast("double"),
+    )
+    v_sum = F.aggregate(
+        F.col("embedding"), F.lit(0.0), lambda a, x: a + x.cast("double")
+    )
+    return (
+        _emb(spark, sf_dir)
+        .select(
+            "vec_id",
+            F.size("embedding").cast("int").alias("dim"),
+            round_stable(F.sqrt(sq_sum), 6).alias("l2"),
+            round_stable(v_sum / F.size("embedding"), 6).alias("mean_v"),
+            round_stable(
+                F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))),
+                6,
+            ).alias("max_abs"),
+        )
+        .orderBy("vec_id")
+    )
