@@ -46,8 +46,17 @@ HEADLINE: tuple[str, ...] = (
     "q4_order_priority_exists",
     "q18_large_volume_customers",
     "q21_late_exclusive_suppliers",
+    # full TPC-H sweep additions: pushdown benchmark, disjunctive join,
+    # widest join tree, correlated-min decorrelation
+    "q6_revenue_forecast",
+    "q19_disjunctive_revenue",
+    "q8_market_share",
+    "q2_min_cost_supplier",
     # LLM-data-pipeline: dedup / ANN / text / multimodal
     "doc_token_counts",
+    "doc_clean_scrub",
+    "doc_pack_bins",
+    "embedding_label_centroids",
     "dedup_minhash_pairs",
     "dedup_simhash_pairs",
     "ann_topk_bruteforce",
