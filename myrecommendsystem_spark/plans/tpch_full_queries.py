@@ -782,3 +782,34 @@ def q20_part_qty_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", F.col("n_name").alias("nation"))
         .orderBy("s_name")
     )
+
+
+@register(
+    "global_row_numbers",
+    """
+SELECT o_orderkey, o_totalprice,
+       CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+            AS BIGINT) AS row_num
+FROM orders
+""",
+    doc="dense global row numbering WITHOUT a global sort: the naive "
+    "row_number() OVER (ORDER BY ...) range-shuffles all rows into one "
+    "partition; operators/indexing.py does the two-pass partition-offset "
+    "scheme instead (range repartition -> per-partition window -> P-row "
+    "offset broadcast).  Same numbers, no single-partition stage — "
+    "plan-pinned in tests/test_plans.py",
+    defer=True,
+)
+def global_row_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myrecommendsystem_spark.operators.indexing import (
+        assign_global_row_numbers,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    # DESC price with ASC orderkey tie-break: express the descending term
+    # as a negated sort key (repartitionByRange accepts column exprs)
+    numbered = assign_global_row_numbers(
+        orders.withColumn("_neg_price", -F.col("o_totalprice")),
+        order_cols=["_neg_price", "o_orderkey"],
+    )
+    return numbered.select("o_orderkey", "o_totalprice", "row_num")

@@ -286,3 +286,17 @@ def test_q12_q16_hash_joins_no_python(spark):
         assert "CartesianProduct" not in plan, name
         assert "Python" not in plan, name
     assert "LeftAnti" in _executed(spark, "q16_part_supplier_cnt")
+
+
+def test_global_row_numbers_distributed_shape(spark):
+    """The distributed numbering must never move all rows into one task:
+    no data-side Window (the mid-decomposition replaces row_number), the
+    one SinglePartition exchange sits above the P-row partition-count
+    aggregate (map-side combined), and both consumers read the cached
+    range-shuffled relation."""
+    plan = _executed(spark, "global_row_numbers")
+    assert "rangepartitioning" in plan
+    assert plan.count("Exchange SinglePartition") <= 1
+    assert "partial_count" in plan  # offsets side aggregates BEFORE moving
+    assert "row_number" not in plan  # no window over the data side
+    assert plan.count("InMemoryTableScan") >= 2  # cache serves both passes
