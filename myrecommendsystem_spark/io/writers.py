@@ -66,3 +66,48 @@ def write_bucketed_table(
 
 def drop_table(spark: SparkSession, table: str) -> None:
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def compact_files(
+    spark: SparkSession,
+    src_path: str,
+    dest_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    fmt: str = "parquet",
+) -> int:
+    """Rewrite ``src_path`` into ``dest_path`` with ~``target_file_bytes``
+    files; returns the output file count.
+
+    The small-files problem is the silent killer of long-lived ingest
+    paths: a streaming sink or per-batch overwrite leaves thousands of
+    KB-scale files, and every downstream scan pays one task + one open
+    per file.  Compaction = read + ``coalesce(ceil(bytes/target))`` +
+    write: coalesce (not repartition) because merging files needs NO
+    shuffle — each output task just concatenates input splits.  Sizing
+    uses the actual on-disk bytes of the source, not row counts, so the
+    target tracks the real scan-side cost.
+
+    Writes to a NEW path: Spark reads lazily, so overwriting the path
+    being read loses data — callers swap directories (or table pointers)
+    atomically after the rewrite, which is also the crash-safe order.
+    """
+    import math
+
+    # on-disk size via the JVM filesystem API (works for any hadoop FS)
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = p.getFileSystem(conf)
+    size = fs.getContentSummary(p).getLength()
+    n_files = max(1, math.ceil(size / target_file_bytes))
+
+    df = spark.read.format(fmt).load(src_path)
+    df.coalesce(n_files).write.mode("overwrite").format(fmt).save(dest_path)
+
+    dest = jvm.org.apache.hadoop.fs.Path(dest_path)
+    return sum(
+        1
+        for f in fs.listStatus(dest)
+        if f.getPath().getName().endswith((".parquet", ".orc", ".json", ".csv"))
+        or f.getPath().getName().startswith("part-")
+    )

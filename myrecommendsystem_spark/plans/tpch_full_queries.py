@@ -813,3 +813,51 @@ def global_row_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_cols=["_neg_price", "o_orderkey"],
     )
     return numbered.select("o_orderkey", "o_totalprice", "row_num")
+
+
+@register(
+    "incremental_user_stats",
+    f"""
+SELECT user_id,
+       CAST(COUNT(value) AS BIGINT) AS n,
+       {sql_round_stable('SUM(value)', 2)} AS total,
+       MIN(value) AS vmin,
+       MAX(value) AS vmax,
+       {sql_round_stable('SUM(value) / COUNT(value)', 4)} AS vavg
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+    doc="incremental aggregate maintenance (operators/incremental.py): the "
+    "Spark side computes per-user stats as merge(state(first half-month), "
+    "state(second half-month)) — mergeable (cnt, sum, min, max) monoid "
+    "state, derived avg at read time — while the oracle aggregates the "
+    "full relation directly.  Hash equality IS the proof that inter-run "
+    "state merging reproduces the from-scratch aggregate; per refresh the "
+    "shuffle moves |keys| state rows, not |history| fact rows",
+    defer=True,
+)
+def incremental_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myrecommendsystem_spark.operators import incremental as INC
+
+    events = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    cut = F.lit("2024-01-15").cast("timestamp")
+    old_state = INC.aggregate_state(
+        events.filter(F.col("ts") < cut), ["user_id"], "value"
+    )
+    new_state = INC.aggregate_state(
+        events.filter(F.col("ts") >= cut), ["user_id"], "value"
+    )
+    merged = INC.merge_states(old_state, new_state, ["user_id"])
+    return (
+        INC.finalize_stats(merged, ["user_id"])
+        .select(
+            "user_id",
+            F.col("n"),
+            round_stable(F.col("total"), 2).alias("total"),
+            "vmin",
+            "vmax",
+            round_stable(F.col("vavg"), 4).alias("vavg"),
+        )
+        .orderBy("user_id")
+    )

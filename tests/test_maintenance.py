@@ -1,0 +1,85 @@
+"""Small-file compaction and incremental aggregate maintenance."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from myrecommendsystem_spark.io import writers
+from myrecommendsystem_spark.operators import incremental as INC
+
+
+def test_compact_files_reduces_count_preserves_rows(spark, tmp_path):
+    src = str(tmp_path / "small")
+    dest = str(tmp_path / "compacted")
+    df = spark.range(0, 10_000).withColumn("v", F.col("id") * 2)
+    df.repartition(64).write.parquet(src)  # 64 tiny files
+
+    n_out = writers.compact_files(spark, src, dest, target_file_bytes=10**9)
+    assert n_out == 1  # everything fits one target-sized file
+
+    back = spark.read.parquet(dest)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("v")).head()[0] == df.agg(F.sum("v")).head()[0]
+
+
+def test_compact_files_respects_target_size(spark, tmp_path):
+    src = str(tmp_path / "small2")
+    dest = str(tmp_path / "compacted2")
+    spark.range(0, 50_000).withColumn(
+        "pad", F.sha2(F.col("id").cast("string"), 256)
+    ).repartition(32).write.parquet(src)
+
+    # pick a target ~1/3 of the source size → expect 3-4 output files
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(src)
+    size = p.getFileSystem(conf).getContentSummary(p).getLength()
+    n_out = writers.compact_files(
+        spark, src, dest, target_file_bytes=max(1, size // 3)
+    )
+    assert 2 <= n_out <= 4
+    assert spark.read.parquet(dest).count() == 50_000
+
+
+def test_merge_states_equals_full_aggregate(spark):
+    rows = [(i % 7, float(i)) for i in range(500)]
+    df = spark.createDataFrame(rows, "k int, v double")
+    full = {
+        r.k: r
+        for r in INC.finalize_stats(
+            INC.aggregate_state(df, ["k"], "v"), ["k"]
+        ).collect()
+    }
+    a, b = df.filter(F.col("v") < 200), df.filter(F.col("v") >= 200)
+    merged = {
+        r.k: r
+        for r in INC.finalize_stats(
+            INC.merge_states(
+                INC.aggregate_state(a, ["k"], "v"),
+                INC.aggregate_state(b, ["k"], "v"),
+                ["k"],
+            ),
+            ["k"],
+        ).collect()
+    }
+    assert full.keys() == merged.keys()
+    for k in full:
+        assert full[k].n == merged[k].n
+        assert abs(full[k].total - merged[k].total) < 1e-9
+        assert full[k].vmin == merged[k].vmin
+        assert full[k].vmax == merged[k].vmax
+
+
+def test_merge_states_keys_on_one_side_only(spark):
+    a = spark.createDataFrame([(1, 10.0), (1, 20.0)], "k int, v double")
+    b = spark.createDataFrame([(2, 5.0)], "k int, v double")
+    out = {
+        r.k: r
+        for r in INC.merge_states(
+            INC.aggregate_state(a, ["k"], "v"),
+            INC.aggregate_state(b, ["k"], "v"),
+            ["k"],
+        ).collect()
+    }
+    assert out[1].cnt == 2 and out[1].s == 30.0
+    assert out[2].cnt == 1 and out[2].mn == 5.0 and out[2].mx == 5.0
