@@ -861,3 +861,34 @@ def incremental_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "approx_users_hll_merge",
+    None,  # Datasketches HLL bytes aren't DuckDB-reproducible — rows-only;
+    # the merge-losslessness property is pinned exactly in
+    # tests/test_maintenance.py::test_hll_union_of_slices_equals_direct
+    doc="mergeable distinct-count sketches: per-(event_type, day) HLL "
+    "sketches union-merged to per-type estimates, next to the exact "
+    "count.  The sketch state is the 100 TB shape for COUNT(DISTINCT) "
+    "maintenance: a day's refresh touches one day's slice, merge is "
+    "associative/commutative/lossless at equal precision (union of "
+    "sketches ≡ sketch of union, bit-exact), and the shuffle carries "
+    "KB-scale sketch bytes per group, never user ids",
+)
+def approx_users_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = events.groupBy("event_type", "day").agg(
+        F.hll_sketch_agg("user_id", 12).alias("sk"),
+        F.count_distinct("user_id").alias("exact_day"),
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+            F.sum("exact_day").alias("sum_daily_exact"),
+        )
+        .orderBy("event_type")
+    )

@@ -83,3 +83,33 @@ def test_merge_states_keys_on_one_side_only(spark):
     }
     assert out[1].cnt == 2 and out[1].s == 30.0
     assert out[2].cnt == 1 and out[2].mn == 5.0 and out[2].mx == 5.0
+
+
+def test_hll_union_of_slices_equals_direct(spark, sf_dir):
+    """HLL merge must be lossless: estimate(union(per-day sketches)) is
+    BIT-EXACT equal to estimate(one sketch over all days) at the same
+    precision — the property that makes sketch state maintainable
+    incrementally.  Also sanity-bound the estimate against the exact
+    distinct count (lgK=12 → ~1.6% rse; assert 5%)."""
+    from pyspark.sql import functions as F
+    from myrecommendsystem_spark.io import readers
+
+    ev = readers.load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    merged = (
+        ev.groupBy("event_type", "day")
+        .agg(F.hll_sketch_agg("user_id", 12).alias("sk"))
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", 12)).alias("est"),
+        F.count_distinct("user_id").alias("exact"),
+    )
+    m = {r.event_type: r.est for r in merged.collect()}
+    d = {r.event_type: (r.est, r.exact) for r in direct.collect()}
+    assert m.keys() == d.keys()
+    for k in m:
+        assert m[k] == d[k][0], f"merge not lossless for {k}"
+        assert abs(m[k] - d[k][1]) / d[k][1] < 0.05
