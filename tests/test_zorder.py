@@ -71,3 +71,41 @@ def test_zorder_constant_column_degrades_gracefully(spark):
     codes = [r._z for r in out.orderBy("v").collect()]
     assert codes == sorted(codes)
     assert len(set(codes)) > 1
+
+
+def test_histogram_rank_survives_outliers(spark, tmp_path):
+    """One outlier stretches the linear range so the real data collapses
+    onto a handful of buckets — that dimension stops contributing to the
+    curve.  Equal-frequency ranks keep it clustering."""
+    df = (
+        spark.range(0, 16_384)
+        .withColumn("x", (F.col("id") * 7919 % 1000).cast("double"))
+        .withColumn("y", (F.col("id") * 104729 % 1000).cast("double"))
+    )
+    # 16 outliers at 1e9 wreck x's linear range
+    df = df.withColumn(
+        "x", F.when(F.col("id") % 1024 == 0, 1e9).otherwise(F.col("x"))
+    )
+    lin = str(tmp_path / "lin")
+    hist = str(tmp_path / "hist")
+    zorder.write_zordered(df, lin, ["x", "y"], num_files=16, rank_mode="linear")
+    zorder.write_zordered(df, hist, ["x", "y"], num_files=16, rank_mode="histogram")
+
+    def normal_x_span(path):
+        d = (
+            spark.read.parquet(path)
+            .filter(F.col("x") < 1e6)  # measure clustering of the real data
+            .withColumn("_f", F.input_file_name())
+        )
+        return (
+            d.groupBy("_f")
+            .agg((F.max("x") - F.min("x")).alias("s"))
+            .agg(F.avg("s"))
+            .head()[0]
+        )
+
+    lin_span, hist_span = normal_x_span(lin), normal_x_span(hist)
+    # linear: normal xs all share bucket 0 → files span ~the whole normal
+    # domain; histogram: they spread over the rank space and stay tight
+    assert lin_span > 700, lin_span
+    assert hist_span < lin_span / 2, (hist_span, lin_span)
