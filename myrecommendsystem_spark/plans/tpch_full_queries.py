@@ -892,3 +892,92 @@ def approx_users_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "orders_price_histogram",
+    f"""
+SELECT CAST(FLOOR(o_totalprice / 25000.0) AS INTEGER) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(o_totalprice) AS lo,
+       MAX(o_totalprice) AS hi,
+       {sql_round_stable('SUM(o_totalprice)', 2)} AS total
+FROM orders
+GROUP BY bucket
+ORDER BY bucket
+""",
+    doc="fixed-width histogram of order totals: one partial/final agg "
+    "pass, bucket id a codegen floor division (data-independent bucket "
+    "edges — reproducible across engines and table versions, unlike "
+    "min/max-derived edges).  The distribution-analysis staple",
+    defer=True,
+)
+def orders_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select("o_totalprice")
+    return (
+        orders.groupBy(
+            F.floor(F.col("o_totalprice") / 25000.0).cast("int").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            round_stable(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "events_funnel_conversion",
+    """
+WITH stage AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+           MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+           MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+    FROM events
+    GROUP BY user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(COUNT(t_view) AS BIGINT) AS n_viewed,
+       CAST(SUM(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clicked_after_view,
+       CAST(SUM(CASE WHEN t_purchase > t_click AND t_click > t_view
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+FROM stage
+""",
+    doc="funnel conversion (view → click → purchase, time-ordered): "
+    "per-user first-touch timestamps via conditional MIN — ONE pass over "
+    "the fact, one narrow (user_id) aggregate, then a 4-counter global "
+    "fold.  The sequencing predicate compares per-user MINs, not "
+    "event-pair joins — the O(N) funnel formulation, not the O(N²) "
+    "self-join one.  NULL comparisons are UNKNOWN → counted false in "
+    "both engines",
+    defer=True,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def first_ts(kind: str):
+        return F.min(F.when(F.col("event_type") == kind, F.col("ts")))
+
+    stage = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    return stage.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("n_viewed"),
+        F.sum(
+            F.when(F.col("t_click") > F.col("t_view"), 1).otherwise(0)
+        ).alias("n_clicked_after_view"),
+        F.sum(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_view")),
+                1,
+            ).otherwise(0)
+        ).alias("n_full_funnel"),
+    )
