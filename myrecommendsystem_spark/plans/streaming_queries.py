@@ -400,3 +400,58 @@ def events_view_purchase_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("view_id")
     )
+
+
+@register(
+    "events_view_conversion_outer",
+    """
+SELECT v.event_id AS view_id, v.user_id,
+       CAST(COUNT(p.ts) AS BIGINT) AS n_purchases,
+       CAST(CASE WHEN COUNT(p.ts) = 0 THEN 1 ELSE 0 END AS INTEGER)
+           AS unconverted
+FROM events v
+LEFT JOIN events p
+  ON p.user_id = v.user_id
+ AND p.event_type = 'purchase'
+ AND p.ts >= v.ts
+ AND p.ts <= v.ts + INTERVAL 30 MINUTE
+WHERE v.event_type = 'view'
+GROUP BY view_id, v.user_id
+ORDER BY view_id
+""",
+    doc="LEFT-OUTER interval join (streaming/joins.py::interval_join_outer "
+    "batch twin): every view emitted, unmatched ones flagged unconverted "
+    "— the complement the inner attribution join cannot express.  In "
+    "streaming mode the null-padded rows may only emit once the "
+    "watermark proves no future match; batch mode is a plain left-outer "
+    "hash join with the interval residual",
+    defer=True,
+)
+def events_view_conversion_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myrecommendsystem_spark.streaming.joins import interval_join_outer
+
+    events = readers.load_table(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    joined = interval_join_outer(
+        views, purchases, key="user_id", left_ts="view_ts",
+        right_ts="purchase_ts", upper="30 minutes",
+    )
+    return (
+        joined.groupBy("view_id", "user_id")
+        .agg(
+            F.count("purchase_ts").alias("n_purchases"),
+            F.when(F.count("purchase_ts") == 0, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("unconverted"),
+        )
+        .orderBy("view_id")
+    )

@@ -46,3 +46,40 @@ def interval_join(
         & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {upper}"))
     )
     return lw.join(rw, cond).drop(rw[key])
+
+
+def interval_join_outer(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    upper: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Left-outer variant of :func:`interval_join`: every left event is
+    emitted; unmatched ones carry NULL right columns.
+
+    The outer semantics are what make the watermark LOAD-BEARING rather
+    than just a state-eviction bound: the engine may only emit the
+    null-padded row once the watermark proves no future right match can
+    arrive, so unmatched results are delayed by the watermark delta.  In
+    batch mode the same plan is an ordinary left-outer hash join with the
+    interval as residual (nulls emitted immediately).  The attribution
+    reading: views that did NOT convert within the window — the
+    complement the inner join cannot express.
+    """
+    # rename the right key instead of relying on lw[key]/rw[key] column
+    # provenance: when both sides derive from the same source (the usual
+    # self-join attribution shape), attribute-by-DataFrame resolution can
+    # silently bind both references to one side — with outer semantics
+    # that surfaces as the LEFT key going null on unmatched rows.
+    rkey = f"__r_{key}"
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withColumnRenamed(key, rkey).withWatermark(right_ts, watermark)
+    cond = (
+        (F.col(key) == F.col(rkey))
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {upper}"))
+    )
+    return lw.join(rw, cond, "left_outer").drop(rkey)

@@ -364,3 +364,63 @@ def test_interval_join_streaming(spark, tmp_path):
         for r in spark.sql("SELECT view_id, purchase_val FROM ij_t").collect()
     )
     assert got == [(100, 5.0), (100, 7.0)]
+
+
+def test_interval_join_outer_streaming(spark, tmp_path):
+    """Left-outer stream-stream interval join: views with no purchase in
+    the window must STILL emit (null-padded) — but only after the
+    watermark passes, which availableNow + a far-future sentinel row on
+    both sides guarantees here."""
+    from myrecommendsystem_spark.streaming.joins import interval_join_outer
+
+    vdir, pdir = tmp_path / "views_o", tmp_path / "purch_o"
+    vdir.mkdir(); pdir.mkdir()
+    views = [
+        (100, 1, "2024-01-01 10:00:00"),   # converts
+        (101, 1, "2024-01-01 12:00:00"),   # no purchase in window
+        (102, 2, "2024-01-01 10:05:00"),   # purchase BEFORE view → unmatched
+        (999, 9, "2024-01-03 00:00:00"),   # watermark pusher
+    ]
+    purchases = [
+        (1, "2024-01-01 10:10:00", 5.0),
+        (2, "2024-01-01 10:04:00", 3.0),
+        (9, "2024-01-03 00:00:00", 0.0),   # watermark pusher
+    ]
+    with open(vdir / "v.json", "w") as f:
+        for vid, uid, ts in views:
+            f.write(json.dumps({"view_id": vid, "user_id": uid, "view_ts": ts}) + "\n")
+    with open(pdir / "p.json", "w") as f:
+        for uid, ts, val in purchases:
+            f.write(json.dumps({"user_id": uid, "purchase_ts": ts, "purchase_val": val}) + "\n")
+
+    vstream = (
+        spark.readStream.schema("view_id int, user_id int, view_ts string")
+        .json(str(vdir))
+        .withColumn("view_ts", F.to_timestamp("view_ts"))
+    )
+    pstream = (
+        spark.readStream.schema("user_id int, purchase_ts string, purchase_val double")
+        .json(str(pdir))
+        .withColumn("purchase_ts", F.to_timestamp("purchase_ts"))
+    )
+    q = (
+        interval_join_outer(vstream, pstream, key="user_id",
+                            left_ts="view_ts", right_ts="purchase_ts",
+                            watermark="1 hour")
+        .select("view_id", "purchase_val")
+        .writeStream.format("memory")
+        .queryName("ijo_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.view_id, r.purchase_val)
+        for r in spark.sql("SELECT view_id, purchase_val FROM ijo_t").collect()
+    )
+    # 100 matched; 101 and 102 emitted null-padded; sentinel 999 matched
+    # its own-key purchase at equal ts
+    assert (100, 5.0) in got
+    assert (101, None) in got
+    assert (102, None) in got
