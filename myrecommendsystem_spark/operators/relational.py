@@ -126,3 +126,27 @@ def streaming_priority_scores(
             4,
         ).alias("priority")
     )
+
+
+def latest_by_key(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Keep each key's most recent row (keep-latest dedup / SCD type-1).
+
+    ``row_number`` over (key, order DESC) = 1: one shuffle on the key,
+    spillable window, never a per-key collect.  A unique ``tiebreak_col``
+    makes equal-timestamp rows deterministic — without it the survivor
+    depends on partition placement (same caveat as top_k_per_group).
+    """
+    order = [F.col(order_col).desc()]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col).desc())
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -64,3 +64,27 @@ def salted_group_count(
         .agg(F.count("*").alias("partial_cnt"))
     )
     return partial.groupBy(*keys).agg(F.sum("partial_cnt").alias("cnt"))
+
+
+def count_distinct_two_phase(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    distinct_col: str,
+) -> DataFrame:
+    """COUNT(DISTINCT x) per key as dedupe-then-count — the hot-key-safe
+    rewrite.
+
+    The direct form keeps every key's full distinct set in one
+    aggregation buffer: a whale key (one user id behind half the events)
+    concentrates its whole set in a single task.  Phase 1 groups by
+    (key, x) — the dedupe shuffle spreads a hot key across as many
+    partitions as it has distinct values, each buffer O(1).  Phase 2
+    counts rows per key — a plain partial/final count.  Same answer,
+    bounded memory per task at any skew.
+    """
+    deduped = df.select(*key_cols, distinct_col).groupBy(
+        *key_cols, distinct_col
+    ).agg(F.lit(1))
+    return deduped.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias(f"n_distinct_{distinct_col}")
+    )

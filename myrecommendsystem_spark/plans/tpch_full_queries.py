@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from myrecommendsystem_spark.functions.compat import round_stable, sql_round_stable
 from myrecommendsystem_spark.io import readers
-from myrecommendsystem_spark.plans.registry import register
+from myrecommendsystem_spark.plans.registry import RATINGS_CTE, register
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -981,3 +981,95 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("n_full_funnel"),
     )
+
+
+@register(
+    "events_latest_per_user",
+    """
+SELECT user_id, event_id, event_type, value
+FROM (
+    SELECT user_id, event_id, event_type, value,
+           row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+           ) AS rn
+    FROM events
+)
+WHERE rn = 1
+ORDER BY user_id
+""",
+    doc="keep-latest dedup / SCD type-1 (operators/relational.py:"
+    "latest_by_key): each user's most recent event via one keyed window "
+    "— one shuffle, spillable, event_id tiebreak for equal timestamps",
+    defer=True,
+)
+def events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myrecommendsystem_spark.operators.relational import latest_by_key
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value", "ts"
+    )
+    return (
+        latest_by_key(ev, ["user_id"], "ts", tiebreak_col="event_id")
+        .select("user_id", "event_id", "event_type", "value")
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "doc_top_terms_global",
+    r"""
+SELECT term, CAST(COUNT(*) AS BIGINT) AS freq
+FROM (
+    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+    FROM documents
+    WHERE length(trim(text)) > 0
+)
+GROUP BY term
+ORDER BY freq DESC, term
+LIMIT 20
+""",
+    doc="global heavy hitters (vocabulary head): explode tokens → "
+    "partial/final count → TakeOrderedAndProject top-20.  The wordcount "
+    "shape with the two scale properties that matter: map-side combine "
+    "collapses each partition's counts before the shuffle, and the "
+    "global top-k never sorts the full vocabulary",
+    defer=True,
+)
+def doc_top_terms_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myrecommendsystem_spark.functions import text as TXT
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    return (
+        docs.select(F.explode(TXT.tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "term")
+        .limit(20)
+    )
+
+
+@register(
+    "events_distinct_products_two_phase",
+    f"""
+WITH {RATINGS_CTE}
+SELECT userId, CAST(COUNT(DISTINCT productId) AS BIGINT)
+           AS n_distinct_productId
+FROM ratings
+GROUP BY userId
+ORDER BY userId
+""",
+    doc="hot-key-safe COUNT(DISTINCT) (operators/skew.py:"
+    "count_distinct_two_phase): dedupe shuffle on (key, value) spreads a "
+    "whale key across partitions with O(1) buffers, then a plain count — "
+    "same answer as the direct distinct aggregate at any skew",
+    defer=True,
+)
+def events_distinct_products_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myrecommendsystem_spark.operators.skew import count_distinct_two_phase
+
+    ratings = readers.events_as_ratings(spark, sf_dir)
+    return count_distinct_two_phase(
+        ratings, ["userId"], "productId"
+    ).orderBy("userId")
