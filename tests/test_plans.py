@@ -300,3 +300,37 @@ def test_global_row_numbers_distributed_shape(spark):
     assert "partial_count" in plan  # offsets side aggregates BEFORE moving
     assert "row_number" not in plan  # no window over the data side
     assert plan.count("InMemoryTableScan") >= 2  # cache serves both passes
+
+
+def test_funnel_is_two_aggregates_no_join(spark):
+    """Funnel sequencing must stay the O(N) conditional-MIN formulation:
+    two aggregation levels over one scan, never an event-pair join."""
+    plan = _executed(spark, "events_funnel_conversion")
+    assert "Join" not in plan
+    assert plan.count("FileScan") == 1
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_two_phase_distinct_no_expand(spark):
+    """The dedupe-then-count rewrite: two partial/final aggregate pairs,
+    no Expand node, no single-task distinct buffer."""
+    plan = _executed(spark, "events_distinct_products_two_phase")
+    assert "Expand" not in plan
+    assert plan.count("HashAggregate") >= 4
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_top_terms_take_ordered(spark):
+    plan = _executed(spark, "doc_top_terms_global")
+    assert "TakeOrderedAndProject" in plan
+    assert "Python" not in plan
+
+
+def test_latest_by_key_single_window_shuffle(spark):
+    """rn=1 keep-latest: one keyed shuffle; Spark's WindowGroupLimit
+    pushes the rank cut below the sort (partial+final pair is fine)."""
+    plan = _executed(spark, "events_latest_per_user")
+    assert "Window" in plan
+    assert "Python" not in plan
+    ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(ex) == 1, ex
