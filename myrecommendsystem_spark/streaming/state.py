@@ -94,3 +94,108 @@ def recent_ratings_state(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_SESS_OUTPUT = (
+    "user_id bigint, session_start bigint, session_end bigint, "
+    "n_events int, sum_value double"
+)
+_SESS_STATE = "start_ms bigint, last_ms bigint, n int, sv double"
+
+
+def sessionize_state(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Gap-based sessionization as CUSTOM keyed state with an event-time
+    timeout — the applyInPandasWithState twin of the built-in
+    ``session_window`` aggregation (streaming/windows.py).
+
+    Why both exist: ``session_window`` handles windowed AGGREGATES; the
+    custom-state form is the extension point for session logic the
+    builtin can't express (per-session sequences, abandonment triggers,
+    model features at close).  This implementation keeps the aggregate
+    semantics so the two are comparable in tests.
+
+    Mechanics: per user, state holds the one OPEN session (start, last,
+    n, sum).  Each batch folds its events (sorted by event time, resumed
+    from state) and splits on gaps: a session followed by a later event
+    in the same fold is closed by that successor and emits immediately;
+    the trailing open session goes back to state with an EVENT-TIME
+    timeout armed at ``last + gap``.  When the WATERMARK passes that
+    point the runtime calls back with ``hasTimedOut`` and it emits.
+    Append-mode output; state volume O(open sessions), bounded by the
+    watermark.  Session timestamps are epoch milliseconds.
+
+    Late-data caveat (documented semantics): an in-delay late event that
+    lands inside a successor-closed session starts a NEW session instead
+    of retro-extending the emitted one — the standard bounded-state
+    tradeoff; the timeout-closed path is exact under the watermark.
+    """
+
+    _empty = {
+        "user_id": pd.Series([], dtype="int64"),
+        "session_start": pd.Series([], dtype="int64"),
+        "session_end": pd.Series([], dtype="int64"),
+        "n_events": pd.Series([], dtype="int32"),
+        "sum_value": pd.Series([], dtype="float64"),
+    }
+
+    def _frame(uid, sessions):
+        return pd.DataFrame(
+            {
+                "user_id": [int(uid)] * len(sessions),
+                "session_start": [int(s[0]) for s in sessions],
+                "session_end": [int(s[1]) for s in sessions],
+                "n_events": [int(s[2]) for s in sessions],
+                "sum_value": [float(s[3]) for s in sessions],
+            }
+        )
+
+    def update(key, pdfs, state: GroupState):
+        (uid,) = key
+        if state.hasTimedOut:
+            start_ms, last_ms, n, sv = state.get
+            state.remove()
+            yield _frame(uid, [(start_ms, last_ms, n, sv)])
+            return
+        events: list[tuple[int, float]] = []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            ms = pdf[ts_col].astype("datetime64[ms]").astype("int64")
+            events.extend(zip(ms, pdf[value_col].astype(float)))
+        events.sort()
+        gap_ms = gap_seconds * 1000
+        cur = list(state.get) if state.exists else None
+        closed: list[tuple[int, int, int, float]] = []
+        for t, v in events:
+            if cur is None:
+                cur = [t, t, 1, v]
+            elif t - cur[1] <= gap_ms:
+                cur[1] = max(cur[1], t)
+                cur[2] += 1
+                cur[3] += v
+            else:
+                closed.append(tuple(cur))
+                cur = [t, t, 1, v]
+        if cur is not None:
+            state.update((int(cur[0]), int(cur[1]), int(cur[2]), float(cur[3])))
+            state.setTimeoutTimestamp(int(cur[1]) + gap_ms)
+        yield _frame(uid, closed) if closed else pd.DataFrame(_empty)
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=_SESS_OUTPUT,
+            stateStructType=_SESS_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import json
 
+from pyspark.sql import functions as F
+
 from myrecommendsystem_spark.streaming.state import recent_ratings_state
 
 SCHEMA = "userId int, productId int, score double, ts long"
@@ -74,3 +76,74 @@ def test_recent_k_state_across_micro_batches(spark, tmp_path):
     assert sorted(by_user[1]) == list(range(9, 26)) + [100, 101, 102]
     assert by_user[2] == [50]
     assert len(by_user[1]) == 20
+
+
+def test_sessionize_state_closes_on_watermark(spark, tmp_path):
+    """Two sessions for user 1 separated by > gap; a later file advances
+    the watermark past session_end + gap so the event-time timeout fires
+    and each session emits exactly once.  maxFilesPerTrigger=1 forces
+    one micro-batch per file (timeouts fire against the PREVIOUS batch's
+    watermark, so single-batch runs emit nothing)."""
+    import json as _json
+
+    from myrecommendsystem_spark.streaming.state import sessionize_state
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    # file 0: session A (10:00-10:05) and session B start (11:00)
+    with open(src / "a.json", "w") as f:
+        for ts, v in [
+            ("2024-01-01 10:00:00", 1.0),
+            ("2024-01-01 10:05:00", 2.0),
+            ("2024-01-01 11:00:00", 4.0),
+        ]:
+            f.write(_json.dumps({"user_id": 1, "ts": ts, "value": v}) + "\n")
+    # file 1: watermark pusher far past 11:00 + gap + watermark delay
+    with open(src / "b.json", "w") as f:
+        f.write(
+            _json.dumps(
+                {"user_id": 99, "ts": "2024-01-02 00:00:00", "value": 0.0}
+            )
+            + "\n"
+        )
+    # file 2: one more batch so file 1's watermark takes effect
+    with open(src / "c.json", "w") as f:
+        f.write(
+            _json.dumps(
+                {"user_id": 98, "ts": "2024-01-02 00:00:01", "value": 0.0}
+            )
+            + "\n"
+        )
+
+    stream = (
+        spark.readStream.schema("user_id bigint, ts string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    q = (
+        sessionize_state(stream, gap_seconds=1800, watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("sess_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM sess_t").collect()
+    }
+
+    def ms(s):
+        import datetime as dt
+
+        return int(
+            dt.datetime.fromisoformat(s).replace(tzinfo=dt.timezone.utc).timestamp()
+            * 1000
+        )
+
+    a_key = (1, ms("2024-01-01 10:00:00"), ms("2024-01-01 10:05:00"))
+    b_key = (1, ms("2024-01-01 11:00:00"), ms("2024-01-01 11:00:00"))
+    assert a_key in rows and rows[a_key] == (2, 3.0)
+    assert b_key in rows and rows[b_key] == (1, 4.0)
