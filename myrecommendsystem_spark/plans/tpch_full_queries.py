@@ -1073,3 +1073,113 @@ def events_distinct_products_two_phase(spark: SparkSession, sf_dir: str) -> Data
     return count_distinct_two_phase(
         ratings, ["userId"], "productId"
     ).orderBy("userId")
+
+
+@register(
+    "events_value_quantiles_by_type",
+    f"""
+SELECT event_type,
+       {sql_round_stable('quantile_cont(value, 0.5)', 4)} AS p50,
+       {sql_round_stable('quantile_cont(value, 0.9)', 4)} AS p90,
+       {sql_round_stable('quantile_cont(value, 0.99)', 4)} AS p99
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    doc="grouped EXACT interpolated quantiles (F.percentile ≡ SQL "
+    "quantile_cont — same linear-interpolation definition in both "
+    "engines, so this is hash-gateable where the HLL/GK approx variants "
+    "are not).  Exact percentile buffers each group's values — the "
+    "approx_percentile twin (approx_distinct_users) is the documented "
+    "100 TB default; this is the small-group/high-accuracy tool",
+    defer=True,
+)
+def events_value_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            round_stable(F.percentile("value", 0.5), 4).alias("p50"),
+            round_stable(F.percentile("value", 0.9), 4).alias("p90"),
+            round_stable(F.percentile("value", 0.99), 4).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "lineitem_measures_unpivot",
+    f"""
+SELECT measure,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {sql_round_stable('SUM(val)', 2)} AS total,
+       {sql_round_stable('AVG(val)', 4)} AS mean
+FROM (
+    SELECT * FROM (
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+               l_discount
+        FROM lineitem
+    )
+    UNPIVOT (val FOR measure IN (l_quantity, l_extendedprice, l_discount))
+)
+GROUP BY measure
+ORDER BY measure
+""",
+    doc="UNPIVOT/melt (the pivot inverse): wide measures to long "
+    "(measure, value) rows — Spark lowers unpivot to a single Expand "
+    "(one scan, rows×measures output), then a 3-row aggregate.  The "
+    "long-form shape feeds generic per-metric pipelines without "
+    "per-column plumbing",
+    defer=True,
+)
+def lineitem_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount",
+    )
+    long = li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return (
+        long.groupBy("measure")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            round_stable(F.sum("val"), 2).alias("total"),
+            round_stable(F.avg("val"), 4).alias("mean"),
+        )
+        .orderBy("measure")
+    )
+
+
+@register(
+    "user_event_type_profile",
+    """
+SELECT user_id,
+       string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS profile,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+    doc="ordered string aggregation (LISTAGG): each user's distinct event "
+    "types as a canonical CSV — collect_set + array_sort + array_join on "
+    "the Spark side (deterministic: sorted before join, so both engines "
+    "produce identical strings).  The profile-feature shape for "
+    "segmentation joins",
+    defer=True,
+)
+def user_event_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("event_type")), ","
+            ).alias("profile"),
+            F.count_distinct("event_type").alias("n_types"),
+        )
+        .orderBy("user_id")
+    )
