@@ -1183,3 +1183,57 @@ def user_event_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_hourly_gapfill",
+    f"""
+WITH obs AS (
+    SELECT event_type, date_trunc('hour', ts) AS bucket,
+           {sql_round_stable('SUM(value)', 2)} AS val
+    FROM events GROUP BY event_type, date_trunc('hour', ts)
+), bounds AS (
+    SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi
+    FROM obs GROUP BY event_type
+), grid AS (
+    SELECT event_type,
+           unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+    FROM bounds
+)
+SELECT g.event_type,
+       strftime(g.bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+       o.val,
+       last_value(o.val IGNORE NULLS) OVER (
+           PARTITION BY g.event_type ORDER BY g.bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS val_ffill,
+       CAST(CASE WHEN o.val IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_gap
+FROM grid g
+LEFT JOIN obs o ON o.event_type = g.event_type AND o.bucket = g.bucket
+ORDER BY g.event_type, g.bucket
+""",
+    doc="time-series regularization (operators/timeseries.py): dense "
+    "hourly grid per event_type via sequence+explode (JVM-side, never a "
+    "driver loop), observed sums left-joined on, gaps forward-filled "
+    "with last(ignorenulls) over a streaming ROWS frame.  Sum rounded "
+    "BEFORE the fill so both engines carry identical values",
+    defer=True,
+)
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myrecommendsystem_spark.operators.timeseries import resample_ffill
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts", "value")
+    out = resample_ffill(
+        ev,
+        key_col="event_type",
+        ts_col="ts",
+        agg_expr=round_stable(F.sum("value"), 2),
+        step="1 hour",
+    )
+    return out.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "val",
+        "val_ffill",
+        "is_gap",
+    ).orderBy("event_type", "bucket")
