@@ -88,3 +88,20 @@ def sample_stratified(
         .filter(hash_key(F.col(key), salt) < F.col("__cut"))
         .drop("__cut")
     )
+
+
+def kfold_assignment(
+    df: DataFrame, key: str, k: int = 5, salt: str = "fold"
+) -> DataFrame:
+    """Append a deterministic ``fold`` ∈ [0, k) — whole-key k-fold CV
+    splits.
+
+    fold = first-8-hex-chars(md5(salt ++ key)) mod k: a pure function of
+    the DATA, so the same row lands in the same fold on any engine, any
+    partitioning, any run — the reproducibility `randomSplit` can't give
+    — and every key's rows stay together (fold-disjoint histories).
+    Uniformity inherits from md5; salt decorrelates from the
+    train/eval-split coordinate.
+    """
+    coord = F.conv(hash_key(F.col(key), salt), 16, 10).cast("long")
+    return df.withColumn("fold", (coord % k).cast("int"))

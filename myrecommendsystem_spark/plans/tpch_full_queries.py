@@ -1237,3 +1237,41 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "val_ffill",
         "is_gap",
     ).orderBy("event_type", "bucket")
+
+
+@register(
+    "ratings_kfold_sizes",
+    f"""
+WITH {RATINGS_CTE},
+folded AS (
+    SELECT userId,
+           CAST(CAST(('0x' || substring(md5('fold' || CAST(userId AS VARCHAR)), 1, 8)) AS BIGINT) % 5 AS INTEGER) AS fold
+    FROM ratings
+)
+SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT userId) AS BIGINT) AS n_users
+FROM folded
+GROUP BY fold
+ORDER BY fold
+""",
+    doc="deterministic whole-key k-fold assignment (operators/sampling.py:"
+    "kfold_assignment): fold = md5(salt++key)[:8] mod k — a pure function "
+    "of the data, identical on any engine/partitioning/run (the "
+    "reproducibility randomSplit can't give), with each user's history "
+    "fold-complete.  Hash-gated: DuckDB reproduces the md5 arithmetic "
+    "exactly",
+    defer=True,
+)
+def ratings_kfold_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myrecommendsystem_spark.operators.sampling import kfold_assignment
+
+    ratings = readers.events_as_ratings(spark, sf_dir)
+    folded = kfold_assignment(ratings, "userId", k=5)
+    return (
+        folded.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("userId").alias("n_users"),
+        )
+        .orderBy("fold")
+    )

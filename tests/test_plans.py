@@ -334,3 +334,20 @@ def test_latest_by_key_single_window_shuffle(spark):
     assert "Python" not in plan
     ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
     assert len(ex) == 1, ex
+
+
+def test_unpivot_is_single_expand_single_scan(spark):
+    plan = _executed(spark, "lineitem_measures_unpivot")
+    assert plan.count("Expand") == 1
+    assert plan.count("FileScan") == 1
+    assert "Python" not in plan
+
+
+def test_gapfill_no_cartesian_no_python(spark):
+    """grid × obs must stay an equi join on (key, bucket); the sequence
+    explode is a Generate node, not a nested-loop join."""
+    plan = _executed(spark, "events_hourly_gapfill")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate" in plan
+    assert "Python" not in plan
