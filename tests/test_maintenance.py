@@ -113,3 +113,54 @@ def test_hll_union_of_slices_equals_direct(spark, sf_dir):
     for k in m:
         assert m[k] == d[k][0], f"merge not lossless for {k}"
         assert abs(m[k] - d[k][1]) / d[k][1] < 0.05
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),
+            st.floats(
+                min_value=-1e6,
+                max_value=1e6,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    cut=st.integers(min_value=0, max_value=59),
+)
+def test_merge_states_property(spark, vals, cut):
+    """merge(state(A), state(B)) ≡ state(A ∪ B) for ANY split point —
+    the monoid law the incremental design rests on, checked on random
+    data instead of one fixture."""
+    cut = min(cut, len(vals))
+    df = spark.createDataFrame(vals, "k int, v double")
+    a = spark.createDataFrame(vals[:cut] or [(99, 0.0)], "k int, v double")
+    b = spark.createDataFrame(vals[cut:] or [(99, 0.0)], "k int, v double")
+    # the sentinel key 99 never appears in real rows (keys ≤ 4)
+    full = {
+        r.k: r
+        for r in INC.aggregate_state(df, ["k"], "v").collect()
+    }
+    merged = {
+        r.k: r
+        for r in INC.merge_states(
+            INC.aggregate_state(a, ["k"], "v"),
+            INC.aggregate_state(b, ["k"], "v"),
+            ["k"],
+        )
+        .filter(F.col("k") != 99)
+        .collect()
+    }
+    assert full.keys() == merged.keys()
+    for k in full:
+        assert full[k].cnt == merged[k].cnt
+        assert full[k].mn == merged[k].mn
+        assert full[k].mx == merged[k].mx
+        assert abs(full[k].s - merged[k].s) <= 1e-6 * max(1.0, abs(full[k].s))
