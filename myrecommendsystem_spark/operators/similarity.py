@@ -357,3 +357,31 @@ def ivf_topk(
         scored.withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= k)
     )
+
+
+def embedding_dedup_survivors(
+    df: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "auto",
+) -> DataFrame:
+    """Rows surviving transitive embedding-cosine dedup (min-id per
+    cluster) — the vector-space twin of ``dedup.dedup_near_survivors``.
+
+    Pipeline: cosine near-dup pairs (auto-routed exact/IVF, see
+    :func:`near_duplicate_pairs`) → connected components → keep one
+    representative per component plus every unpaired row.  Transitive:
+    a≈b≈c collapses to one survivor even when cos(a, c) < threshold —
+    the same closure semantics pretraining dedup uses for text.
+    """
+    from myrecommendsystem_spark.operators.dedup import connected_components
+
+    pairs = near_duplicate_pairs(
+        df, threshold=threshold, id_col=id_col, vec_col=vec_col, method=method
+    )
+    comps = connected_components(pairs)
+    drop = comps.filter(F.col("comp") != F.col("id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")

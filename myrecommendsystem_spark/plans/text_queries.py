@@ -590,3 +590,21 @@ def embedding_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@register(
+    "embedding_dedup_survivors",
+    None,  # transitive closure over cosine pairs — rows-only (the pair
+    # stage embedding_near_dup_pairs IS oracle-gated; closure semantics
+    # pinned by test_embedding_survivors_transitive)
+    doc="vector-space dedup survivors: cosine near-dup pairs (auto "
+    "exact/IVF) → connected components → min-id representative per "
+    "cluster + all unpaired rows.  The embedding twin of "
+    "dedup_minhash_survivors, completing the dedup family: exact / "
+    "MinHash / SimHash / n-gram Jaccard / embedding all end in the same "
+    "survivor contract",
+)
+def q_embedding_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    out = similarity.embedding_dedup_survivors(emb, threshold=0.35)
+    return out.select("vec_id", "label").orderBy("vec_id")

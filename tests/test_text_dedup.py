@@ -325,3 +325,21 @@ def test_fused_bands_and_shingles_matches_separate_kernels(spark, sf_dir):
     f = {r.doc_id: (list(r.s.bands), sorted(r.s.sh)) for r in fused}
     s = {r.doc_id: (list(r.bands), sorted(r.sh)) for r in sep}
     assert f == s
+
+
+def test_embedding_survivors_transitive(spark):
+    """a≈b≈c with cos(a,c) BELOW threshold must still collapse to one
+    survivor (transitive closure), while an unrelated vector survives."""
+    import math
+
+    from myrecommendsystem_spark.operators import similarity as sim_mod
+
+    def vec(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)]
+
+    rows = [(0, vec(0)), (1, vec(30)), (2, vec(60)), (3, vec(180))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # threshold 0.85: adjacent pairs (cos30 ≈ 0.866) link, a-c (cos60 = 0.5) doesn't
+    out = sim_mod.embedding_dedup_survivors(df, threshold=0.85)
+    assert sorted(r.vec_id for r in out.collect()) == [0, 3]
