@@ -105,3 +105,22 @@ def kfold_assignment(
     """
     coord = F.conv(hash_key(F.col(key), salt), 16, 10).cast("long")
     return df.withColumn("fold", (coord % k).cast("int"))
+
+
+def sample_weighted(
+    df: DataFrame, key: str, weight_col, salt: str = "wsample"
+) -> DataFrame:
+    """Per-row weighted Bernoulli keep, deterministic: row survives iff
+    its hash coordinate (md5(salt ++ key) → uniform [0,1)) is below its
+    weight.
+
+    The data-mixture primitive: upweight/downweight sources by giving
+    each row a keep probability (weights > 1 always keep), and the
+    decision is a pure function of (salt, key) — reruns, engines, and
+    repartitions all agree, and disjoint salts give independent draws.
+    Expected kept fraction per stratum = mean(weight clamped to [0,1]).
+    """
+    coord = F.conv(hash_key(F.col(key), salt), 16, 10).cast("double") / F.lit(
+        float(1 << 32)
+    )
+    return df.filter(coord < weight_col)

@@ -1275,3 +1275,42 @@ def ratings_kfold_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+@register(
+    "events_weighted_sample",
+    f"""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       {sql_round_stable('SUM(value)', 2)} AS kept_value
+FROM (
+    SELECT event_type, value
+    FROM events
+    WHERE CAST(CAST(('0x' || substring(md5('wsample' || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0
+          < (CASE event_type WHEN 'error' THEN 0.05 ELSE 0.5 END)
+)
+GROUP BY event_type
+ORDER BY event_type
+""",
+    doc="deterministic weighted sampling (operators/sampling.py:"
+    "sample_weighted) — the data-mixture primitive: per-row keep "
+    "probability from a weight expression (here: downsample 'error' "
+    "events 10× vs the rest), decided by a pure md5 function of the row "
+    "key so engines/reruns/repartitions agree exactly.  Hash-gated: "
+    "DuckDB reproduces the md5 coordinate arithmetic",
+    defer=True,
+)
+def events_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myrecommendsystem_spark.operators.sampling import sample_weighted
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    weight = F.when(F.col("event_type") == "error", 0.05).otherwise(0.5)
+    kept = sample_weighted(ev, "event_id", weight)
+    return (
+        kept.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            round_stable(F.sum("value"), 2).alias("kept_value"),
+        )
+        .orderBy("event_type")
+    )
