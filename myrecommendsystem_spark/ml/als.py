@@ -35,13 +35,27 @@ def train_als(
     max_iter: int = 5,
     reg_param: float = 0.01,
     seed: int = 42,
+    num_blocks: int | None = None,
 ) -> ALSModel:
     """M1: explicit-feedback ALS with the reference's production config.
 
     ``coldStartStrategy="drop"`` makes downstream RMSE well-defined on
     hold-out users (the reference's join-based RMSE silently drops
     unmatched pairs too, ALSTrainer.scala:68-72).
+
+    ``num_blocks`` (user AND item blocks): ALS defaults to one block per
+    task slot, but block count should track DATA volume, not slot count —
+    every one of the 2·maxIter alternations shuffles between all block
+    pairs, and on a small relation 32 blocks is pure scheduling/shuffle
+    overhead (measured 11.7 s → 1.3 s for the identical 100k-rating fit
+    at 32 → 4 blocks on local[32]).  Auto (None): ~125k ratings per
+    block, clamped to [4, defaultParallelism] — large inputs still fan
+    out to every slot; the sizing count() is one cheap job.
     """
+    if num_blocks is None:
+        n = ratings.count()
+        par = ratings.sparkSession.sparkContext.defaultParallelism
+        num_blocks = max(4, min(par, -(-n // 125_000)))
     als = ALS(
         rank=rank,
         maxIter=max_iter,
@@ -52,6 +66,8 @@ def train_als(
         seed=seed,
         coldStartStrategy="drop",
         implicitPrefs=False,
+        numUserBlocks=num_blocks,
+        numItemBlocks=num_blocks,
     )
     return als.fit(ratings.select("userId", "productId", "score"))
 

@@ -38,6 +38,13 @@ def grid_search_als(
     DataFrame form of the reference's driver-side ``result.sortBy(_._3)``
     (ALSTrainer.scala:61-62).
     """
+    # block count tracks data volume, not slot count — same sizing (and
+    # rationale) as ml.als.train_als; with parallelism=4 grid fits running
+    # concurrently the per-fit overhead multiplies, so this matters MORE
+    # here than in the single-fit path.
+    n = ratings.count()
+    par = ratings.sparkSession.sparkContext.defaultParallelism
+    blocks = max(4, min(par, -(-n // 125_000)))
     als = ALS(
         userCol="userId",
         itemCol="productId",
@@ -45,6 +52,8 @@ def grid_search_als(
         maxIter=max_iter,
         seed=seed,
         coldStartStrategy="drop",
+        numUserBlocks=blocks,
+        numItemBlocks=blocks,
     )
     grid = (
         ParamGridBuilder()
