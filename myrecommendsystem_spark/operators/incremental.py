@@ -67,3 +67,48 @@ def finalize_stats(state: DataFrame, keys: Sequence[str]) -> DataFrame:
         F.col("mx").alias("vmax"),
         (F.col("s") / F.col("cnt")).alias("vavg"),
     )
+
+
+def diff_tables(
+    a: DataFrame,
+    b: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """CDC-style table diff a→b: (keys…, status ∈ added|removed|changed).
+
+    One full-outer hash join on the key; row status from null-side checks
+    and column comparison (null-safe ``eqNullSafe``).  Unchanged rows are
+    filtered OUT — at 100 TB the diff of consecutive snapshots is tiny
+    relative to the tables, and emitting only the delta is what makes
+    snapshot-diff pipelines (audit, incremental downstream refresh)
+    affordable.  The join shuffles both sides once on the key — bucketed
+    layouts (io/writers.py) remove even that for repeated diffs.
+    """
+    bb = b
+    for c in [*keys, *compare_cols]:
+        bb = bb.withColumnRenamed(c, f"_b_{c}")
+    cond = None
+    for k in keys:
+        e = F.col(k) == F.col(f"_b_{k}")
+        cond = e if cond is None else (cond & e)
+    j = a.join(bb, cond, "full_outer")
+    a_missing = F.col(keys[0]).isNull()
+    b_missing = F.col(f"_b_{keys[0]}").isNull()
+    same = None
+    for c in compare_cols:
+        e = F.col(c).eqNullSafe(F.col(f"_b_{c}"))
+        same = e if same is None else (same & e)
+    status = (
+        F.when(a_missing, F.lit("added"))
+        .when(b_missing, F.lit("removed"))
+        .when(~same, F.lit("changed"))
+    )
+    out_keys = [
+        F.coalesce(F.col(k), F.col(f"_b_{k}")).alias(k) for k in keys
+    ]
+    return (
+        j.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select(*out_keys, "status")
+    )

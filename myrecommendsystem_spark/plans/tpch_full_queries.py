@@ -1314,3 +1314,54 @@ def events_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "orders_snapshot_diff",
+    """
+WITH v1 AS (
+    SELECT o_orderkey AS k, o_totalprice AS v FROM orders
+), v2 AS (
+    SELECT o_orderkey AS k,
+           o_totalprice
+             + CASE WHEN o_orderkey % 101 = 0 THEN 10.0 ELSE 0.0 END AS v
+    FROM orders WHERE o_orderkey % 97 <> 0
+    UNION ALL
+    SELECT o_orderkey + 10000000 AS k, o_totalprice AS v
+    FROM orders WHERE o_orderkey % 103 = 0
+)
+SELECT COALESCE(v1.k, v2.k) AS k,
+       CASE WHEN v1.k IS NULL THEN 'added'
+            WHEN v2.k IS NULL THEN 'removed'
+            WHEN v1.v IS DISTINCT FROM v2.v THEN 'changed'
+       END AS status
+FROM v1 FULL JOIN v2 ON v1.k = v2.k
+WHERE (CASE WHEN v1.k IS NULL THEN 'added'
+            WHEN v2.k IS NULL THEN 'removed'
+            WHEN v1.v IS DISTINCT FROM v2.v THEN 'changed'
+       END) IS NOT NULL
+ORDER BY k
+""",
+    doc="CDC-style snapshot diff (operators/incremental.py:diff_tables): "
+    "v2 derives deterministically from orders (every 97th key removed, "
+    "every 101st price changed, every 103rd re-keyed as an add) and the "
+    "diff emits ONLY the delta — one full-outer hash join on the key, "
+    "null-side checks + null-safe column comparison.  The "
+    "audit/incremental-refresh primitive",
+    defer=True,
+)
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myrecommendsystem_spark.operators.incremental import diff_tables
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("v")
+    )
+    changed = orders.filter(F.col("k") % 97 != 0).withColumn(
+        "v",
+        F.col("v") + F.when(F.col("k") % 101 == 0, 10.0).otherwise(0.0),
+    )
+    added = orders.filter(F.col("k") % 103 == 0).withColumn(
+        "k", F.col("k") + 10_000_000
+    )
+    v2 = changed.unionByName(added)
+    return diff_tables(orders, v2, keys=["k"], compare_cols=["v"]).orderBy("k")
