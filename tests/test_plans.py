@@ -351,3 +351,13 @@ def test_gapfill_no_cartesian_no_python(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Generate" in plan
     assert "Python" not in plan
+
+
+def test_snapshot_diff_full_outer_hash_join(spark):
+    """The diff's FULL OUTER join must stay a hash/sort-merge join on the
+    key — never a nested loop — and the whole path is Python-free."""
+    plan = _executed(spark, "orders_snapshot_diff")
+    assert "FullOuter" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
