@@ -41,7 +41,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_engine_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _NANOS_TS_COLS.get(name, ()):
-        df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+        # Only rebuild when the file actually stores TIMESTAMP(NANOS) (read
+        # back as int64 under nanosAsLong).  Newer testdata generations write
+        # plain timestamp[us], which arrives as TimestampType already.
+        if isinstance(df.schema[col].dataType, T.LongType):
+            df = df.withColumn(
+                col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
+            )
     return df
 
 
