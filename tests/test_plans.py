@@ -361,3 +361,13 @@ def test_snapshot_diff_full_outer_hash_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Python" not in plan
+
+
+def test_driver_window_rotation_is_exact_prefix():
+    """The round-3 rotation must (a) name only real queries, (b) fill the
+    driver's 50-entry window exactly, and (c) be the literal prefix of
+    all_queries() — a regression here silently un-verifies queries."""
+    names = [s.name for s in registry._ordered()]
+    assert len(registry._DRIVER_WINDOW_R3) == 50
+    assert names[:50] == registry._DRIVER_WINDOW_R3
+    assert len(names) == len(set(names))
