@@ -68,6 +68,14 @@ HEADLINE: tuple[str, ...] = (
     "ann_topk_ivf",
     "embedding_near_dup_ivf",
     "media_metadata",
+    # corpus hygiene + MIPS + SQL surface (round-3 extensions)
+    "doc_decontamination",
+    "doc_repetition_signals",
+    "dedup_cross_corpus",
+    "mips_topk_dot",
+    "ann_topk_pq",
+    "orders_ntile_deciles",
+    "revenue_grouping_sets",
 )
 
 

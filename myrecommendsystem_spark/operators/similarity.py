@@ -102,6 +102,46 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_dot(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact maximum-inner-product top-k per query (MIPS):
+    (query_id, vec_id, dot, rnk).
+
+    The retrieval scoring twin of :func:`brute_force_topk`: raw dot
+    product, NO normalization — recommendation / retrieval models score
+    by inner product, where magnitude carries popularity/confidence and
+    cosine would erase it.  Same scale shape: query side broadcast, the
+    corpus never shuffles, per-query top-k via window.  (The classic
+    MIPS-to-cosine norm-trick reduction — append sqrt(M²-|x|²) as an
+    extra coordinate — matters when feeding an angular ANN index; the
+    exact baseline scores directly.)
+    """
+    v = lambda c: F.col(c).cast("array<double>")  # noqa: E731
+    c = widen_for_kernel(corpus).select(
+        F.col(id_col).alias("vec_id"), v(vec_col).alias("cv")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), v(vec_col).alias("qv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            round_stable(_dot(F.col("cv"), F.col("qv")), 4).alias("dot"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dot").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
 def near_duplicate_pairs(
     df: DataFrame,
     threshold: float = 0.35,
@@ -385,3 +425,205 @@ def embedding_dedup_survivors(
         F.col("id").alias(id_col)
     )
     return df.join(drop, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed-domain ANN
+# ---------------------------------------------------------------------------
+
+
+def fit_pq_codebooks(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_train: int = 100_000,
+) -> np.ndarray:
+    """Train PQ codebooks → (m, k, d/m) float64.
+
+    Product quantization (Jégou et al., PAMI 2011): split each UNIT
+    vector into ``m`` subvectors and k-means each subspace independently;
+    a vector is then stored as ``m`` uint8 codes — at d=64, m=8 that is
+    8 bytes instead of 256, a 32× memory cut, which is what lets a
+    100 TB-scale index keep its vectors in executor memory.  Same
+    training discipline as :func:`fit_ivf_centroids`: bounded
+    deterministic sample, driver-local numpy Lloyd — O(1) in corpus
+    size; encoding and search stay fully distributed.
+    """
+    raw = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    n = raw.count()
+    if n > max_train:
+        from myrecommendsystem_spark.operators.sampling import sample_fraction
+
+        raw = sample_fraction(raw, "id", max_train / n, salt="pq")
+    mat = np.array([r.vec for r in raw.collect()], dtype=np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    d = mat.shape[1]
+    assert d % m == 0, f"dim {d} not divisible by m={m}"
+    sub = d // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, k, sub))
+    for j in range(m):
+        x = mat[:, j * sub : (j + 1) * sub]
+        cent = x[rng.choice(len(x), size=k, replace=len(x) < k)]
+        for _ in range(20):
+            d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            new = np.array(
+                [
+                    x[assign == c].mean(axis=0) if (assign == c).any() else cent[c]
+                    for c in range(k)
+                ]
+            )
+            if np.allclose(new, cent, atol=1e-8):
+                cent = new
+                break
+            cent = new
+        books[j] = cent
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>) — each vector's m nearest-subcentroid ids.
+
+    One fused Arrow pass (normalize + per-subspace argmin), no shuffle —
+    the same kernel discipline as :func:`ivf_assign`.  Codes are the
+    ONLY thing downstream search shuffles or caches.
+    """
+    m, k, sub = codebooks.shape
+
+    def kernel(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            if len(ids) == 0:
+                continue
+            x = np.array(list(pdf["vec"]), dtype=np.float64)
+            x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            codes = np.empty((len(ids), m), dtype=np.int32)
+            for j in range(m):
+                xs = x[:, j * sub : (j + 1) * sub]
+                d2 = ((xs[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame({"id": ids, "codes": list(codes)})
+
+    raw = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    return raw.mapInPandas(kernel, "id long, codes array<int>")
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    m: int = 8,
+    k_codes: int = 16,
+    k: int = 5,
+    rerank: int | None = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k via PQ asymmetric distance (ADC) with
+    exact re-ranking: (query_id, vec_id, score, rnk) — queries stay
+    EXACT vectors, the corpus is scanned as its 8-byte codes.
+
+    Stage 1 (compressed domain): per Arrow batch, one (Q, m, k) lookup
+    table of query-subvector · subcentroid inner products; each corpus
+    row's ADC score is m table lookups summed — no vector
+    reconstruction, no full-dim dot.  The corpus never shuffles.
+
+    Stage 2 (re-rank, the standard IVF-PQ deployment shape): the ADC
+    top-``rerank`` shortlist per query (a few hundred ids) is broadcast
+    back against the corpus to score EXACT cosine on true vectors, and
+    the final top-k ranks on that.  ADC alone ranks coarsely — rows
+    sharing codes tie — so production PQ always re-ranks a shortlist;
+    ``rerank=None`` returns the raw compressed-domain ranking.  Recall
+    vs brute force asserted in tests (same contract as IVF).
+    """
+    books = fit_pq_codebooks(
+        corpus, m=m, k=k_codes, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    codes = pq_encode(corpus, books, id_col, vec_col)
+
+    q_rows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("vec")
+    ).collect()  # query sets are small by contract (same as brute force)
+    q_ids = np.array([r.qid for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r.vec for r in q_rows], dtype=np.float64)
+    q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
+    mm, kk, sub = books.shape
+    # (Q, m, k): table[q, j, c] = q_sub_j · centroid_{j,c}
+    table = np.einsum(
+        "qjs,jcs->qjc", q_mat.reshape(len(q_ids), mm, sub), books
+    )
+    spark = corpus.sparkSession
+    b_table = spark.sparkContext.broadcast(table)
+    b_qids = spark.sparkContext.broadcast(q_ids)
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            if len(ids) == 0:
+                continue
+            c = np.array(list(pdf["codes"]), dtype=np.int64)  # (B, m)
+            t = b_table.value  # (Q, m, k)
+            # scores[b, q] = sum_j t[q, j, c[b, j]]: gather per-subspace
+            # rows from the (m, k, Q) view, then sum subspaces
+            s = t.transpose(1, 2, 0)[np.arange(mm)[None, :], c, :].sum(axis=1)
+            nb, nq = s.shape
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(ids, nq),
+                    "query_id": np.tile(b_qids.value, nb),
+                    "score": np.round(s.reshape(-1), 4),
+                }
+            )
+
+    scored = codes.mapInPandas(
+        score, "vec_id long, query_id long, score double"
+    ).filter(F.col("vec_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id")
+    )
+    if rerank is None:
+        return (
+            scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+            .filter(F.col("rnk") <= k)
+        )
+
+    shortlist = (
+        scored.withColumn("adc_rnk", F.row_number().over(w))
+        .filter(F.col("adc_rnk") <= max(rerank, k))
+        .select("query_id", "vec_id")
+    )
+    # exact re-rank: shortlist (Q × rerank rows) broadcast against the
+    # corpus — one more corpus scan, zero corpus shuffle; true-vector
+    # cosine via the same frozen zip_with/aggregate expression the
+    # oracle-gated brute force uses
+    cu = as_unit_vectors(corpus, id_col, vec_col).withColumnsRenamed(
+        {"id": "vec_id", "unit": "cu"}
+    )
+    qu = as_unit_vectors(queries, id_col, vec_col).withColumnsRenamed(
+        {"id": "query_id", "unit": "qu"}
+    )
+    exact = (
+        cu.join(F.broadcast(shortlist), "vec_id")
+        .join(F.broadcast(qu), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            round_stable(_dot(F.col("cu"), F.col("qu")), 4).alias("score"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id")
+    )
+    return (
+        exact.withColumn("rnk", F.row_number().over(w2).cast("int"))
+        .filter(F.col("rnk") <= k)
+    )

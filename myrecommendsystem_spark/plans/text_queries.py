@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from myrecommendsystem_spark.functions import text as TXT
 from myrecommendsystem_spark.functions.compat import round_stable, sql_round_stable
 from myrecommendsystem_spark.io import readers
-from myrecommendsystem_spark.operators import dedup, similarity
+from myrecommendsystem_spark.operators import corpus_quality, dedup, similarity
 from myrecommendsystem_spark.plans.registry import register
 
 
@@ -608,3 +608,191 @@ def q_embedding_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     out = similarity.embedding_dedup_survivors(emb, threshold=0.35)
     return out.select("vec_id", "label").orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Corpus hygiene: decontamination / repetition / cross-corpus dedup (round 3)
+# ---------------------------------------------------------------------------
+
+# DuckDB twin of functions.text.shingles (3-gram, short-doc fallback) —
+# the same CTE shape dedup_ngram_jaccard's oracle uses.
+_SHINGLES_CTE = r"""
+toks AS (
+    SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+    FROM documents
+),
+sh AS (
+    SELECT doc_id,
+           list_distinct([array_to_string(t[i:i+2], ' ')
+                          for i in generate_series(1, greatest(len(t)-2, 1))])
+               AS g
+    FROM toks
+)
+""".strip()
+
+
+@register(
+    "doc_decontamination",
+    rf"""
+WITH {_SHINGLES_CTE},
+bench AS (
+    SELECT DISTINCT unnest(g) AS gram FROM sh WHERE doc_id % 97 = 0
+),
+train AS (
+    SELECT doc_id, unnest(g) AS gram FROM sh WHERE doc_id % 97 != 0
+),
+agg AS (
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS INTEGER) AS n_grams,
+           CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+                AS INTEGER) AS n_hits
+    FROM train t LEFT JOIN bench b USING (gram)
+    GROUP BY t.doc_id
+)
+SELECT doc_id, n_grams, n_hits,
+       {sql_round_stable(
+           'CASE WHEN n_grams = 0 THEN 0.0 '
+           'ELSE n_hits / CAST(n_grams AS DOUBLE) END', 4)} AS contamination
+FROM agg
+""",
+    doc="benchmark decontamination (GPT-3/PaLM-style n-gram filter): "
+    "documents with doc_id %% 97 = 0 stand in for the eval suite; every "
+    "training doc reports how many of its distinct 3-gram shingles occur "
+    "anywhere in that set.  Benchmark grams broadcast; corpus never "
+    "shuffles for the probe",
+    defer=True,
+)
+def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return corpus_quality.ngram_contamination(train, bench, n=3)
+
+
+@register(
+    "doc_repetition_signals",
+    rf"""
+WITH toks AS (
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                ELSE regexp_split_to_array(lower(trim(text)), '\s+')
+                END AS t
+    FROM documents
+),
+g AS (
+    SELECT doc_id, t,
+           CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+                ELSE [array_to_string(t[i:i+2], ' ')
+                      for i in generate_series(1, len(t)-2)] END AS tri,
+           CASE WHEN len(t) < 2 THEN []::VARCHAR[]
+                ELSE [array_to_string(t[i:i+1], ' ')
+                      for i in generate_series(1, len(t)-1)] END AS bi
+    FROM toks
+),
+bic AS (
+    SELECT doc_id, gram, COUNT(*) AS cnt
+    FROM (SELECT doc_id, unnest(bi) AS gram FROM g)
+    GROUP BY doc_id, gram
+),
+bia AS (
+    SELECT doc_id, MAX(cnt) AS top_cnt, SUM(cnt) AS n_bi
+    FROM bic GROUP BY doc_id
+)
+SELECT g.doc_id,
+       CAST(len(t) AS INTEGER) AS n_words,
+       {sql_round_stable(
+           'CASE WHEN len(t) <= 0 THEN 0.0 '
+           'ELSE len(list_distinct(t)) / CAST(len(t) AS DOUBLE) END', 4)}
+           AS distinct_word_ratio,
+       {sql_round_stable(
+           'CASE WHEN len(tri) <= 0 THEN 0.0 '
+           'ELSE (len(tri) - len(list_distinct(tri))) '
+           '/ CAST(len(tri) AS DOUBLE) END', 4)} AS dup_trigram_frac,
+       {sql_round_stable(
+           'CASE WHEN COALESCE(n_bi, 0) <= 0 THEN 0.0 '
+           'ELSE COALESCE(top_cnt, 0) / CAST(n_bi AS DOUBLE) END', 4)}
+           AS top_bigram_frac
+FROM g LEFT JOIN bia USING (doc_id)
+""",
+    doc="Gopher-style repetition signals: distinct-word ratio and "
+    "duplicate-trigram fraction as pure array expressions on the scan; "
+    "top-bigram share via (doc_id, gram) → doc_id two-level aggregate",
+    defer=True,
+)
+def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_quality.repetition_signals(_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_cross_corpus",
+    """
+WITH ref AS (
+    SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+        AS fp
+    FROM documents WHERE source = 'src0'
+)
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE source != 'src0'
+  AND md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+      NOT IN (SELECT fp FROM ref)
+""",
+    doc="cross-corpus dedup (incremental-ingestion): new docs (source != "
+    "src0) survive only if their normalized-text md5 is absent from the "
+    "reference corpus (src0) — LEFT ANTI join on fingerprints, only "
+    "hashes move",
+    defer=True,
+)
+def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    new = docs.filter(F.col("source") != "src0")
+    ref = docs.filter(F.col("source") == "src0")
+    return corpus_quality.cross_corpus_dedup(new, ref).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+@register(
+    "mips_topk_dot",
+    f"""
+WITH {_EMB_CTE},
+scored AS (
+    SELECT q.query_id, c.vec_id,
+           {sql_round_stable('list_dot_product(c.v, q.v)', 4)} AS dot
+    FROM c CROSS JOIN q
+    WHERE c.vec_id != q.query_id
+),
+ranked AS (
+    SELECT query_id, vec_id, dot,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY dot DESC, vec_id
+           ) AS INTEGER) AS rnk
+    FROM scored
+)
+SELECT query_id, vec_id, dot, rnk FROM ranked WHERE rnk <= 5
+""",
+    doc="maximum-inner-product search (MIPS) top-5: raw dot product, no "
+    "normalization — the retrieval-model scoring twin of "
+    "ann_topk_bruteforce (query side broadcast, corpus never shuffles)",
+    defer=True,
+)
+def mips_topk_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.brute_force_topk_dot(emb, queries, k=5)
+
+
+@register(
+    "ann_topk_pq",
+    None,
+    doc="similarity search compressed path: product quantization (m=8 "
+    "subspaces × 16 codes → 8 bytes/vector, 32× memory cut) with "
+    "asymmetric-distance scoring — rows-only (k-means codebooks not "
+    "SQL-expressible); recall vs brute force asserted in "
+    "tests/test_corpus_quality.py",
+    defer=True,
+)
+def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.pq_topk(emb, queries, m=8, k_codes=16, k=5)

@@ -930,3 +930,147 @@ def events_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL-surface round 3: ntile / percent_rank / INTERSECT / GROUPING SETS
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_ntile_deciles",
+    f"""
+WITH d AS (
+    SELECT o_orderpriority,
+           NTILE(10) OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey
+           ) AS decile,
+           o_totalprice
+    FROM orders
+)
+SELECT o_orderpriority, CAST(decile AS INTEGER) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {sql_round_stable('MIN(o_totalprice)', 2)} AS min_price,
+       {sql_round_stable('MAX(o_totalprice)', 2)} AS max_price
+FROM d
+GROUP BY o_orderpriority, decile
+ORDER BY o_orderpriority, decile
+""",
+    doc="NTILE deciles of order value WITHIN each priority class — the "
+    "window partitions on o_orderpriority, so every decile assignment is "
+    "key-parallel (a GLOBAL ntile would funnel the table through one "
+    "partition; at 100 TB global decile cut points come from "
+    "approx_percentile instead).  Deterministic tie-break on o_orderkey",
+    defer=True,
+)
+def orders_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(
+            "o_orderpriority",
+            F.ntile(10).over(w).cast("int").alias("decile"),
+            "o_totalprice",
+        )
+        .groupBy("o_orderpriority", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            round_stable(F.min("o_totalprice"), 2).alias("min_price"),
+            round_stable(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("o_orderpriority", "decile")
+    )
+
+
+@register(
+    "customer_acctbal_ranks",
+    f"""
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+       CAST(c_nationkey AS INTEGER) AS c_nationkey,
+       {sql_round_stable(
+           'PERCENT_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal)',
+           4)} AS pct_rank,
+       {sql_round_stable(
+           'CUME_DIST() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal)',
+           4)} AS cume
+FROM customer
+ORDER BY c_custkey
+""",
+    doc="percent_rank + cume_dist per nation (analytic-rank surface): "
+    "both are peer-group functions of c_acctbal alone, so ties rank "
+    "identically on any engine; one shuffle on c_nationkey serves both "
+    "windows",
+    defer=True,
+)
+def customer_acctbal_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal")
+    return cust.select(
+        F.col("c_custkey").cast("bigint").alias("c_custkey"),
+        F.col("c_nationkey").cast("int").alias("c_nationkey"),
+        round_stable(F.percent_rank().over(w), 4).alias("pct_rank"),
+        round_stable(F.cume_dist().over(w), 4).alias("cume"),
+    ).orderBy("c_custkey")
+
+
+@register(
+    "orders_intersect_both_status",
+    """
+SELECT CAST(o_custkey AS BIGINT) AS custkey
+FROM orders WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT CAST(o_custkey AS BIGINT) AS custkey
+FROM orders WHERE o_orderstatus = 'O'
+ORDER BY custkey
+""",
+    doc="INTERSECT set operation (completes the set-op family next to "
+    "set_ops_order_status's UNION/EXCEPT): customers holding both "
+    "finished and open orders.  Lowers to an aggregate + hash semi join "
+    "on the same key — one shuffle, map-side partial distinct",
+    defer=True,
+)
+def orders_intersect_both_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    pick = lambda s: (  # noqa: E731
+        orders.filter(F.col("o_orderstatus") == s).select(
+            F.col("o_custkey").cast("bigint").alias("custkey")
+        )
+    )
+    return pick("F").intersect(pick("O")).orderBy("custkey")
+
+
+@register(
+    "revenue_grouping_sets",
+    f"""
+SELECT o_orderpriority, o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {sql_round_stable('SUM(o_totalprice)', 2)} AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+""",
+    doc="GROUP BY GROUPING SETS — the explicit-sets member of the "
+    "grouping family (rollup_revenue_region_nation and "
+    "cube_lineitem_status cover the closed forms): per-priority, "
+    "per-status, and grand-total aggregates in ONE pass (single Expand, "
+    "3 replicas) instead of three scans + union",
+    defer=True,
+)
+def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            round_stable(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy(
+            F.col("o_orderpriority").asc_nulls_first(),
+            F.col("o_orderstatus").asc_nulls_first(),
+        )
+    )

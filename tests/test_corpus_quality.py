@@ -1,0 +1,168 @@
+"""Edge-case tests for corpus-hygiene operators (operators/corpus_quality).
+
+The registry oracle replay proves sf-data parity; these pin the
+degenerate inputs the synthetic testdata never produces: empty text,
+single-word docs, fully-repetitive docs, verbatim contamination.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from myrecommendsystem_spark.operators import corpus_quality, similarity
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_contamination_verbatim_and_clean(spark):
+    bench = _docs(spark, [(100, "the quick brown fox jumps over dogs")])
+    train = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over dogs"),  # verbatim copy
+            (2, "entirely different words appear in here"),  # clean
+            (3, "prefix then the quick brown fox tail"),  # partial overlap
+        ],
+    )
+    out = {
+        r.doc_id: r
+        for r in corpus_quality.ngram_contamination(train, bench, n=3).collect()
+    }
+    assert out[1].contamination == 1.0
+    assert out[2].n_hits == 0 and out[2].contamination == 0.0
+    assert 0.0 < out[3].contamination < 1.0
+    # every training doc reports a row, including the clean one
+    assert set(out) == {1, 2, 3}
+
+
+def test_contamination_short_doc_whole_text_shingle(spark):
+    # <n words → the whole text is the single shingle (shingles() fallback):
+    # a verbatim short benchmark string is still caught.
+    bench = _docs(spark, [(100, "two words")])
+    train = _docs(spark, [(1, "two words"), (2, "other pair")])
+    out = {
+        r.doc_id: r
+        for r in corpus_quality.ngram_contamination(train, bench, n=3).collect()
+    }
+    assert out[1].n_grams == 1 and out[1].n_hits == 1
+    assert out[2].n_hits == 0
+
+
+def test_repetition_signals_degenerate_docs(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, ""),  # empty
+            (2, "word"),  # one word: no bigrams, no trigrams
+            (3, "spam spam spam spam spam spam"),  # fully repetitive
+            (4, "all words here are fully distinct tokens"),  # no repeats
+        ],
+    )
+    out = {r.doc_id: r for r in corpus_quality.repetition_signals(docs).collect()}
+    assert out[1].n_words == 0 and out[1].distinct_word_ratio == 0.0
+    assert out[2].n_words == 1 and out[2].dup_trigram_frac == 0.0
+    assert out[2].top_bigram_frac == 0.0
+    assert out[3].distinct_word_ratio == pytest.approx(1 / 6, abs=1e-4)
+    assert out[3].dup_trigram_frac == pytest.approx(3 / 4, abs=1e-4)
+    assert out[3].top_bigram_frac == 1.0  # every bigram is "spam spam"
+    assert out[4].distinct_word_ratio == 1.0
+    assert out[4].dup_trigram_frac == 0.0
+
+
+def test_cross_corpus_dedup_normalization(spark):
+    ref = _docs(spark, [(1, "Already   Held page"), (2, "another held doc")])
+    new = _docs(
+        spark,
+        [
+            (10, "already held PAGE"),  # dup after case/space squash
+            (11, "a genuinely new document"),
+        ],
+    )
+    kept = corpus_quality.cross_corpus_dedup(new, ref).collect()
+    assert [r.doc_id for r in kept] == [11]
+    # fp working column must not leak into the output
+    assert "fp" not in kept[0].asDict()
+
+
+def test_mips_differs_from_cosine_on_magnitude(spark):
+    # corpus vec 2 has the same DIRECTION as the query but half the
+    # magnitude of vec 3's different direction — cosine prefers 2, MIPS
+    # prefers the longer 3.
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),  # query
+            (2, [0.9, 0.0]),
+            (3, [2.0, 2.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.filter(F.col("vec_id") == 1)
+    mips = similarity.brute_force_topk_dot(emb, q, k=1).collect()[0]
+    cos = similarity.brute_force_topk(emb, q, k=1).collect()[0]
+    assert mips.vec_id == 3 and mips.dot == pytest.approx(2.0)
+    assert cos.vec_id == 2
+
+
+def test_pq_topk_recall_on_clustered_data(spark):
+    # PQ's accuracy contract holds on data WITH neighborhood structure
+    # (real embedding corpora); build 16 well-separated clusters and
+    # require the exact top-5 to be recovered almost entirely.
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(16, 64) * 3.0
+    rows = [
+        (int(i), (centers[i % 16] + rng.randn(64) * 0.05).tolist())
+        for i in range(400)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in similarity.brute_force_topk(emb, q, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in similarity.pq_topk(emb, q, m=8, k_codes=16, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"PQ recall {recall:.2f} on clustered data"
+
+
+def test_pq_topk_beats_chance_on_isotropic_testdata(spark):
+    # The synthetic testdata embeddings are near-isotropic — PQ's known
+    # worst case (neighbor gaps below quantization error), so exact-top-5
+    # recall is structurally modest there; it must still beat random
+    # selection by an order of magnitude.
+    from myrecommendsystem_spark.io import readers
+
+    emb = readers.load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n = emb.count()
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in similarity.brute_force_topk(emb, q, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in similarity.pq_topk(emb, q, m=8, k_codes=16, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    chance = 5.0 / (n - 1)
+    assert recall >= 10 * chance, f"PQ recall {recall:.2f} vs chance {chance:.3f}"
+
+
+def test_pq_codes_shape_and_determinism(spark):
+    from myrecommendsystem_spark.io import readers
+
+    emb = readers.load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    books = similarity.fit_pq_codebooks(emb, m=8, k=16)
+    assert books.shape == (8, 16, 8)  # d=64 → 8-dim subspaces
+    c1 = {r.id: list(r.codes) for r in similarity.pq_encode(emb, books).collect()}
+    c2 = {r.id: list(r.codes) for r in similarity.pq_encode(emb, books).collect()}
+    assert c1 == c2
+    assert all(len(v) == 8 and max(v) < 16 and min(v) >= 0 for v in c1.values())

@@ -371,3 +371,20 @@ def test_driver_window_rotation_is_exact_prefix():
     assert len(registry._DRIVER_WINDOW_R3) == 50
     assert names[:50] == registry._DRIVER_WINDOW_R3
     assert len(names) == len(set(names))
+
+
+def test_decontamination_broadcasts_bench_no_python(spark):
+    plan = _executed(spark, "doc_decontamination")
+    assert "BroadcastHashJoin" in plan  # bench grams are the broadcast side
+    assert "Python" not in plan  # pure JVM: shingles are array expressions
+
+
+def test_grouping_sets_single_expand_pass(spark):
+    plan = _executed(spark, "revenue_grouping_sets")
+    assert plan.count("Expand") == 1  # 3 grouping sets, ONE scan
+    assert "Python" not in plan
+
+
+def test_repetition_signals_stay_jvm_side(spark):
+    plan = _executed(spark, "doc_repetition_signals")
+    assert "Python" not in plan
