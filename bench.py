@@ -76,6 +76,7 @@ HEADLINE: tuple[str, ...] = (
     "ann_topk_pq",
     "orders_ntile_deciles",
     "revenue_grouping_sets",
+    "docs_shard_manifest",
 )
 
 

@@ -124,3 +124,49 @@ def sample_weighted(
         float(1 << 32)
     )
     return df.filter(coord < weight_col)
+
+
+def shard_assignment(
+    df: DataFrame, key: str, n_shards: int, salt: str = "shard"
+) -> DataFrame:
+    """Append a deterministic ``shard`` column: md5-coordinate of the key
+    mod ``n_shards``.
+
+    The training-data-export primitive: which output shard a document
+    lands in is a pure function of the data, so re-exports, engines, and
+    cluster sizes all produce identical shard contents — resumable,
+    diffable exports (compare manifests, re-ship only changed shards).
+    Unlike ``repartition(n)`` (round-robin on task order, different every
+    run), this survives any physical layout.
+    """
+    coord = F.conv(hash_key(F.col(key), salt), 16, 10).cast("long")
+    return df.withColumn("shard", (coord % n_shards).cast("int"))
+
+
+def export_shard_manifest(
+    df: DataFrame,
+    key: str,
+    n_shards: int,
+    size_col: str | None = None,
+    salt: str = "shard",
+) -> DataFrame:
+    """Per-shard export manifest: (shard, n_rows, n_keys[, total_size]).
+
+    One hash-groupBy over the shard id (map-side combinable).  The
+    manifest is the reproducibility receipt a 100 TB export ships with:
+    row/key counts (and bytes when ``size_col`` is given) per shard,
+    stable across reruns because shard membership is content-addressed
+    (:func:`shard_assignment`).
+    """
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct(key).cast("long").alias("n_keys"),
+    ]
+    if size_col is not None:
+        aggs.append(F.sum(size_col).cast("long").alias("total_size"))
+    return (
+        shard_assignment(df, key, n_shards, salt)
+        .groupBy("shard")
+        .agg(*aggs)
+        .orderBy("shard")
+    )

@@ -796,3 +796,32 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.pq_topk(emb, queries, m=8, k_codes=16, k=5)
+
+
+@register(
+    "docs_shard_manifest",
+    """
+WITH s AS (
+    SELECT CAST(CAST(('0x' || substr(md5('shard' || CAST(doc_id AS VARCHAR)),
+                      1, 8)) AS BIGINT) % 32 AS INTEGER) AS shard,
+           doc_id, n_chars
+    FROM documents
+)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_keys,
+       CAST(SUM(n_chars) AS BIGINT) AS total_size
+FROM s GROUP BY shard ORDER BY shard
+""",
+    doc="deterministic export sharding: content-addressed shard id "
+    "(md5(key) mod 32) + per-shard manifest (rows, keys, bytes) — the "
+    "reproducibility receipt a 100 TB training-data export ships with; "
+    "identical shard membership on any engine, run, or partitioning",
+    defer=True,
+)
+def docs_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myrecommendsystem_spark.operators import sampling
+
+    return sampling.export_shard_manifest(
+        _docs(spark, sf_dir), key="doc_id", n_shards=32, size_col="n_chars"
+    )

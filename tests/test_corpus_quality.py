@@ -166,3 +166,36 @@ def test_pq_codes_shape_and_determinism(spark):
     c2 = {r.id: list(r.codes) for r in similarity.pq_encode(emb, books).collect()}
     assert c1 == c2
     assert all(len(v) == 8 and max(v) < 16 and min(v) >= 0 for v in c1.values())
+
+
+def test_shard_assignment_stable_across_partitioning(spark):
+    from myrecommendsystem_spark.io import readers
+    from myrecommendsystem_spark.operators import sampling
+
+    docs = readers.load_table(spark, "/root/testdata/sf0.001", "documents")
+    a = {
+        r.doc_id: r.shard
+        for r in sampling.shard_assignment(docs, "doc_id", 32).collect()
+    }
+    b = {
+        r.doc_id: r.shard
+        for r in sampling.shard_assignment(
+            docs.repartition(7), "doc_id", 32
+        ).collect()
+    }
+    assert a == b  # content-addressed: physical layout is irrelevant
+    assert set(a.values()) <= set(range(32))
+
+
+def test_export_manifest_totals_conserve(spark):
+    from myrecommendsystem_spark.io import readers
+    from myrecommendsystem_spark.operators import sampling
+
+    docs = readers.load_table(spark, "/root/testdata/sf0.001", "documents")
+    man = sampling.export_shard_manifest(
+        docs, "doc_id", 8, size_col="n_chars"
+    ).collect()
+    assert sum(r.n_rows for r in man) == docs.count()
+    assert sum(r.total_size for r in man) == (
+        docs.agg(F.sum("n_chars")).first()[0]
+    )
