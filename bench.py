@@ -77,6 +77,8 @@ HEADLINE: tuple[str, ...] = (
     "orders_ntile_deciles",
     "revenue_grouping_sets",
     "docs_shard_manifest",
+    "dedup_tfidf_cosine",
+    "doc_bm25_search",
 )
 
 

@@ -528,3 +528,145 @@ def clean_text(text: Column) -> Column:
     normalization.  Pure Catalyst expression chain — codegen end-to-end,
     pushable through projections, zero Python."""
     return normalize_whitespace(scrub_pii(text))
+
+
+def tfidf_cosine_pairs(
+    docs,
+    threshold: float = 0.3,
+    max_df: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Sparse TF-IDF cosine near-dup pairs: (id_a, id_b, cos ≥ threshold).
+
+    The SPARSE-vector member of the near-dup family (MinHash/SimHash/
+    Jaccard/embedding-cosine are the others): docs are TF-IDF vectors
+    over the capped vocabulary and pairs are scored by an
+    inverted-index self-join on shared terms — the classic sparse
+    similarity-search shape.  Fully relational, so the DuckDB oracle
+    reproduces it exactly.
+
+    Scale: a term occurring in D docs contributes D² candidate pairs, so
+    the vocabulary keeps only terms with df ≤ ``max_df`` (the same
+    stop-shingle guard ngram_jaccard_dedup_pairs uses — ubiquitous terms
+    carry no discriminative weight AND blow up the join).  Cosine is
+    computed over that capped vocabulary consistently: weights, norms,
+    and dots all exclude high-df terms.  Doc count N rides a 1-row
+    broadcast; every stage is codegen.
+    """
+    from myrecommendsystem_spark.functions.compat import round_stable
+
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    ).filter(F.length("term") > 0)
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    vocab = df_.filter(F.col("df") <= max_df)
+    n_docs = docs.select(F.count(F.lit(1)).cast("double").alias("__n"))
+    w = (
+        tf.join(vocab, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            (
+                F.col("tf")
+                * (F.log((F.col("__n") + 1) / (F.col("df") + 1)) + 1)
+            ).alias("w"),
+        )
+    )
+    norms = w.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(b, "term")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    na = norms.withColumnsRenamed({id_col: "id_a", "nrm": "na"})
+    nb = norms.withColumnsRenamed({id_col: "id_b", "nrm": "nb"})
+    out = (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            round_stable(
+                F.col("dot") / (F.col("na") * F.col("nb")), 4
+            ).alias("cos"),
+        )
+    )
+    return out.filter(F.col("cos") >= threshold)
+
+
+def bm25_search(
+    docs,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """BM25 keyword retrieval: top-``k`` docs for a bag of query terms —
+    (doc_id, score, rnk).
+
+    The lexical-retrieval complement to the dense (ANN) and sparse
+    (TF-IDF cosine) paths: Robertson-style idf
+    ``ln((N - df + ½)/(df + ½) + 1)`` with tf saturation ``k1`` and
+    length normalization ``b``.  Query terms ride a broadcast join (a
+    query is a handful of terms; the corpus posting lists never
+    shuffle for it); N and avgdl ride a 1-row broadcast; the global
+    top-k lowers to TakeOrderedAndProject, never a full sort.
+    """
+    from myrecommendsystem_spark.functions.compat import round_stable
+
+    spark = docs.sparkSession
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    ).filter(F.length("term") > 0)
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = docs.select(F.count(F.lit(1)).cast("double").alias("__n")).crossJoin(
+        toks.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("l"))
+        .agg(F.avg("l").alias("__avgdl"))
+    )
+    q = spark.createDataFrame([(t,) for t in query_terms], ["term"])
+    scored = (
+        tf.join(F.broadcast(q), "term")
+        .join(df_, "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            (
+                F.log(
+                    (F.col("__n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1
+                    * (1.0 - b + b * F.col("dl") / F.col("__avgdl"))
+                )
+            ).alias("s"),
+        )
+    )
+    top = (
+        scored.groupBy(id_col)
+        .agg(round_stable(F.sum("s"), 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    return top.withColumn("rnk", F.row_number().over(w).cast("int"))

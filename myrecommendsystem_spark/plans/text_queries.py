@@ -825,3 +825,96 @@ def docs_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.export_shard_manifest(
         _docs(spark, sf_dir), key="doc_id", n_shards=32, size_col="n_chars"
     )
+
+
+_TOK_CTE = r"""
+tok AS (
+    SELECT doc_id, term
+    FROM (SELECT doc_id,
+                 unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+          FROM documents)
+    WHERE length(term) > 0
+),
+tf AS (
+    SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+    FROM tok GROUP BY doc_id, term
+),
+dfr AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents)
+""".strip()
+
+
+@register(
+    "dedup_tfidf_cosine",
+    rf"""
+WITH {_TOK_CTE},
+vocab AS (SELECT term, df FROM dfr WHERE df <= 50),
+w AS (
+    SELECT tf.doc_id, tf.term,
+           tf.tf * (ln((n.n + 1) / (vocab.df + 1)) + 1) AS w
+    FROM tf JOIN vocab USING (term) CROSS JOIN n
+),
+norms AS (SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM w GROUP BY doc_id),
+dots AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.w * b.w) AS dot
+    FROM w a JOIN w b USING (term)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY id_a, id_b
+)
+SELECT id_a, id_b,
+       {sql_round_stable('dot / (na.nrm * nb.nrm)', 4)} AS cos
+FROM dots
+JOIN norms na ON dots.id_a = na.doc_id
+JOIN norms nb ON dots.id_b = nb.doc_id
+WHERE {sql_round_stable('dot / (na.nrm * nb.nrm)', 4)} >= 0.5
+""",
+    doc="sparse TF-IDF cosine near-dup pairs (the sparse-vector member "
+    "of the dedup family): inverted-index self-join over the df<=50 "
+    "capped vocabulary — the same stop-term scale guard as "
+    "dedup_ngram_jaccard; N rides a 1-row broadcast, all codegen",
+    defer=True,
+)
+def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TXT.tfidf_cosine_pairs(_docs(spark, sf_dir), threshold=0.5, max_df=50)
+
+
+@register(
+    "doc_bm25_search",
+    rf"""
+WITH {_TOK_CTE},
+dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM tok GROUP BY doc_id),
+ad AS (SELECT AVG(dl) AS avgdl FROM dl),
+q(term) AS (VALUES ('hash'), ('window'), ('merge')),
+s AS (
+    SELECT tf.doc_id,
+           ln((n.n - dfr.df + 0.5) / (dfr.df + 0.5) + 1.0)
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / ad.avgdl)) AS s
+    FROM tf
+    JOIN q USING (term)
+    JOIN dfr USING (term)
+    JOIN dl USING (doc_id)
+    CROSS JOIN n CROSS JOIN ad
+),
+agg AS (
+    SELECT doc_id, {sql_round_stable('SUM(s)', 4)} AS score
+    FROM s GROUP BY doc_id
+),
+ranked AS (
+    SELECT doc_id, score,
+           CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INTEGER)
+               AS rnk
+    FROM agg
+)
+SELECT doc_id, score, rnk FROM ranked WHERE rnk <= 20
+""",
+    doc="BM25 keyword retrieval (lexical complement to dense ANN and "
+    "sparse TF-IDF paths): Robertson idf + tf saturation + length "
+    "normalization for a 3-term query; query terms broadcast, global "
+    "top-20 lowers to TakeOrderedAndProject",
+    defer=True,
+)
+def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TXT.bm25_search(
+        _docs(spark, sf_dir), ["hash", "window", "merge"], k=20
+    )

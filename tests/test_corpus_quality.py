@@ -199,3 +199,56 @@ def test_export_manifest_totals_conserve(spark):
     assert sum(r.total_size for r in man) == (
         docs.agg(F.sum("n_chars")).first()[0]
     )
+
+
+def test_bm25_ranks_rare_term_doc_first(spark):
+    from myrecommendsystem_spark.functions import text as TXT
+
+    docs = _docs(
+        spark,
+        [
+            (1, "rareword filler filler filler"),
+            (2, "common common common common"),
+            (3, "common filler other words"),
+            (4, "unrelated text entirely here"),
+        ],
+    )
+    # 'rareword' appears in one doc, 'common' in two — idf must rank the
+    # rareword doc above any common-term doc for the combined query.
+    out = TXT.bm25_search(docs, ["rareword", "common"], k=4).collect()
+    assert out[0].doc_id == 1 and out[0].rnk == 1
+    assert {r.doc_id for r in out} == {1, 2, 3}  # doc 4 matches nothing
+
+
+def test_tfidf_cosine_pairs_detect_near_dup(spark):
+    from myrecommendsystem_spark.functions import text as TXT
+
+    docs = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta zeta"),  # 4/5 shared terms
+            (3, "totally different content words"),
+        ],
+    )
+    pairs = {(r.id_a, r.id_b): r.cos for r in
+             TXT.tfidf_cosine_pairs(docs, threshold=0.5, max_df=50).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.5
+    assert all(3 not in p for p in pairs)
+
+
+def test_tfidf_cosine_caps_ubiquitous_terms(spark):
+    from myrecommendsystem_spark.functions import text as TXT
+
+    # 'the' is in every doc; with max_df=2 it drops out of the vocabulary,
+    # so docs sharing ONLY 'the' never pair.
+    docs = _docs(
+        spark,
+        [
+            (1, "the unique1 unique2"),
+            (2, "the unique3 unique4"),
+            (3, "the unique5 unique6"),
+        ],
+    )
+    pairs = TXT.tfidf_cosine_pairs(docs, threshold=0.01, max_df=2).collect()
+    assert pairs == []
