@@ -131,3 +131,80 @@ def test_minhash_estimates_jaccard(spark, base, overlap):
     ha, hb = set(_shingle_hashes_py(a, 3)), set(_shingle_hashes_py(b, 3))
     true_j = len(ha & hb) / len(ha | hb)
     assert abs(est - true_j) <= 0.25
+
+
+# ---------------------------------------------------------------------------
+# Corpus-hygiene operators vs plain-Python models (round 3)
+# ---------------------------------------------------------------------------
+
+_word = st.sampled_from(["a", "b", "c", "dd", "ee", "ff"])
+_doc_text = st.lists(_word, min_size=0, max_size=12).map(" ".join)
+docs_strategy = st.lists(_doc_text, min_size=1, max_size=8)
+
+
+def _py_repetition(text: str):
+    words = text.strip().lower().split() if text.strip() else []
+    n = len(words)
+    tri = [" ".join(words[i : i + 3]) for i in range(max(n - 2, 0))]
+    bi = [" ".join(words[i : i + 2]) for i in range(max(n - 1, 0))]
+    r = lambda num, den: round(num / den + 1e-9, 4) if den > 0 else 0.0  # noqa: E731
+    top = max((bi.count(g) for g in set(bi)), default=0)
+    return (
+        n,
+        r(len(set(words)), n),
+        r(len(tri) - len(set(tri)), len(tri)),
+        r(top, len(bi)),
+    )
+
+
+@_settings
+@given(texts=docs_strategy)
+def test_repetition_signals_match_python_model(spark, texts):
+    from myrecommendsystem_spark.operators.corpus_quality import (
+        repetition_signals,
+    )
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (
+            r.n_words,
+            r.distinct_word_ratio,
+            r.dup_trigram_frac,
+            r.top_bigram_frac,
+        )
+        for r in repetition_signals(docs).collect()
+    }
+    want = {i: _py_repetition(t) for i, t in enumerate(texts)}
+    assert got == want
+
+
+def _py_shingles(text: str, n: int = 3) -> set[str]:
+    words = text.strip().lower().split() if text.strip() else []
+    if len(words) < n:
+        return {" ".join(words)}
+    return {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
+
+
+@_settings
+@given(texts=docs_strategy, bench_text=_doc_text)
+def test_contamination_matches_python_model(spark, texts, bench_text):
+    from myrecommendsystem_spark.operators.corpus_quality import (
+        ngram_contamination,
+    )
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(999, bench_text)], "doc_id long, text string")
+    bgrams = _py_shingles(bench_text)
+    got = {
+        r.doc_id: (r.n_grams, r.n_hits)
+        for r in ngram_contamination(docs, bench, n=3).collect()
+    }
+    want = {}
+    for i, t in enumerate(texts):
+        g = _py_shingles(t)
+        want[i] = (len(g), len(g & bgrams))
+    assert got == want
