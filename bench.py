@@ -79,6 +79,7 @@ HEADLINE: tuple[str, ...] = (
     "docs_shard_manifest",
     "dedup_tfidf_cosine",
     "doc_bm25_search",
+    "ratings_next_item_examples",
 )
 
 

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from myrecommendsystem_spark.io import readers
 from myrecommendsystem_spark.ml import als as als_mod
 from myrecommendsystem_spark.ml.tuner import grid_search_als
-from myrecommendsystem_spark.plans.registry import register
+from myrecommendsystem_spark.plans.registry import RATINGS_CTE, register
 
 # Query-sized ALS config: small rank keeps the correctness-gate runtime in
 # seconds; the production config (rank=50, iter=5, reg=0.01 —
@@ -76,3 +76,36 @@ def als_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return results.select(
         "rank", "reg_param", F.round("rmse", 4).alias("rmse")
     )
+
+
+@register(
+    "ratings_next_item_examples",
+    f"""
+WITH {RATINGS_CTE},
+h AS (
+    SELECT userId,
+           array_to_string(
+               list(productId) OVER (
+                   PARTITION BY userId
+                   ORDER BY ts, productId, score
+                   ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING
+               ), ',') AS history,
+           productId AS label,
+           CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec
+    FROM ratings
+)
+SELECT userId, history, label, ts_sec
+FROM h
+WHERE history IS NOT NULL AND length(history) > 0
+""",
+    doc="training-example generation for sequential recommenders: each "
+    "interaction with >=1 predecessor becomes (history of last <=5 item "
+    "ids, next-item label) — one userId shuffle, O(k) ROWS frame, "
+    "history flattened to CSV string (flat schema for any consumer)",
+    defer=True,
+)
+def ratings_next_item_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myrecommendsystem_spark.ml.examples import next_item_examples
+
+    # events_as_ratings keeps ts, which the chronological window needs
+    return next_item_examples(readers.events_as_ratings(spark, sf_dir), history_k=5)

@@ -176,3 +176,30 @@ def test_reference_scale_grid_search(spark):
     assert len(rows) == 12
     assert all(r.rmse == r.rmse for r in rows)  # no NaNs
     assert best.rmse == min(r.rmse for r in rows)
+
+
+def test_next_item_examples_semantics(spark):
+    from myrecommendsystem_spark.ml.examples import next_item_examples
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, 10, 4.0, t0),
+        (1, 11, 3.0, t0 + dt.timedelta(hours=1)),
+        (1, 12, 5.0, t0 + dt.timedelta(hours=2)),
+        (1, 13, 2.0, t0 + dt.timedelta(hours=3)),
+        (2, 99, 1.0, t0),  # single interaction → no example
+    ]
+    ratings = spark.createDataFrame(
+        rows, "userId int, productId int, score double, ts timestamp"
+    )
+    out = {
+        (r.userId, r.label): r.history
+        for r in next_item_examples(ratings, history_k=2).collect()
+    }
+    # first interaction dropped; history is chronological and k-capped
+    assert out == {
+        (1, 11): "10",
+        (1, 12): "10,11",
+        (1, 13): "11,12",  # k=2 cap drops item 10
+    }
