@@ -36,8 +36,16 @@ def train_als(
     reg_param: float = 0.01,
     seed: int = 42,
     num_blocks: int | None = None,
+    implicit_prefs: bool = False,
+    alpha: float = 1.0,
 ) -> ALSModel:
     """M1: explicit-feedback ALS with the reference's production config.
+
+    ``implicit_prefs=True`` switches to the implicit-feedback objective
+    (Hu/Koren/Volinsky 2008): scores become confidence weights
+    ``1 + alpha·r`` over binary preferences instead of values to
+    regress — the right mode when the signal is views/clicks rather
+    than explicit stars.  Same blocking and cold-start discipline.
 
     ``coldStartStrategy="drop"`` makes downstream RMSE well-defined on
     hold-out users (the reference's join-based RMSE silently drops
@@ -65,7 +73,8 @@ def train_als(
         ratingCol="score",
         seed=seed,
         coldStartStrategy="drop",
-        implicitPrefs=False,
+        implicitPrefs=implicit_prefs,
+        alpha=alpha,
         numUserBlocks=num_blocks,
         numItemBlocks=num_blocks,
     )

@@ -109,3 +109,23 @@ def ratings_next_item_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # events_as_ratings keeps ts, which the chronological window needs
     return next_item_examples(readers.events_as_ratings(spark, sf_dir), history_k=5)
+
+
+@register(
+    "als_implicit_recs",
+    None,
+    doc="implicit-feedback ALS (Hu/Koren/Volinsky 2008 — the MLlib mode "
+    "the reference never exercises but any view/click pipeline needs): "
+    "scores as confidence weights over binary preferences, top-10 per "
+    "user; rows-only (iterative factorization not SQL-expressible)",
+    defer=True,
+)
+def als_implicit_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    model = als_mod.train_als(
+        _ratings(spark, sf_dir),
+        rank=_QUERY_RANK,
+        max_iter=_QUERY_ITER,
+        implicit_prefs=True,
+        alpha=40.0,
+    )
+    return als_mod.user_recs_flat(model, k=10)

@@ -203,3 +203,20 @@ def test_next_item_examples_semantics(spark):
         (1, 12): "10,11",
         (1, 13): "11,12",  # k=2 cap drops item 10
     }
+
+
+def test_implicit_als_trains_and_recommends(spark, sf_dir):
+    from myrecommendsystem_spark.io import readers
+    from myrecommendsystem_spark.ml import als as als_mod
+
+    ratings = readers.events_as_ratings(spark, sf_dir).select(
+        "userId", "productId", "score"
+    )
+    model = als_mod.train_als(
+        ratings, rank=4, max_iter=2, implicit_prefs=True, alpha=40.0
+    )
+    recs = als_mod.user_recs_flat(model, k=5)
+    assert recs.count() > 0
+    # implicit scores are preference estimates, not rating predictions
+    top = recs.filter(recs.rnk == 1).limit(5).collect()
+    assert all(r.rnk == 1 for r in top)
