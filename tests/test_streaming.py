@@ -292,6 +292,41 @@ def test_dedup_within_watermark_streaming(spark, tmp_path):
     assert sorted(r.userId for r in got) == [1, 2, 3]
 
 
+def test_streaming_ingest_dedup_by_fingerprint(spark, tmp_path):
+    """Corpus-ingestion dedup as a STREAM: layout-noisy recrawls of the
+    same page dedup on the normalized md5 fingerprint (the batch
+    cross_corpus_dedup key) within the watermark horizon."""
+    from myrecommendsystem_spark.functions.text import exact_fingerprint
+
+    src = tmp_path / "ingest_in"
+    src.mkdir()
+    docs = [
+        (1, "A page   about Spark", "2024-01-01 00:00:00"),
+        (2, "a PAGE about spark", "2024-01-01 00:10:00"),  # recrawl → dropped
+        (3, "a different page", "2024-01-01 00:20:00"),
+    ]
+    with open(src / "d.json", "w") as f:
+        for i, text, ts in docs:
+            f.write(json.dumps({"doc_id": i, "text": text, "ts": ts}) + "\n")
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts string")
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+        .withColumn("fp", exact_fingerprint(F.col("text")))
+    )
+    q = (
+        dedup_within_watermark(stream, ["fp"], watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("ingest_dd")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r.doc_id for r in spark.sql("SELECT doc_id FROM ingest_dd").collect())
+    assert got == [1, 3]
+
+
 def test_kafka_source_schema_contract(spark, tmp_path):
     """S7 contract: read_kafka_lines and the file source feed the SAME
     downstream parse path, so their output schema must be identical —
