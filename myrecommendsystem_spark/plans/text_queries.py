@@ -918,3 +918,48 @@ def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TXT.bm25_search(
         _docs(spark, sf_dir), ["hash", "window", "merge"], k=20
     )
+
+
+@register(
+    "corpus_mixture_report",
+    rf"""
+WITH t AS (
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE length(regexp_split_to_array(trim(text), '\s+'))
+                    END) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY source, lang
+),
+tot AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS total FROM t)
+SELECT source, lang, n_docs, n_tokens,
+       {sql_round_stable('n_tokens / tot.total', 4)} AS token_share
+FROM t CROSS JOIN tot
+ORDER BY source, lang
+""",
+    doc="data-mixture report: per (source, lang) doc and token counts "
+    "plus each slice's share of total tokens — the input a mixture "
+    "designer feeds sample_weighted with; grand total rides a 1-row "
+    "broadcast, one aggregate pass",
+    defer=True,
+)
+def corpus_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    t = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(TXT.token_count(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    tot = t.agg(F.sum("n_tokens").cast("double").alias("total"))
+    return (
+        t.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "n_tokens",
+            round_stable(F.col("n_tokens") / F.col("total"), 4).alias(
+                "token_share"
+            ),
+        )
+        .orderBy("source", "lang")
+    )

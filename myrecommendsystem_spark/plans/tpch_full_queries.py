@@ -1365,3 +1365,43 @@ def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v2 = changed.unionByName(added)
     return diff_tables(orders, v2, keys=["k"], compare_cols=["v"]).orderBy("k")
+
+
+@register(
+    "events_value_winsorized",
+    f"""
+WITH cuts AS (
+    SELECT event_type,
+           quantile_cont(value, 0.05) AS lo,
+           quantile_cont(value, 0.95) AS hi
+    FROM events GROUP BY event_type
+)
+SELECT CAST(e.event_id AS BIGINT) AS event_id, e.event_type,
+       {sql_round_stable('LEAST(GREATEST(e.value, c.lo), c.hi)', 4)} AS value_w
+FROM events e JOIN cuts c USING (event_type)
+ORDER BY event_id
+""",
+    doc="robust-stats winsorization: per-type p05/p95 cut points (exact "
+    "interpolated percentile, F.percentile ≡ quantile_cont) clip outlier "
+    "values — the standard feature-cleaning step before training.  Cut "
+    "table is per-type tiny and broadcast back; the fact scan never "
+    "shuffles",
+    defer=True,
+)
+def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    cuts = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.05).alias("lo"),
+        F.percentile("value", 0.95).alias("hi"),
+    )
+    return (
+        ev.join(F.broadcast(cuts), "event_type")
+        .select(
+            F.col("event_id").cast("bigint").alias("event_id"),
+            "event_type",
+            round_stable(
+                F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")), 4
+            ).alias("value_w"),
+        )
+        .orderBy("event_id")
+    )
