@@ -396,3 +396,92 @@ def simhash_near_duplicates(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def minhash_cross_corpus_pairs(
+    new_docs: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.5,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-dup matches BETWEEN corpora: (new_id, ref_id, jaccard ≥ t).
+
+    The near-match extension of exact cross-corpus dedup
+    (corpus_quality.cross_corpus_dedup): an incremental crawl batch is
+    checked against the held corpus for *near* recrawls — boilerplate
+    drift, timestamp injection, ad rotation — that exact fingerprints
+    miss.  Lee et al. (2022)-style pretraining hygiene, per-batch.
+
+    Shape: each side runs the SAME fused signature kernel once
+    (bands + shingle hashes in one Arrow pass, persisted); candidates
+    come from a (band_idx, band_hash)-keyed join of the NEW side against
+    the reference — never a self-join of the union, so candidate volume
+    is |new ∩ ref buckets|, not (|new|+|ref|)².  The reference side
+    applies the same ``max_bucket`` degenerate-bucket cap; verification
+    intersects int64 shingle-hash arrays for candidate ids only.
+    """
+    def _sigs(df: DataFrame, out_id: str) -> DataFrame:
+        s = widen_for_kernel(df).select(
+            F.col(id_col).alias(out_id),
+            TXT.minhash_bands_and_shingles(
+                F.col(text_col), num_hashes, shingle_n, bands
+            ).alias("s"),
+        ).persist()
+        s.count()  # eager: one Arrow pass per side
+        return s
+
+    sig_new, sig_ref = _sigs(new_docs, "new_id"), _sigs(reference, "ref_id")
+    banded_new = sig_new.select(
+        "new_id", F.posexplode("s.bands").alias("band_idx", "band_hash")
+    )
+    banded_ref = sig_ref.select(
+        "ref_id", F.posexplode("s.bands").alias("band_idx", "band_hash")
+    )
+    ref_sizes = banded_ref.groupBy("band_idx", "band_hash").agg(
+        F.count("*").alias("n")
+    )
+    ref_capped = banded_ref.join(
+        ref_sizes.filter(F.col("n") <= max_bucket), ["band_idx", "band_hash"]
+    ).select("band_idx", "band_hash", "ref_id")
+    cands = (
+        banded_new.join(ref_capped, ["band_idx", "band_hash"])
+        .select("new_id", "ref_id")
+        .distinct()
+    )
+    a = sig_new.select("new_id", F.col("s.sh").alias("sh_a"))
+    b = sig_ref.select("ref_id", F.col("s.sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        cands.join(a, "new_id")
+        .join(b, "ref_id")
+        .select(
+            "new_id", "ref_id", F.round(inter / union, 4).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+
+
+def cross_corpus_near_survivors(
+    new_docs: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Rows of ``new_docs`` with NO near-duplicate in ``reference`` —
+    the ingest-gate composition of :func:`minhash_cross_corpus_pairs`
+    (anti join on matched new ids)."""
+    matched = minhash_cross_corpus_pairs(
+        new_docs,
+        reference,
+        id_col=id_col,
+        text_col=text_col,
+        jaccard_threshold=jaccard_threshold,
+    ).select(F.col("new_id").alias(id_col))
+    return new_docs.join(matched, id_col, "left_anti")

@@ -963,3 +963,21 @@ def corpus_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+@register(
+    "dedup_cross_corpus_near",
+    None,
+    doc="cross-corpus NEAR dedup (Lee et al. 2022-style ingest hygiene): "
+    "new docs (source != src0) near-matched against the held corpus "
+    "(src0) via banded MinHash — new-vs-ref bucket join, never a union "
+    "self-join — with exact-Jaccard verify >= 0.5; rows-only "
+    "(xxhash64 family not DuckDB-reproducible), behavior pinned in "
+    "tests/test_text_dedup.py",
+    defer=True,
+)
+def dedup_cross_corpus_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    new = docs.filter(F.col("source") != "src0")
+    ref = docs.filter(F.col("source") == "src0")
+    return dedup.minhash_cross_corpus_pairs(new, ref, jaccard_threshold=0.5)

@@ -343,3 +343,32 @@ def test_embedding_survivors_transitive(spark):
     # threshold 0.85: adjacent pairs (cos30 ≈ 0.866) link, a-c (cos60 = 0.5) doesn't
     out = sim_mod.embedding_dedup_survivors(df, threshold=0.85)
     assert sorted(r.vec_id for r in out.collect()) == [0, 3]
+
+
+def test_cross_corpus_near_dedup_drops_near_recrawl(spark):
+    from myrecommendsystem_spark.operators.dedup import (
+        cross_corpus_near_survivors,
+        minhash_cross_corpus_pairs,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while rain falls "
+        "on the quiet hillside every single morning in autumn"
+    )
+    ref = spark.createDataFrame(
+        [(1, base), (2, "completely unrelated reference material here")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, base),  # exact recrawl
+            (11, base.replace("autumn", "winter")),  # near recrawl
+            (12, "a genuinely novel document about databases and joins"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = minhash_cross_corpus_pairs(new, ref, jaccard_threshold=0.5)
+    matched = {r.new_id for r in pairs.collect()}
+    assert 10 in matched and 11 in matched and 12 not in matched
+    surv = cross_corpus_near_survivors(new, ref, jaccard_threshold=0.5)
+    assert [r.doc_id for r in surv.select("doc_id").collect()] == [12]
