@@ -485,3 +485,47 @@ def cross_corpus_near_survivors(
         jaccard_threshold=jaccard_threshold,
     ).select(F.col("new_id").alias(id_col))
     return new_docs.join(matched, id_col, "left_anti")
+
+
+def substring_overlap_pairs(
+    docs: DataFrame,
+    window: int = 16,
+    min_shared: int = 8,
+    max_bucket: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Byte-level substring-overlap pairs: (id_a, id_b, shared_windows).
+
+    The EXACT-SUBSTRING dedup modality (Lee et al. 2022 deduplicate long
+    repeated spans that survive document-level near-dup checks —
+    licenses, templates, quoted passages): two docs sharing any
+    ``window``-byte run share a Rabin-Karp rolling fingerprint, and a
+    pair is reported when it shares ≥ ``min_shared`` DISTINCT window
+    fingerprints (≈ a common span of ``window + min_shared − 1`` bytes,
+    contiguity not proven — this is the candidate detector; span
+    extraction is a per-pair follow-up on the matched docs only).
+
+    Shape: one Arrow fingerprint pass per doc, explode DISTINCT
+    fingerprints, inverted-index self-join keyed on the fingerprint with
+    the standard ``max_bucket`` degenerate-bucket cap (a fingerprint in
+    D docs makes D² pairs), then a grouped count ≥ threshold.  Same
+    bucket-join scale discipline as the MinHash path.
+    """
+    fps = widen_for_kernel(docs).select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(TXT.rolling_fingerprints(F.col(text_col), window))
+        ).alias("fp"),
+    ).persist()
+    sizes = fps.groupBy("fp").agg(F.count("*").alias("n"))
+    capped = fps.join(sizes.filter(F.col("n") <= max_bucket), "fp")
+    a = capped.select("fp", F.col("id").alias("id_a"))
+    b = capped.select("fp", F.col("id").alias("id_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("int").alias("shared_windows"))
+        .filter(F.col("shared_windows") >= min_shared)
+    )

@@ -981,3 +981,19 @@ def dedup_cross_corpus_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = docs.filter(F.col("source") != "src0")
     ref = docs.filter(F.col("source") == "src0")
     return dedup.minhash_cross_corpus_pairs(new, ref, jaccard_threshold=0.5)
+
+
+@register(
+    "dedup_substring_overlap",
+    None,
+    doc="exact-substring overlap pairs (Lee et al. 2022 span-dedup "
+    "candidate stage): docs sharing >= 8 distinct 16-byte Rabin-Karp "
+    "window fingerprints — inverted-index join with degenerate-bucket "
+    "cap; rows-only (custom polynomial hash), overlap laws pinned in "
+    "tests/test_text_dedup.py",
+    defer=True,
+)
+def dedup_substring_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.substring_overlap_pairs(
+        _docs(spark, sf_dir), window=16, min_shared=8
+    )

@@ -372,3 +372,21 @@ def test_cross_corpus_near_dedup_drops_near_recrawl(spark):
     assert 10 in matched and 11 in matched and 12 not in matched
     surv = cross_corpus_near_survivors(new, ref, jaccard_threshold=0.5)
     assert [r.doc_id for r in surv.select("doc_id").collect()] == [12]
+
+
+def test_substring_overlap_detects_shared_span(spark):
+    from myrecommendsystem_spark.operators.dedup import substring_overlap_pairs
+
+    boiler = "this exact license paragraph is repeated verbatim across files"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words then {boiler} and a unique ending one"),
+            (2, f"other beginning here {boiler} with different tail"),
+            (3, "no shared span with anything else in this corpus at all"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = substring_overlap_pairs(docs, window=16, min_shared=8).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(1, 2)]
+    # the shared boilerplate is ~60 bytes → ≈45 shared 16-byte windows
+    assert pairs[0].shared_windows >= 40
