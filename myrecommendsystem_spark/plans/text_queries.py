@@ -997,3 +997,45 @@ def dedup_substring_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.substring_overlap_pairs(
         _docs(spark, sf_dir), window=16, min_shared=8
     )
+
+
+@register(
+    "doc_decontaminated_survivors",
+    rf"""
+WITH {_SHINGLES_CTE},
+bench AS (
+    SELECT DISTINCT unnest(g) AS gram FROM sh WHERE doc_id % 97 = 0
+),
+train AS (
+    SELECT doc_id, unnest(g) AS gram FROM sh WHERE doc_id % 97 != 0
+),
+agg AS (
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS INTEGER) AS n_grams,
+           CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+                AS INTEGER) AS n_hits
+    FROM train t LEFT JOIN bench b USING (gram)
+    GROUP BY t.doc_id
+)
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d JOIN agg USING (doc_id)
+WHERE agg.n_hits * 10 < agg.n_grams
+ORDER BY d.doc_id
+""",
+    doc="the decontamination GATE composed end-to-end: training docs "
+    "whose benchmark 3-gram overlap is under 10%% survive into the "
+    "corpus (the filter a pretraining pipeline actually ships, with "
+    "doc_decontamination as its diagnostic view)",
+    defer=True,
+)
+def doc_decontaminated_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    scores = corpus_quality.ngram_contamination(train, bench, n=3)
+    keep = scores.filter(F.col("n_hits") * 10 < F.col("n_grams")).select("doc_id")
+    return (
+        docs.join(keep, "doc_id")
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )

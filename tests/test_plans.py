@@ -388,3 +388,16 @@ def test_grouping_sets_single_expand_pass(spark):
 def test_repetition_signals_stay_jvm_side(spark):
     plan = _executed(spark, "doc_repetition_signals")
     assert "Python" not in plan
+
+
+def test_next_item_examples_single_shuffle(spark):
+    plan = _executed(spark, "ratings_next_item_examples")
+    # one userId exchange serves the ordering window; nothing else moves
+    assert plan.count("Exchange") == 1
+    assert "Python" not in plan
+
+
+def test_winsorize_broadcasts_cut_table(spark):
+    plan = _executed(spark, "events_value_winsorized")
+    assert "BroadcastHashJoin" in plan  # per-type cuts never shuffle the facts
+    assert "Python" not in plan
