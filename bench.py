@@ -74,6 +74,7 @@ HEADLINE: tuple[str, ...] = (
     "dedup_cross_corpus",
     "mips_topk_dot",
     "ann_topk_pq",
+    "ann_topk_ivfpq",
     "orders_ntile_deciles",
     "revenue_grouping_sets",
     "docs_shard_manifest",

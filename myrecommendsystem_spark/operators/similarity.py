@@ -627,3 +627,113 @@ def pq_topk(
         exact.withColumn("rnk", F.row_number().over(w2).cast("int"))
         .filter(F.col("rnk") <= k)
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    k_codes: int = 16,
+    k: int = 5,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ top-k — the full production ANN shape (faiss IndexIVFPQ):
+    coarse cells bound WHICH vectors are scored (~nprobe/n_cells of the
+    corpus), PQ codes bound WHAT is scored (8 bytes/vector), and an
+    exact re-rank of the shortlist restores ranking fidelity.
+
+    (query_id, vec_id, score, rnk) — drop-in comparable with
+    brute_force_topk / ivf_topk / pq_topk (recall asserted in tests).
+
+    Build: both quantizers train on bounded samples (O(1) in corpus
+    size); the (cell_id, codes) index materializes with ONE build-time
+    join on id.  Search: the per-query probed-cell list broadcasts, the
+    codes scan touches only probed cells, ADC is m table lookups per
+    (row, probing query) pair, and only the ≤ Q·rerank shortlist ever
+    fetches true vectors.
+    """
+    centroids = fit_ivf_centroids(corpus, n_cells, id_col, vec_col, seed)
+    cells = ivf_assign(corpus, centroids, id_col, vec_col, nprobe=1).select(
+        F.col("id"), F.col("cell_id")
+    )
+    books = fit_pq_codebooks(
+        corpus, m=m, k=k_codes, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    packed = pq_encode(corpus, books, id_col, vec_col).join(cells, "id")
+
+    q_rows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("vec")
+    ).collect()
+    q_ids = np.array([r.qid for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r.vec for r in q_rows], dtype=np.float64)
+    q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
+    mm, kk, sub = books.shape
+    table = np.einsum("qjs,jcs->qjc", q_mat.reshape(len(q_ids), mm, sub), books)
+    qidx = {int(q): i for i, q in enumerate(q_ids)}
+    spark = corpus.sparkSession
+    b_table = spark.sparkContext.broadcast(table)
+    b_qidx = spark.sparkContext.broadcast(qidx)
+
+    q_cells = ivf_assign(
+        queries, centroids, id_col, vec_col, nprobe=nprobe
+    ).select(F.col("id").alias("query_id"), "cell_id")
+
+    cand = packed.join(F.broadcast(q_cells), "cell_id").filter(
+        F.col("id") != F.col("query_id")
+    )
+
+    def adc(batches):
+        t = b_table.value
+        lut = b_qidx.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c = np.array(list(pdf["codes"]), dtype=np.int64)  # (B, m)
+            qi = pdf["query_id"].map(lut).to_numpy(dtype=np.int64)
+            s = t[qi[:, None], np.arange(mm)[None, :], c].sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "vec_id": pdf["id"].to_numpy(),
+                    "score": np.round(s, 4),
+                }
+            )
+
+    scored = cand.select("query_id", "id", "codes").mapInPandas(
+        adc, "query_id long, vec_id long, score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id")
+    )
+    shortlist = (
+        scored.withColumn("adc_rnk", F.row_number().over(w))
+        .filter(F.col("adc_rnk") <= max(rerank, k))
+        .select("query_id", "vec_id")
+    )
+    cu = as_unit_vectors(corpus, id_col, vec_col).withColumnsRenamed(
+        {"id": "vec_id", "unit": "cu"}
+    )
+    qu = as_unit_vectors(queries, id_col, vec_col).withColumnsRenamed(
+        {"id": "query_id", "unit": "qu"}
+    )
+    exact = (
+        cu.join(F.broadcast(shortlist), "vec_id")
+        .join(F.broadcast(qu), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            round_stable(_dot(F.col("cu"), F.col("qu")), 4).alias("score"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id")
+    )
+    return (
+        exact.withColumn("rnk", F.row_number().over(w2).cast("int"))
+        .filter(F.col("rnk") <= k)
+    )

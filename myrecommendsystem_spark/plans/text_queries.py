@@ -1039,3 +1039,21 @@ def doc_decontaminated_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "ann_topk_ivfpq",
+    None,
+    doc="the full production ANN shape (IVF-PQ, faiss IndexIVFPQ): "
+    "coarse cells bound WHICH vectors are scored (nprobe=4 of 16), PQ "
+    "codes bound WHAT is scored (8 bytes/vector), exact re-rank of the "
+    "shortlist restores ranking — rows-only (quantizers not "
+    "SQL-expressible); recall vs brute force asserted in tests",
+    defer=True,
+)
+def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_pq_topk(
+        emb, queries, n_cells=16, nprobe=4, m=8, k_codes=16, k=5
+    )

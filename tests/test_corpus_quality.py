@@ -252,3 +252,28 @@ def test_tfidf_cosine_caps_ubiquitous_terms(spark):
     )
     pairs = TXT.tfidf_cosine_pairs(docs, threshold=0.01, max_df=2).collect()
     assert pairs == []
+
+
+def test_ivfpq_topk_recall_on_clustered_data(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    centers = rng.randn(16, 64) * 3.0
+    rows = [
+        (int(i), (centers[i % 16] + rng.randn(64) * 0.05).tolist())
+        for i in range(400)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in similarity.brute_force_topk(emb, q, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in similarity.ivf_pq_topk(
+            emb, q, n_cells=16, nprobe=4, m=8, k_codes=16, k=5
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"IVF-PQ recall {recall:.2f} on clustered data"
