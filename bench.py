@@ -110,7 +110,6 @@ def main() -> None:
     # Also warm the Python-worker/Arrow path: the daemon fork + Arrow serde
     # init otherwise lands entirely on the first Pandas-UDF query (IVF/ALS),
     # misattributing ~2-4s of one-time session cost to that query's timing.
-    import pandas as _pd
     from pyspark.sql import functions as _F
     from pyspark.sql.functions import pandas_udf as _pudf
 

@@ -1405,3 +1405,59 @@ def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "events_type_transitions",
+    f"""
+WITH seq AS (
+    SELECT event_type AS from_type,
+           LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS to_type
+    FROM events
+),
+t AS (
+    SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+),
+tot AS (
+    SELECT from_type, CAST(SUM(n) AS DOUBLE) AS total
+    FROM t GROUP BY from_type
+)
+SELECT t.from_type, t.to_type, t.n,
+       {sql_round_stable('t.n / tot.total', 4)} AS p
+FROM t JOIN tot USING (from_type)
+ORDER BY from_type, to_type
+""",
+    doc="user-journey transition matrix (Markov analytics over the event "
+    "stream): per-user LEAD pairs consecutive event types — one user_id "
+    "shuffle, offset window, no frame buffer — then a grouped count and "
+    "per-source-row normalization (the funnel query's generalization "
+    "from one fixed path to all observed paths)",
+    defer=True,
+)
+def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    t = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = t.groupBy("from_type").agg(F.sum("n").cast("double").alias("total"))
+    return (
+        t.join(tot, "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            round_stable(F.col("n") / F.col("total"), 4).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )
