@@ -678,3 +678,84 @@ def bm25_search(
 
     w = Window.orderBy(F.col("score").desc(), F.col(id_col))
     return top.withColumn("rnk", F.row_number().over(w).cast("int"))
+
+
+def content_defined_chunks(
+    docs,
+    divisor: int = 64,
+    window: int = 16,
+    max_size: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Content-defined chunking: (id, chunk_idx, chunk, n_bytes) — split
+    each document where the Rabin-Karp rolling hash of the trailing
+    ``window`` bytes hits the boundary pattern (``h % divisor ==
+    divisor−1``), with a ``max_size`` forced split.
+
+    THE property fixed-size splitting lacks: boundaries are functions of
+    local CONTENT, so editing a document's head re-chunks only until the
+    next surviving boundary and every later chunk is byte-identical —
+    which is what makes chunk-level dedup/caching across crawl snapshots
+    work (expected chunk size ≈ ``divisor`` bytes past each window).
+    Arrow-batched kernel, one pass, no shuffle; emitted chunks are
+    UTF-8-safe (boundaries snap back to character starts).
+    """
+    import numpy as _np
+    import pandas as _pd
+    from pyspark.sql.functions import col as _col
+
+    powers = _np.array(
+        [pow(_RK_BASE, window - 1 - j, _RK_MOD) for j in range(window)],
+        dtype=_np.int64,
+    )
+
+    def _kernel(batches):
+        for pdf in batches:
+            ids, idxs, chunks, sizes = [], [], [], []
+            for did, t in zip(pdf["id"], pdf["text"]):
+                data = (t or "").encode("utf-8")
+                arr = _np.frombuffer(data, dtype=_np.uint8)
+                cuts = [0]
+                if arr.size >= window:
+                    w_ = _np.lib.stride_tricks.sliding_window_view(arr, window)
+                    hs = (w_.astype(_np.int64) * powers % _RK_MOD).sum(
+                        axis=1
+                    ) % _RK_MOD
+                    # hs[i] covers bytes [i, i+window); boundary AFTER that
+                    bpos = _np.nonzero(hs % divisor == divisor - 1)[0] + window
+                    last = 0
+                    for p in bpos:
+                        if p - last >= window:  # min chunk = one window
+                            cuts.append(int(p))
+                            last = int(p)
+                # max_size forced splits, then the tail
+                final, prev = [0], 0
+                for p in cuts[1:] + [len(data)]:
+                    while p - prev > max_size:
+                        prev += max_size
+                        final.append(prev)
+                    if p != prev and p != len(data):
+                        final.append(p)
+                        prev = p
+                if len(data) and (not final or final[-1] != len(data)):
+                    final.append(len(data))
+                for ci in range(len(final) - 1):
+                    a, b = final[ci], final[ci + 1]
+                    # snap to UTF-8 character starts (never split a rune)
+                    while a and (data[a] & 0xC0) == 0x80:
+                        a -= 1
+                    while b < len(data) and (data[b] & 0xC0) == 0x80:
+                        b += 1
+                    ids.append(did)
+                    idxs.append(ci)
+                    chunks.append(data[a:b].decode("utf-8", errors="ignore"))
+                    sizes.append(b - a)
+            yield _pd.DataFrame(
+                {"id": ids, "chunk_idx": idxs, "chunk": chunks, "n_bytes": sizes}
+            )
+
+    raw = docs.select(_col(id_col).alias("id"), _col(text_col).alias("text"))
+    return raw.mapInPandas(
+        _kernel, "id long, chunk_idx int, chunk string, n_bytes int"
+    )

@@ -170,3 +170,33 @@ def export_shard_manifest(
         .agg(*aggs)
         .orderBy("shard")
     )
+
+
+def sample_exact_n_per_stratum(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    n: int,
+    salt: str = "exact",
+) -> DataFrame:
+    """EXACTLY ``n`` rows per stratum (fewer only if the stratum is
+    smaller), chosen deterministically: rows rank by their md5 hash
+    coordinate within each stratum and the first ``n`` win.
+
+    The exact-size complement of :func:`sample_stratified` (which keeps a
+    FRACTION and so has binomial jitter): eval-set construction usually
+    specifies "exactly 5k per language", and hash-ordering makes the
+    winners a pure function of the data — stable under reruns, engines,
+    appends of losing rows, and any partitioning.  One shuffle on the
+    stratum key serves the ranking window.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        hash_key(F.col(key), salt), F.col(key)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )

@@ -1057,3 +1057,52 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_pq_topk(
         emb, queries, n_cells=16, nprobe=4, m=8, k_codes=16, k=5
     )
+
+
+@register(
+    "sample_docs_exact_n",
+    """
+SELECT doc_id, source
+FROM (
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY substr(md5('exact' || CAST(doc_id AS VARCHAR)), 1, 8),
+                        doc_id
+           ) AS rn
+    FROM documents
+)
+WHERE rn <= 5
+ORDER BY source, doc_id
+""",
+    doc="EXACT-size stratified sampling (the eval-set constructor): "
+    "exactly 5 docs per source, winners ranked by md5 hash coordinate — "
+    "deterministic under reruns/engines/appends, unlike fraction "
+    "sampling's binomial jitter; one stratum-key shuffle",
+    defer=True,
+)
+def sample_docs_exact_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myrecommendsystem_spark.operators import sampling
+
+    return (
+        sampling.sample_exact_n_per_stratum(
+            _docs(spark, sf_dir), key="doc_id", strata_col="source", n=5
+        )
+        .select("doc_id", "source")
+        .orderBy("source", "doc_id")
+    )
+
+
+@register(
+    "doc_cdc_chunks",
+    None,
+    doc="content-defined chunking: split docs where the 16-byte rolling "
+    "hash hits the boundary pattern (expected ~64-byte chunks, 256-byte "
+    "cap) — boundaries are functions of content, so head edits re-chunk "
+    "only to the next boundary and chunk-level dedup/caching across "
+    "crawl snapshots works; rows-only (custom hash), reassembly + "
+    "prefix-edit stability pinned in tests",
+    defer=True,
+)
+def doc_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TXT.content_defined_chunks(_docs(spark, sf_dir))

@@ -1461,3 +1461,41 @@ def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+@register(
+    "events_value_zscores",
+    f"""
+WITH s AS (
+    SELECT event_type,
+           AVG(value) AS mu,
+           STDDEV_SAMP(value) AS sigma
+    FROM events GROUP BY event_type
+)
+SELECT CAST(e.event_id AS BIGINT) AS event_id, e.event_type,
+       {sql_round_stable('(e.value - s.mu) / s.sigma', 4)} AS z
+FROM events e JOIN s USING (event_type)
+WHERE ABS((e.value - s.mu) / s.sigma) >= 3.0
+ORDER BY event_id
+""",
+    doc="z-score anomaly detection: per-type mean/stddev (tiny, "
+    "broadcast back) flag |z| >= 3 outliers — the streaming-alert "
+    "batch twin; the fact scan never shuffles",
+    defer=True,
+)
+def events_value_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    s = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(s), "event_type")
+        .filter(F.abs(z) >= 3.0)
+        .select(
+            F.col("event_id").cast("bigint").alias("event_id"),
+            "event_type",
+            round_stable(z, 4).alias("z"),
+        )
+        .orderBy("event_id")
+    )

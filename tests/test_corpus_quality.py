@@ -277,3 +277,30 @@ def test_ivfpq_topk_recall_on_clustered_data(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"IVF-PQ recall {recall:.2f} on clustered data"
+
+
+def test_cdc_chunks_reassemble_and_are_stable_under_prefix_edit(spark):
+    from myrecommendsystem_spark.functions.text import content_defined_chunks
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    body = " ".join(
+        "".join(rng.choice(list("abcdefghijklmnop"), size=6)) for _ in range(200)
+    )
+    docs = spark.createDataFrame(
+        [(1, body), (2, "EDITED PREFIX inserted here " + body)],
+        "doc_id long, text string",
+    )
+    out = content_defined_chunks(docs).collect()
+    by_doc = {}
+    for r in sorted(out, key=lambda r: (r.id, r.chunk_idx)):
+        by_doc.setdefault(r.id, []).append(r.chunk)
+    # chunks reassemble losslessly
+    assert "".join(by_doc[1]) == body
+    assert "".join(by_doc[2]) == "EDITED PREFIX inserted here " + body
+    # content-defined boundaries: the edit only disturbs a bounded head;
+    # the tail chunk sequences re-synchronize and are identical
+    tail = min(len(by_doc[1]), len(by_doc[2])) // 2
+    assert by_doc[1][-tail:] == by_doc[2][-tail:]
+    # every chunk respects the max size bound
+    assert all(r.n_bytes <= 256 for r in out)
