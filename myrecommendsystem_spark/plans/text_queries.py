@@ -1106,3 +1106,72 @@ def sample_docs_exact_n(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TXT.content_defined_chunks(_docs(spark, sf_dir))
+
+
+_QUALITY_CTE = rf"""
+t AS (
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE length(regexp_split_to_array(trim(text), '\s+'))
+                END AS n_tok,
+           length(text) AS n_char,
+           length(text) - length(regexp_replace(text, '{_PUNCT_SQL}', '', 'g'))
+               AS n_punct,
+           length(regexp_replace(lower(trim(text)), '\s+', '', 'g')) AS tok_chars
+    FROM documents
+),
+m AS (
+    SELECT doc_id,
+           LEAST(n_tok / 100.0, 1.0) AS len_score,
+           CASE WHEN n_char = 0 THEN 1.0
+                ELSE GREATEST(0.0, 1.0 - (n_punct / CAST(n_char AS DOUBLE)) * 4.0)
+                END AS punct_pen,
+           CASE WHEN tok_chars / CAST(n_tok AS DOUBLE) BETWEEN 3.0 AND 10.0
+                THEN 1.0 ELSE 0.5 END AS shape_score
+    FROM t
+),
+q AS (
+    SELECT doc_id,
+           {sql_round_stable('len_score * 0.5 + punct_pen * 0.25 + shape_score * 0.25', 4)}
+               AS quality
+    FROM m
+)
+""".strip()
+
+
+@register(
+    "doc_quality_top_half",
+    rf"""
+WITH {_QUALITY_CTE}
+SELECT doc_id, lang, quality
+FROM (
+    SELECT d.doc_id, d.lang, q.quality,
+           PERCENT_RANK() OVER (
+               PARTITION BY d.lang ORDER BY q.quality, d.doc_id
+           ) AS pr
+    FROM documents d JOIN q USING (doc_id)
+)
+WHERE pr >= 0.5
+ORDER BY doc_id
+""",
+    doc="the quality GATE composed end-to-end: keep each language's top "
+    "half by quality percent_rank (per-lang window, deterministic "
+    "doc_id tie-break) — doc_quality_scores is the diagnostic view, "
+    "this is the filter a corpus pipeline ships",
+    defer=True,
+)
+def doc_quality_top_half(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        round_stable(TXT.quality_score(F.col("text")), 4).alias("quality"),
+    )
+    w = Window.partitionBy("lang").orderBy("quality", "doc_id")
+    return (
+        d.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") >= 0.5)
+        .select("doc_id", "lang", "quality")
+        .orderBy("doc_id")
+    )

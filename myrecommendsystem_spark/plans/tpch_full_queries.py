@@ -1499,3 +1499,40 @@ def events_value_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "events_user_retention_cohorts",
+    """
+WITH first AS (
+    SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id
+)
+SELECT CAST(strftime(f.d0, '%Y%m%d') AS INTEGER) AS cohort,
+       CAST(date_diff('day', f.d0, CAST(e.ts AS DATE)) AS INTEGER) AS day_offset,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS active_users
+FROM events e JOIN first f USING (user_id)
+GROUP BY cohort, day_offset
+ORDER BY cohort, day_offset
+""",
+    doc="retention cohort analysis (the product-analytics staple): users "
+    "cohorted by first-activity date, activity counted per day offset — "
+    "one user-keyed aggregate for cohorts, a user-keyed join back, and "
+    "a (cohort, offset) count-distinct; every stage map-side-combinable",
+    defer=True,
+)
+def events_user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
+    return (
+        ev.join(first, "user_id")
+        .select(
+            F.date_format("d0", "yyyyMMdd").cast("int").alias("cohort"),
+            F.datediff(F.to_date("ts"), F.col("d0")).cast("int").alias(
+                "day_offset"
+            ),
+            "user_id",
+        )
+        .groupBy("cohort", "day_offset")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("active_users"))
+        .orderBy("cohort", "day_offset")
+    )
