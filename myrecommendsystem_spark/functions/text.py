@@ -729,24 +729,34 @@ def content_defined_chunks(
                         if p - last >= window:  # min chunk = one window
                             cuts.append(int(p))
                             last = int(p)
-                # max_size forced splits, then the tail
+                def snap(p: int) -> int:
+                    # snap a cut BACK to a UTF-8 character start; applied
+                    # at cut-GENERATION time so chunk i's end and chunk
+                    # i+1's start are the SAME snapped position — no rune
+                    # duplicated across chunks, max_size never exceeded
+                    while p and (data[p] & 0xC0) == 0x80:
+                        p -= 1
+                    return p
+
+                # max_size forced splits, then the tail; every appended
+                # cut is pre-snapped and gaps are re-measured from the
+                # snapped point, so the size cap holds by construction
                 final, prev = [0], 0
                 for p in cuts[1:] + [len(data)]:
                     while p - prev > max_size:
-                        prev += max_size
+                        nxt = snap(prev + max_size)
+                        if nxt <= prev:  # pathological all-continuation run
+                            break
+                        prev = nxt
                         final.append(prev)
-                    if p != prev and p != len(data):
+                    p = snap(p) if p != len(data) else p
+                    if p > prev and p != len(data):
                         final.append(p)
                         prev = p
                 if len(data) and (not final or final[-1] != len(data)):
                     final.append(len(data))
                 for ci in range(len(final) - 1):
                     a, b = final[ci], final[ci + 1]
-                    # snap to UTF-8 character starts (never split a rune)
-                    while a and (data[a] & 0xC0) == 0x80:
-                        a -= 1
-                    while b < len(data) and (data[b] & 0xC0) == 0x80:
-                        b += 1
                     ids.append(did)
                     idxs.append(ci)
                     chunks.append(data[a:b].decode("utf-8", errors="ignore"))

@@ -166,7 +166,8 @@ def repetition_signals(
     from pyspark.sql import Window
 
     toks = F.when(
-        F.length(F.trim(F.col(text_col))) == 0, F.array().cast("array<string>")
+        F.col(text_col).isNull() | (F.length(F.trim(F.col(text_col))) == 0),
+        F.array().cast("array<string>"),
     ).otherwise(TXT.tokens(F.col(text_col)))
 
     words = docs.select(

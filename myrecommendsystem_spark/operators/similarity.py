@@ -517,6 +517,59 @@ def pq_encode(
     return raw.mapInPandas(kernel, "id long, codes array<int>")
 
 
+def _query_adc_table(
+    queries: DataFrame, books: np.ndarray, id_col: str, vec_col: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """Collect the (small-by-contract) query set and build the ADC lookup
+    table: (q_ids, table[q, j, c] = q_subvector_j · centroid_{j,c})."""
+    m, _, sub = books.shape
+    q_rows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("vec")
+    ).collect()
+    q_ids = np.array([r.qid for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r.vec for r in q_rows], dtype=np.float64)
+    q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
+    table = np.einsum("qjs,jcs->qjc", q_mat.reshape(len(q_ids), m, sub), books)
+    return q_ids, table
+
+
+def _exact_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    shortlist: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Exact-cosine top-k over a (query_id, vec_id) shortlist — the
+    shared re-rank tail of every compressed-domain search: shortlist
+    (Q × rerank rows) broadcasts against the corpus — one more corpus
+    scan, zero corpus shuffle; true-vector cosine via the same frozen
+    zip_with/aggregate expression the oracle-gated brute force uses."""
+    cu = as_unit_vectors(corpus, id_col, vec_col).withColumnsRenamed(
+        {"id": "vec_id", "unit": "cu"}
+    )
+    qu = as_unit_vectors(queries, id_col, vec_col).withColumnsRenamed(
+        {"id": "query_id", "unit": "qu"}
+    )
+    exact = (
+        cu.join(F.broadcast(shortlist), "vec_id")
+        .join(F.broadcast(qu), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            round_stable(_dot(F.col("cu"), F.col("qu")), 4).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id")
+    )
+    return (
+        exact.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -550,17 +603,8 @@ def pq_topk(
     )
     codes = pq_encode(corpus, books, id_col, vec_col)
 
-    q_rows = queries.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("vec")
-    ).collect()  # query sets are small by contract (same as brute force)
-    q_ids = np.array([r.qid for r in q_rows], dtype=np.int64)
-    q_mat = np.array([r.vec for r in q_rows], dtype=np.float64)
-    q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
-    mm, kk, sub = books.shape
-    # (Q, m, k): table[q, j, c] = q_sub_j · centroid_{j,c}
-    table = np.einsum(
-        "qjs,jcs->qjc", q_mat.reshape(len(q_ids), mm, sub), books
-    )
+    mm = books.shape[0]
+    q_ids, table = _query_adc_table(queries, books, id_col, vec_col)
     spark = corpus.sparkSession
     b_table = spark.sparkContext.broadcast(table)
     b_qids = spark.sparkContext.broadcast(q_ids)
@@ -601,32 +645,7 @@ def pq_topk(
         .filter(F.col("adc_rnk") <= max(rerank, k))
         .select("query_id", "vec_id")
     )
-    # exact re-rank: shortlist (Q × rerank rows) broadcast against the
-    # corpus — one more corpus scan, zero corpus shuffle; true-vector
-    # cosine via the same frozen zip_with/aggregate expression the
-    # oracle-gated brute force uses
-    cu = as_unit_vectors(corpus, id_col, vec_col).withColumnsRenamed(
-        {"id": "vec_id", "unit": "cu"}
-    )
-    qu = as_unit_vectors(queries, id_col, vec_col).withColumnsRenamed(
-        {"id": "query_id", "unit": "qu"}
-    )
-    exact = (
-        cu.join(F.broadcast(shortlist), "vec_id")
-        .join(F.broadcast(qu), "query_id")
-        .select(
-            "query_id",
-            "vec_id",
-            round_stable(_dot(F.col("cu"), F.col("qu")), 4).alias("score"),
-        )
-    )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("vec_id")
-    )
-    return (
-        exact.withColumn("rnk", F.row_number().over(w2).cast("int"))
-        .filter(F.col("rnk") <= k)
-    )
+    return _exact_rerank_topk(corpus, queries, shortlist, k, id_col, vec_col)
 
 
 def ivf_pq_topk(
@@ -666,14 +685,8 @@ def ivf_pq_topk(
     )
     packed = pq_encode(corpus, books, id_col, vec_col).join(cells, "id")
 
-    q_rows = queries.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("vec")
-    ).collect()
-    q_ids = np.array([r.qid for r in q_rows], dtype=np.int64)
-    q_mat = np.array([r.vec for r in q_rows], dtype=np.float64)
-    q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
-    mm, kk, sub = books.shape
-    table = np.einsum("qjs,jcs->qjc", q_mat.reshape(len(q_ids), mm, sub), books)
+    mm = books.shape[0]
+    q_ids, table = _query_adc_table(queries, books, id_col, vec_col)
     qidx = {int(q): i for i, q in enumerate(q_ids)}
     spark = corpus.sparkSession
     b_table = spark.sparkContext.broadcast(table)
@@ -715,25 +728,4 @@ def ivf_pq_topk(
         .filter(F.col("adc_rnk") <= max(rerank, k))
         .select("query_id", "vec_id")
     )
-    cu = as_unit_vectors(corpus, id_col, vec_col).withColumnsRenamed(
-        {"id": "vec_id", "unit": "cu"}
-    )
-    qu = as_unit_vectors(queries, id_col, vec_col).withColumnsRenamed(
-        {"id": "query_id", "unit": "qu"}
-    )
-    exact = (
-        cu.join(F.broadcast(shortlist), "vec_id")
-        .join(F.broadcast(qu), "query_id")
-        .select(
-            "query_id",
-            "vec_id",
-            round_stable(_dot(F.col("cu"), F.col("qu")), 4).alias("score"),
-        )
-    )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("vec_id")
-    )
-    return (
-        exact.withColumn("rnk", F.row_number().over(w2).cast("int"))
-        .filter(F.col("rnk") <= k)
-    )
+    return _exact_rerank_topk(corpus, queries, shortlist, k, id_col, vec_col)

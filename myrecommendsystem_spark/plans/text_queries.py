@@ -56,11 +56,11 @@ def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PUNCT_SQL = TXT.PUNCT_CLASS.replace("'", "''")
 
-
-@register(
-    "doc_quality_scores",
-    rf"""
-WITH t AS (
+# DuckDB twin of functions.text.quality_score, shared by the diagnostic
+# view (doc_quality_scores) and the composed gate (doc_quality_top_half)
+# so the formula can never drift between them.
+_QUALITY_CTE = rf"""
+t AS (
     SELECT doc_id,
            CASE WHEN length(trim(text)) = 0 THEN 0
                 ELSE length(regexp_split_to_array(trim(text), '\s+'))
@@ -80,11 +80,21 @@ m AS (
            CASE WHEN tok_chars / CAST(n_tok AS DOUBLE) BETWEEN 3.0 AND 10.0
                 THEN 1.0 ELSE 0.5 END AS shape_score
     FROM t
+),
+q AS (
+    SELECT doc_id,
+           {sql_round_stable('len_score * 0.5 + punct_pen * 0.25 + shape_score * 0.25', 4)}
+               AS quality
+    FROM m
 )
-SELECT doc_id,
-       {sql_round_stable('len_score * 0.5 + punct_pen * 0.25 + shape_score * 0.25', 4)}
-           AS quality
-FROM m
+""".strip()
+
+
+@register(
+    "doc_quality_scores",
+    f"""
+WITH {_QUALITY_CTE}
+SELECT doc_id, quality FROM q
 """,
     doc="quality scoring: length/punctuation/token-shape heuristics as one "
     "pure column expression (Gopher/C4-style filter shape)",
@@ -674,7 +684,7 @@ def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     rf"""
 WITH toks AS (
     SELECT doc_id,
-           CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+           CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
                 ELSE regexp_split_to_array(lower(trim(text)), '\s+')
                 END AS t
     FROM documents
@@ -732,10 +742,12 @@ WITH ref AS (
     FROM documents WHERE source = 'src0'
 )
 SELECT doc_id, source, n_chars
-FROM documents
+FROM documents d
 WHERE source != 'src0'
-  AND md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
-      NOT IN (SELECT fp FROM ref)
+  AND NOT EXISTS (
+      SELECT 1 FROM ref
+      WHERE ref.fp = md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g'))
+  )
 """,
     doc="cross-corpus dedup (incremental-ingestion): new docs (source != "
     "src0) survive only if their normalized-text md5 is absent from the "
@@ -1106,37 +1118,6 @@ def sample_docs_exact_n(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TXT.content_defined_chunks(_docs(spark, sf_dir))
-
-
-_QUALITY_CTE = rf"""
-t AS (
-    SELECT doc_id,
-           CASE WHEN length(trim(text)) = 0 THEN 0
-                ELSE length(regexp_split_to_array(trim(text), '\s+'))
-                END AS n_tok,
-           length(text) AS n_char,
-           length(text) - length(regexp_replace(text, '{_PUNCT_SQL}', '', 'g'))
-               AS n_punct,
-           length(regexp_replace(lower(trim(text)), '\s+', '', 'g')) AS tok_chars
-    FROM documents
-),
-m AS (
-    SELECT doc_id,
-           LEAST(n_tok / 100.0, 1.0) AS len_score,
-           CASE WHEN n_char = 0 THEN 1.0
-                ELSE GREATEST(0.0, 1.0 - (n_punct / CAST(n_char AS DOUBLE)) * 4.0)
-                END AS punct_pen,
-           CASE WHEN tok_chars / CAST(n_tok AS DOUBLE) BETWEEN 3.0 AND 10.0
-                THEN 1.0 ELSE 0.5 END AS shape_score
-    FROM t
-),
-q AS (
-    SELECT doc_id,
-           {sql_round_stable('len_score * 0.5 + punct_pen * 0.25 + shape_score * 0.25', 4)}
-               AS quality
-    FROM m
-)
-""".strip()
 
 
 @register(

@@ -304,3 +304,16 @@ def test_cdc_chunks_reassemble_and_are_stable_under_prefix_edit(spark):
     assert by_doc[1][-tail:] == by_doc[2][-tail:]
     # every chunk respects the max size bound
     assert all(r.n_bytes <= 256 for r in out)
+
+
+def test_cdc_chunks_multibyte_no_overlap_and_cap(spark):
+    # 3-byte runes force every max_size cut to land mid-rune: chunks must
+    # still reassemble EXACTLY (no duplicated rune) and respect the cap.
+    text = "€" * 300  # 900 bytes of 3-byte runes
+    from myrecommendsystem_spark.functions.text import content_defined_chunks
+
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = sorted(content_defined_chunks(docs).collect(), key=lambda r: r.chunk_idx)
+    assert "".join(r.chunk for r in out) == text
+    assert sum(r.n_bytes for r in out) == 900
+    assert all(r.n_bytes <= 256 for r in out)
