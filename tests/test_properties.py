@@ -208,3 +208,34 @@ def test_contamination_matches_python_model(spark, texts, bench_text):
         g = _py_shingles(t)
         want[i] = (len(g), len(g & bgrams))
     assert got == want
+
+
+_unicode_text = st.text(
+    alphabet=st.characters(
+        codec="utf-8", categories=("L", "N", "P", "Z", "S")
+    ),
+    min_size=0,
+    max_size=400,
+)
+
+
+@_settings
+@given(texts=st.lists(_unicode_text, min_size=1, max_size=4))
+def test_cdc_chunks_reassembly_law(spark, texts):
+    """For ANY unicode input: chunks reassemble to the exact original,
+    byte counts conserve, the size cap holds, and no chunk is empty."""
+    from myrecommendsystem_spark.functions.text import content_defined_chunks
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    rows = content_defined_chunks(docs).collect()
+    by_doc = {}
+    for r in sorted(rows, key=lambda r: (r.id, r.chunk_idx)):
+        by_doc.setdefault(r.id, []).append(r)
+    for i, t in enumerate(texts):
+        got = by_doc.get(i, [])
+        assert "".join(r.chunk for r in got) == t
+        assert sum(r.n_bytes for r in got) == len(t.encode("utf-8"))
+        assert all(r.n_bytes <= 256 for r in got)
+        assert all(r.n_bytes > 0 for r in got)
