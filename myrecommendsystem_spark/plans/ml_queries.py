@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from myrecommendsystem_spark.functions.compat import round_stable, sql_round_stable
 from myrecommendsystem_spark.io import readers
 from myrecommendsystem_spark.ml import als as als_mod
 from myrecommendsystem_spark.ml.tuner import grid_search_als
@@ -129,3 +130,140 @@ def als_implicit_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
         alpha=40.0,
     )
     return als_mod.user_recs_flat(model, k=10)
+
+
+@register(
+    "product_cooccurrence_pmi",
+    f"""
+WITH {RATINGS_CTE},
+capped AS (
+    SELECT userId, productId FROM (
+        SELECT userId, productId, ROW_NUMBER() OVER (
+            PARTITION BY userId ORDER BY ts DESC, productId DESC, score DESC
+        ) AS rn FROM ratings
+    ) WHERE rn <= 20
+    GROUP BY userId, productId
+),
+n AS (SELECT CAST(COUNT(DISTINCT userId) AS DOUBLE) AS n_users FROM capped),
+pc AS (SELECT productId, CAST(COUNT(*) AS DOUBLE) AS n_p FROM capped GROUP BY productId),
+pairs AS (
+    SELECT a.productId AS pid_a, b.productId AS pid_b,
+           CAST(COUNT(*) AS DOUBLE) AS n_ab
+    FROM capped a JOIN capped b
+      ON a.userId = b.userId AND a.productId < b.productId
+    GROUP BY pid_a, pid_b
+)
+SELECT CAST(pid_a AS INTEGER) AS pid_a, CAST(pid_b AS INTEGER) AS pid_b,
+       CAST(n_ab AS BIGINT) AS n_ab,
+       {sql_round_stable(
+           'ln((n_ab / n.n_users) / ((ca.n_p / n.n_users) * (cb.n_p / n.n_users)))',
+           4)} AS pmi
+FROM pairs
+JOIN pc ca ON pairs.pid_a = ca.productId
+JOIN pc cb ON pairs.pid_b = cb.productId
+CROSS JOIN n
+WHERE n_ab >= 5
+ORDER BY pid_a, pid_b
+""",
+    doc="product co-occurrence PMI (the SGNS-style association "
+    "statistic, complementing item-CF's cosine): baskets capped at the "
+    "recent-20 per user (the itemcf scale guard, so pair volume is "
+    "O(users*K^2)), pair counts vs independence over distinct users; "
+    "support floor n_ab >= 5 drops noise pairs",
+    defer=True,
+)
+def product_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    r = readers.events_as_ratings(spark, sf_dir)
+    w = Window.partitionBy("userId").orderBy(
+        F.col("ts").desc(), F.col("productId").desc(), F.col("score").desc()
+    )
+    capped = (
+        r.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("userId", "productId")
+        .distinct()
+    )
+    n = capped.agg(
+        F.countDistinct("userId").cast("double").alias("n_users")
+    )
+    pc = capped.groupBy("productId").agg(
+        F.count(F.lit(1)).cast("double").alias("n_p")
+    )
+    a = capped.withColumnsRenamed({"productId": "pid_a"})
+    b = capped.withColumnsRenamed({"productId": "pid_b"})
+    pairs = (
+        a.join(b, "userId")
+        .filter(F.col("pid_a") < F.col("pid_b"))
+        .groupBy("pid_a", "pid_b")
+        .agg(F.count(F.lit(1)).cast("double").alias("n_ab"))
+    )
+    ca = pc.withColumnsRenamed({"productId": "pid_a", "n_p": "na"})
+    cb = pc.withColumnsRenamed({"productId": "pid_b", "n_p": "nb"})
+    return (
+        pairs.join(F.broadcast(ca), "pid_a")
+        .join(F.broadcast(cb), "pid_b")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("n_ab") >= 5)
+        .select(
+            F.col("pid_a").cast("int").alias("pid_a"),
+            F.col("pid_b").cast("int").alias("pid_b"),
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            round_stable(
+                F.log(
+                    (F.col("n_ab") / F.col("n_users"))
+                    / (
+                        (F.col("na") / F.col("n_users"))
+                        * (F.col("nb") / F.col("n_users"))
+                    )
+                ),
+                4,
+            ).alias("pmi"),
+        )
+        .orderBy("pid_a", "pid_b")
+    )
+
+
+@register(
+    "ratings_session_examples",
+    f"""
+WITH {RATINGS_CTE},
+s AS (
+    SELECT userId, productId, score, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                THEN 1 ELSE 0 END AS new_s
+    FROM ratings
+    WINDOW w AS (PARTITION BY userId ORDER BY ts, productId, score)
+),
+t AS (
+    SELECT *, CAST(SUM(new_s) OVER (
+        PARTITION BY userId ORDER BY ts, productId, score
+        ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_id
+    FROM s
+),
+h AS (
+    SELECT userId, session_id,
+           array_to_string(list(productId) OVER (
+               PARTITION BY userId, session_id
+               ORDER BY ts, productId, score
+               ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING), ',') AS history,
+           productId AS label
+    FROM t
+)
+SELECT userId, session_id, history, label
+FROM h WHERE history IS NOT NULL AND length(history) > 0
+""",
+    doc="session-scoped next-item examples: history never crosses a "
+    ">30 min inactivity boundary (gap-flag running sum -> session id, "
+    "then the k-capped ROWS history window per (user, session)); both "
+    "windows ride one userId shuffle",
+    defer=True,
+)
+def ratings_session_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myrecommendsystem_spark.ml.examples import session_next_item_examples
+
+    return session_next_item_examples(
+        readers.events_as_ratings(spark, sf_dir), history_k=5, gap_minutes=30
+    )

@@ -220,3 +220,28 @@ def test_implicit_als_trains_and_recommends(spark, sf_dir):
     # implicit scores are preference estimates, not rating predictions
     top = recs.filter(recs.rnk == 1).limit(5).collect()
     assert all(r.rnk == 1 for r in top)
+
+
+def test_session_examples_history_never_crosses_gap(spark):
+    from myrecommendsystem_spark.ml.examples import session_next_item_examples
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, 10, 4.0, t0),
+        (1, 11, 3.0, t0 + dt.timedelta(minutes=5)),
+        # 2-hour gap: new session — history must reset
+        (1, 12, 5.0, t0 + dt.timedelta(hours=2, minutes=5)),
+        (1, 13, 2.0, t0 + dt.timedelta(hours=2, minutes=10)),
+    ]
+    ratings = spark.createDataFrame(
+        rows, "userId int, productId int, score double, ts timestamp"
+    )
+    out = {
+        (r.userId, r.label): (r.session_id, r.history)
+        for r in session_next_item_examples(ratings, history_k=3).collect()
+    }
+    assert out == {
+        (1, 11): (1, "10"),
+        (1, 13): (2, "12"),  # session 2: item 12 only; 10,11 never leak in
+    }
