@@ -1156,3 +1156,94 @@ def doc_quality_top_half(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "quality")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "corpus_drift_terms",
+    rf"""
+WITH tok AS (
+    SELECT CASE WHEN source = 'src0' THEN 'ref' ELSE 'new' END AS side, term
+    FROM (SELECT source,
+                 unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+          FROM documents)
+    WHERE length(term) > 0
+),
+tot AS (SELECT side, CAST(COUNT(*) AS DOUBLE) AS n FROM tok GROUP BY side),
+freq AS (
+    SELECT side, term, CAST(COUNT(*) AS DOUBLE) AS c
+    FROM tok GROUP BY side, term
+),
+joined AS (
+    SELECT t.term,
+           COALESCE(MAX(CASE WHEN t.side = 'ref' THEN t.c END), 0)
+               / MAX(CASE WHEN tot.side = 'ref' THEN tot.n END) AS p_ref,
+           COALESCE(MAX(CASE WHEN t.side = 'new' THEN t.c END), 0)
+               / MAX(CASE WHEN tot.side = 'new' THEN tot.n END) AS p_new
+    FROM freq t CROSS JOIN tot
+    GROUP BY t.term
+)
+SELECT term,
+       {sql_round_stable('p_ref', 6)} AS p_ref,
+       {sql_round_stable('p_new', 6)} AS p_new,
+       {sql_round_stable('ABS(p_new - p_ref)', 6)} AS drift
+FROM joined
+ORDER BY ABS(p_new - p_ref) DESC, term
+LIMIT 20
+""",
+    doc="corpus drift report: unigram relative frequencies in the "
+    "reference corpus (src0) vs the incoming batch, top-20 terms by "
+    "absolute frequency shift — the distribution-drift alarm a corpus "
+    "pipeline runs per ingest; totals ride a tiny broadcast, global "
+    "top-20 lowers to TakeOrderedAndProject",
+    defer=True,
+)
+def corpus_drift_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        F.when(F.col("source") == "src0", F.lit("ref"))
+        .otherwise(F.lit("new"))
+        .alias("side"),
+        F.explode(TXT.tokens(F.col("text"))).alias("term"),
+    ).filter(F.length("term") > 0)
+    # both totals ride ONE 1-row broadcast to every term — joining totals
+    # on the row's own side would leave a NULL denominator for terms
+    # absent from one corpus (p must be 0 there, as in the oracle's
+    # cross join), a divergence the shared-vocab testdata never triggers
+    tot = tok.groupBy().agg(
+        F.sum(F.when(F.col("side") == "ref", 1).otherwise(0))
+        .cast("double")
+        .alias("n_ref"),
+        F.sum(F.when(F.col("side") == "new", 1).otherwise(0))
+        .cast("double")
+        .alias("n_new"),
+    )
+    freq = tok.groupBy("side", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    wide = (
+        freq.groupBy("term")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("side") == "ref", F.col("c"))), F.lit(0.0)
+            ).alias("c_ref"),
+            F.coalesce(
+                F.max(F.when(F.col("side") == "new", F.col("c"))), F.lit(0.0)
+            ).alias("c_new"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "term",
+            (F.col("c_ref") / F.col("n_ref")).alias("pr"),
+            (F.col("c_new") / F.col("n_new")).alias("pn"),
+        )
+    )
+    return (
+        wide.select(
+            "term",
+            round_stable(F.col("pr"), 6).alias("p_ref"),
+            round_stable(F.col("pn"), 6).alias("p_new"),
+            round_stable(F.abs(F.col("pn") - F.col("pr")), 6).alias("drift"),
+        )
+        .orderBy(F.abs(F.col("pn") - F.col("pr")).desc(), "term")
+        .limit(20)
+    )

@@ -1536,3 +1536,88 @@ def events_user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.countDistinct("user_id").cast("bigint").alias("active_users"))
         .orderBy("cohort", "day_offset")
     )
+
+
+@register(
+    "lineitem_correlations",
+    f"""
+SELECT 'qty_price' AS pair,
+       {sql_round_stable('corr(l_quantity, l_extendedprice)', 4)} AS r
+FROM lineitem
+UNION ALL
+SELECT 'qty_discount',
+       {sql_round_stable('corr(l_quantity, l_discount)', 4)}
+FROM lineitem
+UNION ALL
+SELECT 'price_discount',
+       {sql_round_stable('corr(l_extendedprice, l_discount)', 4)}
+FROM lineitem
+ORDER BY pair
+""",
+    doc="pairwise Pearson correlations over lineitem measures (the "
+    "feature-engineering sanity check): corr is a single-pass "
+    "partial-aggregable moment computation — three aggregates over one "
+    "relation, no data reshuffle beyond the final 1-row combines",
+    defer=True,
+)
+def lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    rows = [
+        ("qty_price", F.corr("l_quantity", "l_extendedprice")),
+        ("qty_discount", F.corr("l_quantity", "l_discount")),
+        ("price_discount", F.corr("l_extendedprice", "l_discount")),
+    ]
+    dfs = [
+        li.agg(round_stable(expr, 4).alias("r")).select(
+            F.lit(name).alias("pair"), "r"
+        )
+        for name, expr in rows
+    ]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out.orderBy("pair")
+
+
+@register(
+    "events_top_paths",
+    """
+WITH seq AS (
+    SELECT event_type AS a,
+           LEAD(event_type, 1) OVER w AS b,
+           LEAD(event_type, 2) OVER w AS c
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT a || '>' || b || '>' || c AS path,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM seq WHERE b IS NOT NULL AND c IS NOT NULL
+GROUP BY path
+ORDER BY n DESC, path
+LIMIT 20
+""",
+    doc="top user journeys: 3-step event-type paths via double LEAD "
+    "(one user_id shuffle, offset windows, no frame buffer), grouped "
+    "count, global top-20 as TakeOrderedAndProject — the transition "
+    "matrix's sequence-level companion",
+    defer=True,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type", 1).over(w).alias("b"),
+        F.lead("event_type", 2).over(w).alias("c"),
+    ).filter(F.col("b").isNotNull() & F.col("c").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "a", "b", "c").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(20)
+    )

@@ -317,3 +317,27 @@ def test_cdc_chunks_multibyte_no_overlap_and_cap(spark):
     assert "".join(r.chunk for r in out) == text
     assert sum(r.n_bytes for r in out) == 900
     assert all(r.n_bytes <= 256 for r in out)
+
+
+def test_corpus_drift_handles_one_sided_terms(spark):
+    # a term present in only one corpus must report p=0 on the other
+    # side, not NULL (the own-side-join trap)
+    from myrecommendsystem_spark.plans.registry import REGISTRY
+
+    builder = next(
+        s.builder for s in REGISTRY if s.name == "corpus_drift_terms"
+    )
+    import tempfile, os
+
+    d = spark.createDataFrame(
+        [
+            (1, "shared refonly refonly", "en", "src0", 22),
+            (2, "shared newonly newonly", "en", "src1", 22),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    tmp = tempfile.mkdtemp()
+    d.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+    out = {r.term: (r.p_ref, r.p_new) for r in builder(spark, tmp).collect()}
+    assert out["refonly"] == (pytest.approx(2 / 3), 0.0)
+    assert out["newonly"] == (0.0, pytest.approx(2 / 3))
