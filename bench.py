@@ -81,6 +81,11 @@ HEADLINE: tuple[str, ...] = (
     "dedup_tfidf_cosine",
     "doc_bm25_search",
     "ratings_next_item_examples",
+    "ratings_session_examples",
+    "product_cooccurrence_pmi",
+    "corpus_drift_terms",
+    "events_type_transitions",
+    "events_user_retention_cohorts",
 )
 
 

@@ -108,3 +108,36 @@ def ingest_ratings_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("user_n", F2.count("*").over(w)).orderBy(
         "ts_sec", "userId"
     )
+
+
+@register(
+    "product_category_counts",
+    f"""
+SELECT trim(cat) AS category, CAST(COUNT(*) AS BIGINT) AS n_products
+FROM (
+    SELECT unnest(regexp_split_to_array(f5, '\\|')) AS cat
+    FROM read_csv('{PRODUCTS_CSV}', delim='^', header=false, auto_detect=false,
+                  columns={{'f0':'VARCHAR','f1':'VARCHAR','f2':'VARCHAR',
+                            'f3':'VARCHAR','f4':'VARCHAR','f5':'VARCHAR',
+                            'f6':'VARCHAR'}})
+)
+WHERE length(trim(cat)) > 0
+GROUP BY category
+ORDER BY n_products DESC, category
+""",
+    doc="LATERAL-VIEW surface over the reference catalog: explode the "
+    "|-split category array (the multi-valued attribute DataLoader "
+    "carries) into per-category product counts — explode + hash "
+    "aggregate, the array-normalization shape every catalog query needs",
+    defer=True,
+)
+def product_category_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prods = readers.read_products_delimited(spark, PRODUCTS_CSV)
+    return (
+        prods.select(F.explode("categories").alias("category"))
+        .select(F.trim("category").alias("category"))
+        .filter(F.length("category") > 0)
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_products"))
+        .orderBy(F.col("n_products").desc(), "category")
+    )
