@@ -179,11 +179,15 @@ def product_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("userId").orderBy(
         F.col("ts").desc(), F.col("productId").desc(), F.col("score").desc()
     )
+    # persisted: four consumers (user count, product counts, both
+    # self-join sides) would each re-run the recency window otherwise —
+    # the same shared-relation rule as tfidf_cosine_pairs
     capped = (
         r.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 20)
         .select("userId", "productId")
         .distinct()
+        .persist()
     )
     n = capped.agg(
         F.countDistinct("userId").cast("double").alias("n_users")

@@ -401,3 +401,10 @@ def test_winsorize_broadcasts_cut_table(spark):
     plan = _executed(spark, "events_value_winsorized")
     assert "BroadcastHashJoin" in plan  # per-type cuts never shuffle the facts
     assert "Python" not in plan
+
+
+def test_session_examples_share_one_shuffle(spark):
+    plan = _executed(spark, "ratings_session_examples")
+    # session-id window and per-session history window ride ONE exchange
+    assert plan.count("Exchange") == 1
+    assert "Python" not in plan
