@@ -676,6 +676,40 @@ def ivf_pq_topk(
     (row, probing query) pair, and only the ≤ Q·rerank shortlist ever
     fetches true vectors.
     """
+    index = build_ivfpq_index(
+        corpus,
+        n_cells=n_cells,
+        m=m,
+        k_codes=k_codes,
+        id_col=id_col,
+        vec_col=vec_col,
+        seed=seed,
+    )
+    return ivfpq_search(
+        index,
+        queries,
+        corpus,
+        nprobe=nprobe,
+        k=k,
+        rerank=rerank,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    m: int = 8,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> "IvfPqIndex":
+    """Build the (cell_id, codes) IVF-PQ index once, independent of any
+    query: the index LIFECYCLE primitive — a 100 TB corpus encodes once
+    and serves every subsequent search from its 8-byte codes, instead of
+    re-quantizing per query the way the one-shot helpers do."""
     centroids = fit_ivf_centroids(corpus, n_cells, id_col, vec_col, seed)
     cells = ivf_assign(corpus, centroids, id_col, vec_col, nprobe=1).select(
         F.col("id"), F.col("cell_id")
@@ -684,11 +718,67 @@ def ivf_pq_topk(
         corpus, m=m, k=k_codes, id_col=id_col, vec_col=vec_col, seed=seed
     )
     packed = pq_encode(corpus, books, id_col, vec_col).join(cells, "id")
+    return IvfPqIndex(packed=packed, centroids=centroids, books=books)
 
+
+class IvfPqIndex:
+    """packed: (id, codes array<int>, cell_id int); centroids (C, d);
+    books (m, k, d/m) — everything a search needs, vectors excluded."""
+
+    def __init__(self, packed: DataFrame, centroids: np.ndarray, books: np.ndarray):
+        self.packed = packed
+        self.centroids = centroids
+        self.books = books
+
+    def save(self, path: str) -> None:
+        """Persist: codes as parquet (the corpus-sized part — columnar,
+        splittable, ~9 bytes/vector), quantizer matrices as single-row
+        parquet of flattened arrays (KB-scale driver state)."""
+        self.packed.write.mode("overwrite").parquet(f"{path}/codes")
+        spark = self.packed.sparkSession
+        meta = spark.createDataFrame(
+            [
+                (
+                    list(self.centroids.shape),
+                    [float(x) for x in self.centroids.ravel()],
+                    list(self.books.shape),
+                    [float(x) for x in self.books.ravel()],
+                )
+            ],
+            "c_shape array<int>, c_data array<double>, "
+            "b_shape array<int>, b_data array<double>",
+        )
+        meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IvfPqIndex":
+        packed = spark.read.parquet(f"{path}/codes")
+        r = spark.read.parquet(f"{path}/meta").first()
+        centroids = np.array(r.c_data).reshape(r.c_shape)
+        books = np.array(r.b_data).reshape(r.b_shape)
+        return cls(packed=packed, centroids=centroids, books=books)
+
+
+def ivfpq_search(
+    index: IvfPqIndex,
+    queries: DataFrame,
+    rerank_corpus: DataFrame | None = None,
+    nprobe: int = 4,
+    k: int = 5,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a built/loaded IVF-PQ index.  ``rerank_corpus`` supplies
+    true vectors for the exact re-rank stage; pass None to return the
+    raw compressed-domain (ADC) ranking — the index alone never stores
+    vectors."""
+    packed, centroids, books = index.packed, index.centroids, index.books
+    corpus = rerank_corpus  # original naming below
     mm = books.shape[0]
     q_ids, table = _query_adc_table(queries, books, id_col, vec_col)
     qidx = {int(q): i for i, q in enumerate(q_ids)}
-    spark = corpus.sparkSession
+    spark = packed.sparkSession
     b_table = spark.sparkContext.broadcast(table)
     b_qidx = spark.sparkContext.broadcast(qidx)
 
@@ -723,6 +813,11 @@ def ivf_pq_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("vec_id")
     )
+    if corpus is None:
+        return (
+            scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+            .filter(F.col("rnk") <= k)
+        )
     shortlist = (
         scored.withColumn("adc_rnk", F.row_number().over(w))
         .filter(F.col("adc_rnk") <= max(rerank, k))

@@ -341,3 +341,30 @@ def test_corpus_drift_handles_one_sided_terms(spark):
     out = {r.term: (r.p_ref, r.p_new) for r in builder(spark, tmp).collect()}
     assert out["refonly"] == (pytest.approx(2 / 3), 0.0)
     assert out["newonly"] == (0.0, pytest.approx(2 / 3))
+
+
+def test_ivfpq_index_save_load_search_parity(spark, tmp_path):
+    from myrecommendsystem_spark.io import readers
+
+    emb = readers.load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    idx = similarity.build_ivfpq_index(emb, n_cells=8, m=8, k_codes=16)
+    fresh = {
+        (r.query_id, r.vec_id, r.rnk)
+        for r in similarity.ivfpq_search(idx, q, emb, nprobe=4, k=5).collect()
+    }
+    path = str(tmp_path / "ann_index")
+    idx.save(path)
+    loaded = similarity.IvfPqIndex.load(spark, path)
+    import numpy as np
+
+    assert np.allclose(loaded.books, idx.books)
+    assert np.allclose(loaded.centroids, idx.centroids)
+    replayed = {
+        (r.query_id, r.vec_id, r.rnk)
+        for r in similarity.ivfpq_search(loaded, q, emb, nprobe=4, k=5).collect()
+    }
+    assert replayed == fresh  # a loaded index answers identically
+    # index-only search (no rerank corpus) still returns a ranking
+    adc_only = similarity.ivfpq_search(loaded, q, None, nprobe=4, k=5)
+    assert adc_only.count() > 0
