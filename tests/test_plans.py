@@ -10,11 +10,14 @@ bill.
 
 from __future__ import annotations
 
+from pathlib import Path
+
 import pytest
 
 from myrecommendsystem_spark.plans import registry
 
 SF = "/root/testdata/sf0.001"
+REPO_ROOT = Path(__file__).resolve().parent.parent
 
 
 def _executed(spark, name: str) -> str:
@@ -363,14 +366,63 @@ def test_snapshot_diff_full_outer_hash_join(spark):
     assert "Python" not in plan
 
 
+def _driver_verified_names():
+    """Names with a recorded driver row in any committed CORRECTNESS
+    artifact — the ground truth the window rotation is derived from."""
+    import glob
+    import json
+
+    seen = set()
+    for path in sorted(glob.glob(str(REPO_ROOT / "CORRECTNESS_r0*.json"))):
+        with open(path) as f:
+            seen |= set(json.load(f))
+    return seen
+
+
 def test_driver_window_rotation_is_exact_prefix():
-    """The round-3 rotation must (a) name only real queries, (b) fill the
+    """The round-4 rotation must (a) name only real queries, (b) fill the
     driver's 50-entry window exactly, and (c) be the literal prefix of
     all_queries() — a regression here silently un-verifies queries."""
     names = [s.name for s in registry._ordered()]
-    assert len(registry._DRIVER_WINDOW_R3) == 50
-    assert names[:50] == registry._DRIVER_WINDOW_R3
+    assert len(registry._DRIVER_WINDOW_R4) == 50
+    assert names[:50] == registry._DRIVER_WINDOW_R4
     assert len(names) == len(set(names))
+
+
+def test_driver_window_derived_from_correctness_artifacts():
+    """Round-3 advice: the window must be derivable from the recorded
+    CORRECTNESS_r0*.json artifacts, not a hand-list that can go stale.
+
+    Invariants: (a) every registered query with NO driver row ever is in
+    the window front, before any re-check; (b) window padding re-checks
+    all HAVE a prior driver row; (c) nothing outside the window is
+    unverified.  When the r04 artifact lands, (a) becomes vacuous and the
+    test keeps passing — the next rotation refreshes the list."""
+    seen = _driver_verified_names()
+    names = [s.name for s in registry._ordered()]
+    window = registry._DRIVER_WINDOW_R4
+    never = [n for n in names if n not in seen]
+    # (a) + (c): unverified queries sit at the exact front of the window
+    assert never == window[: len(never)]
+    # (b): everything after the unverified block is a genuine re-check
+    assert all(n in seen for n in window[len(never) :])
+
+
+def test_driver_window_schemas_are_flat(spark, sf_dir):
+    """The driver's pandas canonicalizer crashes on array/map/struct
+    cells (r01 ``approx_distinct_users`` precedent) — every query in the
+    50-entry window must return a flat schema."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    qs = registry.all_queries()
+    for name in registry._DRIVER_WINDOW_R4:
+        schema = qs[name](spark, sf_dir).schema
+        bad = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        assert not bad, f"{name} returns nested columns {bad}"
 
 
 def test_decontamination_broadcasts_bench_no_python(spark):
