@@ -136,6 +136,12 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        # No cache outlives its query (SCALE.md §caching): lazy intra-query
+        # caches (set-ops/q15/q2 dims, stream sims) are released here, so
+        # the sweep's memory is bounded by one query's working set.  Within
+        # a query's repeats the cache stays warm — unchanged measurement
+        # policy; eager_release operators free theirs before returning.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -1,0 +1,36 @@
+"""Intra-query cache scope — persist big intermediates, release them the
+moment the (small) result is materialized.
+
+Several operators persist a corpus-sized intermediate because multiple
+downstream branches consume it (self-join sides, size aggregates, verify
+joins).  Returning a *lazy* result would force a choice between two bad
+options: unpersist before returning (defeats the cache — consumers run
+later) or leak the cache into the session (at a 100 TB shared session
+that is unbounded memory pressure; round-3 advice).  ``eager_release``
+resolves it: materialize the final result once via
+``localCheckpoint(eager=True)`` — the checkpoint job reads the warm
+caches — then free the intermediates on the spot.
+
+The only memory that outlives the call is the result's own checkpoint
+blocks, which are small by operator contract (thresholded pair lists,
+top-k tables) and are released by Spark's ContextCleaner when the
+DataFrame is garbage collected.  Policy documented in SCALE.md §caching.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def eager_release(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Materialize ``result`` eagerly and unpersist the ``cached``
+    intermediates that fed it; returns the materialized result.
+
+    The returned DataFrame scans the checkpointed partitions — callers
+    compose with it exactly as with the lazy plan (same schema, same
+    rows; row order is partition order, callers needing order sort).
+    """
+    out = result.localCheckpoint(eager=True)
+    for df in cached:
+        df.unpersist()
+    return out

@@ -605,7 +605,9 @@ def tfidf_cosine_pairs(
             ).alias("cos"),
         )
     )
-    return out.filter(F.col("cos") >= threshold)
+    from myrecommendsystem_spark.functions.caching import eager_release
+
+    return eager_release(out.filter(F.col("cos") >= threshold), tf, w)
 
 
 def bm25_search(
@@ -646,7 +648,9 @@ def bm25_search(
     stats = docs.select(F.count(F.lit(1)).cast("double").alias("__n")).crossJoin(
         dl.agg(F.avg("dl").alias("__avgdl"))
     )
-    q = spark.createDataFrame([(t,) for t in query_terms], ["term"])
+    # explicit schema: createDataFrame([], [...]) cannot infer types, so
+    # an empty query list must still build a valid (empty) term relation
+    q = spark.createDataFrame([(t,) for t in query_terms], "term string")
     scored = (
         tf.join(F.broadcast(q), "term")
         .join(df_, "term")

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from myrecommendsystem_spark.functions import text as TXT
+from myrecommendsystem_spark.functions.caching import eager_release
 from myrecommendsystem_spark.operators.parallelism import widen_for_kernel
 
 
@@ -87,7 +88,7 @@ def minhash_candidate_pairs(
     # — at 10⁹ docs this still fits a cluster's aggregate storage memory,
     # and MEMORY_AND_DISK degrades gracefully if not.
     banded = banded.persist()
-    return _candidates_from_banded(banded, max_bucket)
+    return eager_release(_candidates_from_banded(banded, max_bucket), banded)
 
 
 def _candidates_from_banded(banded: DataFrame, max_bucket: int) -> DataFrame:
@@ -152,7 +153,7 @@ def minhash_near_duplicates(
     joined = cands.join(a, "id_a").join(b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return (
+    out = (
         joined.select(
             "id_a",
             "id_b",
@@ -160,6 +161,7 @@ def minhash_near_duplicates(
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
     )
+    return eager_release(out, sigs)
 
 
 def connected_components(
@@ -279,7 +281,8 @@ def ngram_jaccard_dedup_pairs(
         .filter(F.col("df_cnt") <= max_df)
         .select("s")
     )
-    shf = sh.join(rare, "s").persist()  # feeds sizes + both join sides
+    # feeds sizes + both join sides; released via eager_release below
+    shf = sh.join(rare, "s").persist()
     sizes = shf.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = shf.select(F.col("id").alias("id_a"), "s")
     b = shf.select(F.col("id").alias("id_b"), "s")
@@ -291,7 +294,7 @@ def ngram_jaccard_dedup_pairs(
     )
     from myrecommendsystem_spark.functions.compat import round_stable
 
-    return (
+    out = (
         inter.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "na"}), "id_a")
         .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "nb"}), "id_b")
         .select(
@@ -303,6 +306,7 @@ def ngram_jaccard_dedup_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    return eager_release(out, shf)
 
 
 def ngram_jaccard_pairs(
@@ -375,17 +379,17 @@ def simhash_near_duplicates(
     bucket_sizes = banded.groupBy("band_idx", "band_val").agg(
         F.count("*").alias("bucket_n")
     )
-    banded = banded.join(
+    capped = banded.join(
         bucket_sizes.filter(F.col("bucket_n") <= max_bucket),
         ["band_idx", "band_val"],
     ).select("band_idx", "band_val", "id", "fp")
-    a = banded.select(
+    a = capped.select(
         "band_idx", "band_val", F.col("id").alias("id_a"), F.col("fp").alias("fp_a")
     )
-    b = banded.select(
+    b = capped.select(
         "band_idx", "band_val", F.col("id").alias("id_b"), F.col("fp").alias("fp_b")
     )
-    return (
+    out = (
         a.join(b, ["band_idx", "band_val"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
@@ -396,6 +400,7 @@ def simhash_near_duplicates(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+    return eager_release(out, banded)
 
 
 def minhash_cross_corpus_pairs(
@@ -457,7 +462,7 @@ def minhash_cross_corpus_pairs(
     b = sig_ref.select("ref_id", F.col("s.sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return (
+    out = (
         cands.join(a, "new_id")
         .join(b, "ref_id")
         .select(
@@ -465,6 +470,7 @@ def minhash_cross_corpus_pairs(
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
     )
+    return eager_release(out, sig_new, sig_ref)
 
 
 def cross_corpus_near_survivors(
@@ -522,10 +528,11 @@ def substring_overlap_pairs(
     capped = fps.join(sizes.filter(F.col("n") <= max_bucket), "fp")
     a = capped.select("fp", F.col("id").alias("id_a"))
     b = capped.select("fp", F.col("id").alias("id_b"))
-    return (
+    out = (
         a.join(b, "fp")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).cast("int").alias("shared_windows"))
         .filter(F.col("shared_windows") >= min_shared)
     )
+    return eager_release(out, fps)

@@ -283,7 +283,9 @@ def fit_ivf_centroids(
         from myrecommendsystem_spark.operators.sampling import sample_fraction
 
         raw = sample_fraction(raw, "id", max_train / n, salt="ivf")
-    mat = np.array([r.vec for r in raw.collect()], dtype=np.float64)
+    # orderBy(id) pins collect order: k-means init indexes into row order,
+    # so codebooks must not depend on physical partition layout.
+    mat = np.array([r.vec for r in raw.orderBy("id").collect()], dtype=np.float64)
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
 
     rng = np.random.RandomState(seed)
@@ -458,7 +460,9 @@ def fit_pq_codebooks(
         from myrecommendsystem_spark.operators.sampling import sample_fraction
 
         raw = sample_fraction(raw, "id", max_train / n, salt="pq")
-    mat = np.array([r.vec for r in raw.collect()], dtype=np.float64)
+    # orderBy(id) pins collect order: k-means init indexes into row order,
+    # so codebooks must not depend on physical partition layout.
+    mat = np.array([r.vec for r in raw.orderBy("id").collect()], dtype=np.float64)
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     d = mat.shape[1]
     assert d % m == 0, f"dim {d} not divisible by m={m}"

@@ -205,7 +205,7 @@ def product_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ca = pc.withColumnsRenamed({"productId": "pid_a", "n_p": "na"})
     cb = pc.withColumnsRenamed({"productId": "pid_b", "n_p": "nb"})
-    return (
+    out = (
         pairs.join(F.broadcast(ca), "pid_a")
         .join(F.broadcast(cb), "pid_b")
         .crossJoin(F.broadcast(n))
@@ -227,6 +227,9 @@ def product_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pid_a", "pid_b")
     )
+    from myrecommendsystem_spark.functions.caching import eager_release
+
+    return eager_release(out, capped)
 
 
 @register(

@@ -168,6 +168,25 @@ def test_pq_codes_shape_and_determinism(spark):
     assert all(len(v) == 8 and max(v) < 16 and min(v) >= 0 for v in c1.values())
 
 
+def test_quantizers_invariant_to_partition_layout(spark):
+    """Round-3 advice: k-means init indexes into collect order, so both
+    quantizer trainers sort the sample by id — the SAME codebooks and
+    centroids must come out of any physical partitioning."""
+    import numpy as np
+    from myrecommendsystem_spark.io import readers
+
+    emb = readers.load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    shuffled = emb.repartition(13)
+    np.testing.assert_array_equal(
+        similarity.fit_pq_codebooks(emb, m=8, k=16),
+        similarity.fit_pq_codebooks(shuffled, m=8, k=16),
+    )
+    np.testing.assert_array_equal(
+        similarity.fit_ivf_centroids(emb, n_cells=8),
+        similarity.fit_ivf_centroids(shuffled, n_cells=8),
+    )
+
+
 def test_shard_assignment_stable_across_partitioning(spark):
     from myrecommendsystem_spark.io import readers
     from myrecommendsystem_spark.operators import sampling
@@ -218,6 +237,15 @@ def test_bm25_ranks_rare_term_doc_first(spark):
     out = TXT.bm25_search(docs, ["rareword", "common"], k=4).collect()
     assert out[0].doc_id == 1 and out[0].rnk == 1
     assert {r.doc_id for r in out} == {1, 2, 3}  # doc 4 matches nothing
+
+
+def test_bm25_empty_query_returns_empty(spark):
+    """Round-3 advice: an empty query list must yield an empty top-k, not
+    a schema-inference ValueError from createDataFrame([])."""
+    from myrecommendsystem_spark.functions import text as TXT
+
+    docs = _docs(spark, [(1, "some text"), (2, "other text")])
+    assert TXT.bm25_search(docs, [], k=5).count() == 0
 
 
 def test_tfidf_cosine_pairs_detect_near_dup(spark):
