@@ -75,6 +75,7 @@ HEADLINE: tuple[str, ...] = (
     "mips_topk_dot",
     "ann_topk_pq",
     "ann_topk_ivfpq",
+    "ann_topk_ivfpq_search",
     "orders_ntile_deciles",
     "revenue_grouping_sets",
     "docs_shard_manifest",

@@ -1071,6 +1071,37 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ann_topk_ivfpq_search builds its index once per (process, sf_dir); the
+# saved path memo makes repeat bench runs measure SEARCH alone.
+_IVFPQ_INDEX_DIRS: dict[str, str] = {}
+
+
+@register(
+    "ann_topk_ivfpq_search",
+    None,
+    doc="IVF-PQ SEARCH-ONLY cost: the index (cells + 8-byte codes + "
+    "quantizers) is built and saved ONCE per session via the lifecycle "
+    "API (similarity.build_ivfpq_index / IvfPqIndex.save); this query "
+    "loads and searches it — the amortized per-query shape a production "
+    "100 TB index serves, separating build cost (paid at ingest) from "
+    "search cost (paid per query; BASELINE.md round-4 note) — rows-only "
+    "(quantizers not SQL-expressible)",
+    defer=True,
+)
+def ann_topk_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    emb = _emb(spark, sf_dir)
+    path = _IVFPQ_INDEX_DIRS.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="mrs_ivfpq_") + "/index"
+        similarity.build_ivfpq_index(emb, n_cells=16, m=8, k_codes=16).save(path)
+        _IVFPQ_INDEX_DIRS[sf_dir] = path
+    index = similarity.IvfPqIndex.load(spark, path)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivfpq_search(index, queries, emb, nprobe=4, k=5)
+
+
 @register(
     "sample_docs_exact_n",
     """
