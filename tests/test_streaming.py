@@ -459,3 +459,115 @@ def test_interval_join_outer_streaming(spark, tmp_path):
     assert (100, 5.0) in got
     assert (101, None) in got
     assert (102, None) in got
+
+
+def test_streaming_soak_state_stays_bounded(spark, tmp_path):
+    """20+ micro-batch soak of the recent-K state (T4): with one file
+    per trigger, every batch's emitted buffer stays ≤ K rows per user
+    and ≤ n_users keys — the O(users × K) state bound
+    (StreamingRecommender.scala:48-50) holds under sustained input, not
+    just the 2-3 batches the e2e test drives."""
+    from myrecommendsystem_spark.streaming.state import recent_ratings_state
+
+    n_users, k, n_files = 8, 5, 22
+    src = tmp_path / "soak_in"
+    src.mkdir()
+    for i in range(n_files):
+        with open(src / f"b{i:03d}.json", "w") as f:
+            for u in range(n_users):
+                f.write(
+                    json.dumps(
+                        {
+                            "userId": u,
+                            "productId": i + 1,
+                            "score": float((i + u) % 5 + 1),
+                            "ts": 1000 + i,
+                        }
+                    )
+                    + "\n"
+                )
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    batches = []
+    q = (
+        recent_ratings_state(stream, k=k)
+        .writeStream.foreachBatch(
+            lambda df, bid: batches.append((bid, df.collect()))
+        )
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "soak_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert len(batches) >= 20
+    for _, rows in batches:
+        per_user = {}
+        for r in rows:
+            per_user.setdefault(r.userId, []).append(r)
+        assert len(per_user) <= n_users
+        assert all(len(v) <= k for v in per_user.values())
+    # final buffers hold exactly the k most recent ts per user
+    last = batches[-1][1]
+    for u in range(n_users):
+        tss = sorted(r.ts for r in last if r.userId == u)
+        assert tss == list(range(1000 + n_files - k, 1000 + n_files))
+
+
+def test_streaming_soak_redelivery_keeps_recs_stable(spark, tmp_path):
+    """S10/T6 under re-delivery: 20 micro-batches of rating events flow
+    through the full recommender cycle; a complete REPLAY of the stream
+    from a fresh checkpoint must leave the keyed recs table identical —
+    replace-by-key, never append — so at-least-once delivery cannot
+    grow the table."""
+    n_users, n_files = 6, 20
+    src = tmp_path / "redeliver_in"
+    src.mkdir()
+    for i in range(n_files):
+        with open(src / f"b{i:03d}.json", "w") as f:
+            for u in range(n_users):
+                f.write(
+                    json.dumps(
+                        {"userId": u, "productId": 1, "score": 5.0, "ts": 100 + i}
+                    )
+                    + "\n"
+                )
+    sims = _sims(spark)
+    seen = spark.createDataFrame([], "userId int, productId int")
+    recent = spark.createDataFrame(
+        [(u, 1, 5.0, 99) for u in range(n_users)], EVENT_SCHEMA
+    )
+    out_path = str(tmp_path / "recs_soak")
+
+    def run(ckpt: str) -> None:
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q = run_streaming_recommender(
+            stream,
+            sims,
+            seen,
+            recent,
+            out_path=out_path,
+            checkpoint=str(tmp_path / ckpt),
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(300)
+
+    def snap():
+        return sorted(
+            (r.userId, tuple((x.productId, x.score) for x in r.recs))
+            for r in spark.read.parquet(out_path).collect()
+        )
+
+    run("ck_first")
+    first = snap()
+    assert first  # the cycle produced recommendations
+    assert len(first) == len({u for u, _ in first})  # one row per key
+    run("ck_replay")  # full re-delivery, fresh checkpoint
+    assert snap() == first
