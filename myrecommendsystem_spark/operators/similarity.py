@@ -805,6 +805,56 @@ class IvfPqIndex:
         books = np.array(r.b_data).reshape(r.b_shape)
         return cls(packed=packed, centroids=centroids, books=books)
 
+    def encode(
+        self,
+        new_vectors: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """Encode NEW vectors against the frozen quantizers →
+        (id, codes, cell_id) — the ingestion-time primitive: train once,
+        encode every arriving batch (faiss ``add`` semantics).  Both
+        stages are distributed Arrow passes; the quantizers ride the
+        task closure."""
+        cells = ivf_assign(
+            new_vectors, self.centroids, id_col, vec_col, nprobe=1
+        ).select(F.col("id"), F.col("cell_id"))
+        return pq_encode(new_vectors, self.books, id_col, vec_col).join(
+            cells, "id"
+        )
+
+    def add(
+        self,
+        new_vectors: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "IvfPqIndex":
+        """In-memory incremental add: a NEW index whose packed relation
+        is the union of the existing codes and the encoded batch."""
+        return IvfPqIndex(
+            packed=self.packed.unionByName(
+                self.encode(new_vectors, id_col, vec_col)
+            ),
+            centroids=self.centroids,
+            books=self.books,
+        )
+
+    def append_save(
+        self,
+        new_vectors: DataFrame,
+        path: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        """Durable incremental add: encode the batch and APPEND its codes
+        to the saved parquet — at 100 TB the index grows by writing only
+        the new vectors' ~9 bytes each; existing code files are never
+        rewritten.  Quantizers stay frozen (standard IVF-PQ operations:
+        retrain/rebuild only on measured recall drift)."""
+        self.encode(new_vectors, id_col, vec_col).write.mode("append").parquet(
+            f"{path}/codes"
+        )
+
 
 def ivfpq_search(
     index: IvfPqIndex,

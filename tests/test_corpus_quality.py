@@ -396,3 +396,43 @@ def test_ivfpq_index_save_load_search_parity(spark, tmp_path):
     # index-only search (no rerank corpus) still returns a ranking
     adc_only = similarity.ivfpq_search(loaded, q, None, nprobe=4, k=5)
     assert adc_only.count() > 0
+
+
+def test_ivfpq_incremental_add_and_append(spark, tmp_path):
+    """Ingestion-time index growth: encode new vectors against FROZEN
+    quantizers and append their codes — the in-memory add and the
+    durable parquet append must encode the batch identically, the grown
+    index must cover the whole corpus, and search must surface
+    added-batch vectors (recall above chance vs brute force)."""
+    from myrecommendsystem_spark.io import readers
+
+    emb = readers.load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n = emb.count()
+    old = emb.filter(F.col("vec_id") < n // 2)
+    new = emb.filter(F.col("vec_id") >= n // 2)
+    idx = similarity.build_ivfpq_index(old, n_cells=8, m=8, k_codes=16)
+    path = str(tmp_path / "grow_index")
+    idx.save(path)
+    idx.append_save(new, path)
+    grown = similarity.IvfPqIndex.load(spark, path)
+    assert grown.packed.count() == n
+
+    def codes_set(df):
+        return {
+            (r.id, tuple(r.codes), r.cell_id) for r in df.collect()
+        }
+
+    assert codes_set(grown.packed) == codes_set(idx.add(new).packed)
+
+    q = emb.filter(F.col("vec_id") < 5)
+    got = similarity.ivfpq_search(grown, q, emb, nprobe=8, k=10).collect()
+    assert {r.vec_id for r in got} & {
+        r.vec_id for r in new.select("vec_id").collect()
+    }, "search never surfaces appended vectors"
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in similarity.brute_force_topk(emb, q, k=10).collect()
+    }
+    approx = {(r.query_id, r.vec_id) for r in got}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 10 * (10.0 / (n - 1)), f"recall {recall:.2f} at chance"
