@@ -241,6 +241,36 @@ def repetition_signals(
     )
 
 
+def boilerplate_ngrams(
+    docs: DataFrame,
+    n: int = 3,
+    min_docs: int = 2,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document boilerplate detector: the word ``n``-grams shared
+    by the most documents — (gram, n_docs), top ``k``.
+
+    The corpus-level complement of :func:`repetition_signals` (which is
+    within-doc): headers, license text, and template phrases show up as
+    n-grams with high DOCUMENT frequency, and this listing is what a
+    boilerplate-strip pass is built from (C4-style).  Shape: the same
+    posexplode + ``lead`` gram construction as decontamination (HOF
+    array lambdas measured 4-9× slower), distinct per doc, one gram
+    aggregate with map-side combine, global top-k via
+    TakeOrderedAndProject — never a full vocabulary sort.
+    """
+    return (
+        _distinct_shingles(docs, n, id_col, text_col)
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .orderBy(F.col("n_docs").desc(), "gram")
+        .limit(k)
+    )
+
+
 def cross_corpus_dedup(
     new_docs: DataFrame,
     reference: DataFrame,

@@ -126,6 +126,45 @@ def sample_weighted(
     return df.filter(coord < weight_col)
 
 
+def resample_balanced(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    target_fraction: float = 1.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministically downsample every stratum toward the SMALLEST
+    stratum's size (× ``target_fraction``) — the data-mixture balancer
+    (e.g. cap every source/language at parity before pretraining).
+
+    Per-stratum keep fraction = ``target_fraction · min_n / n``, computed
+    relationally: the count table is an aggregate, the min rides a 1-row
+    broadcast, and membership is the md5(salt ++ key) coordinate — the
+    kept subset is a pure function of the data (any engine, any
+    partitioning, any cluster size agrees), unlike ``sampleBy``'s
+    seed-and-partition-dependent draw.  Nothing collects to the driver;
+    the filter is codegen at the scan side of a broadcast join.
+    """
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
+    mn = counts.agg(F.min("__n").alias("__m"))
+    frac = counts.crossJoin(F.broadcast(mn)).select(
+        strata_col,
+        (
+            F.lit(float(target_fraction))
+            * F.col("__m").cast("double")
+            / F.col("__n")
+        ).alias("__frac"),
+    )
+    coord = F.conv(hash_key(F.col(key), salt), 16, 10).cast("double") / F.lit(
+        float(1 << 32)
+    )
+    return (
+        df.join(F.broadcast(frac), strata_col)
+        .filter(coord < F.col("__frac"))
+        .drop("__frac")
+    )
+
+
 def shard_assignment(
     df: DataFrame, key: str, n_shards: int, salt: str = "shard"
 ) -> DataFrame:

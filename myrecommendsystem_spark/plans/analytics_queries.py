@@ -1,0 +1,534 @@
+"""Round-4 analytics extensions — relational division, RFM, basket lift,
+activity windows, and corpus-mixture / boilerplate tooling.
+
+All registered ``defer=True`` (registry tier 2 → round-5 driver window):
+full DuckDB oracles, replayed locally by tests/test_registry_oracle.py at
+the driver's scale every round.  Conventions follow registry.py (shared
+aliases, BIGINT counts, ROUND'd floats, deterministic tie-breaks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from myrecommendsystem_spark.functions.compat import round_stable, sql_round_stable
+from myrecommendsystem_spark.io import readers
+from myrecommendsystem_spark.plans.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return readers.load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Relational division (the "for all" join shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "suppliers_covering_all_types",
+    """
+WITH shipped AS (
+    SELECT DISTINCT l_suppkey, p_type
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+total AS (SELECT COUNT(DISTINCT p_type) AS n_types FROM part)
+SELECT CAST(l_suppkey AS BIGINT) AS suppkey,
+       CAST(COUNT(*) AS BIGINT) AS n_types_shipped
+FROM shipped CROSS JOIN total
+GROUP BY l_suppkey, n_types
+HAVING COUNT(*) = n_types
+ORDER BY suppkey
+""",
+    doc="relational DIVISION (the universal-quantifier join the engine "
+    "has no native operator for): suppliers whose shipments cover EVERY "
+    "part type.  Decomposed the standard way — distinct (supplier, type) "
+    "pairs, per-supplier count equality against the 1-row universe "
+    "count riding a broadcast.  No NOT EXISTS double-negation: one "
+    "aggregate, one broadcast, no correlated subquery to decorrelate",
+    defer=True,
+)
+def suppliers_covering_all_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    shipped = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_suppkey", "p_type")
+        .distinct()
+    )
+    total = part.agg(F.countDistinct("p_type").alias("n_types"))
+    return (
+        shipped.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_types_shipped"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n_types_shipped") == F.col("n_types"))
+        .select(
+            F.col("l_suppkey").cast("bigint").alias("suppkey"),
+            F.col("n_types_shipped").cast("bigint"),
+        )
+        .orderBy("suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_rfm_scores",
+    """
+WITH agg AS (
+    SELECT o_custkey AS custkey,
+           MAX(o_orderdate) AS last_order,
+           COUNT(*) AS freq,
+           SUM(o_totalprice) AS monetary
+    FROM orders GROUP BY o_custkey
+)
+SELECT CAST(custkey AS BIGINT) AS custkey,
+       CAST(NTILE(4) OVER (ORDER BY last_order DESC, custkey) AS INTEGER) AS r,
+       CAST(NTILE(4) OVER (ORDER BY freq DESC, custkey) AS INTEGER) AS f,
+       CAST(NTILE(4) OVER (ORDER BY monetary DESC, custkey) AS INTEGER) AS m
+FROM agg
+ORDER BY custkey
+""",
+    doc="RFM segmentation (recency/frequency/monetary quartiles, 1 = "
+    "best): one orders aggregate, three NTILE windows with custkey "
+    "tie-breaks so both engines bucket identically.  Global rank "
+    "windows lower to a single-partition sort — fine for a customer "
+    "dimension; a fact-scale variant would join broadcast quantile cuts "
+    "(the events_value_winsorized shape) instead",
+    defer=True,
+)
+def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    agg = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("o_totalprice").alias("monetary"),
+    )
+    quartile = lambda col: F.ntile(4).over(  # noqa: E731
+        Window.orderBy(F.col(col).desc(), "custkey")
+    )
+    return (
+        agg.select(
+            F.col("custkey").cast("bigint"),
+            quartile("last_order").cast("int").alias("r"),
+            quartile("freq").cast("int").alias("f"),
+            quartile("monetary").cast("int").alias("m"),
+        )
+        .orderBy("custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-cadence analytics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_median_gap",
+    f"""
+WITH gaps AS (
+    SELECT user_id,
+           epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS gap_ms
+    FROM events
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(COUNT(gap_ms) AS BIGINT) AS n_gaps,
+       {sql_round_stable('quantile_cont(gap_ms / 1000.0, 0.5)', 2)}
+           AS median_gap_s
+FROM gaps WHERE gap_ms IS NOT NULL
+GROUP BY user_id
+ORDER BY user_id
+""",
+    doc="per-user median inter-event gap (engagement cadence): LAG "
+    "offset window for consecutive deltas (one user_id exchange), exact "
+    "interpolated median (F.percentile ≡ quantile_cont).  Millisecond "
+    "integers from both engines' epoch accessors keep the inputs "
+    "bit-identical before the quantile",
+    defer=True,
+)
+def events_median_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts arrives TIMESTAMP_NTZ; the UTC session timezone (ensure_engine_confs)
+    # makes the cast to instant semantics-preserving for unix_millis
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    gaps = ev.select(
+        "user_id",
+        (ms - F.lag(ms).over(w)).alias("gap_ms"),
+    ).filter(F.col("gap_ms").isNotNull())
+    return (
+        gaps.groupBy(F.col("user_id").cast("bigint").alias("user_id"))
+        .agg(
+            F.count("gap_ms").alias("n_gaps"),
+            round_stable(
+                F.percentile(F.col("gap_ms") / 1000.0, 0.5), 2
+            ).alias("median_gap_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "events_dau_wau",
+    """
+WITH user_days AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+days AS (SELECT DISTINCT day FROM user_days)
+SELECT strftime(d.day, '%Y-%m-%d') AS day,
+       CAST(COUNT(DISTINCT CASE WHEN u.day = d.day THEN u.user_id END)
+            AS BIGINT) AS dau,
+       CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+FROM days d
+JOIN user_days u ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+GROUP BY d.day
+ORDER BY day
+""",
+    doc="DAU / trailing-7-day WAU: distinct (user, day) pairs once, then "
+    "a range join of the tiny day spine against them — the trailing "
+    "window of a DISTINCT aggregate cannot ride a frame (distinct-over-"
+    "window is unsupported), so the spine join IS the standard shape; "
+    "blow-up bounded at 7× the user-day relation, spine broadcast",
+    defer=True,
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    user_days = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    days = user_days.select("day").distinct()
+    joined = user_days.alias("u").join(
+        F.broadcast(days.alias("d")),
+        (F.col("u.day") >= F.date_sub(F.col("d.day"), 6))
+        & (F.col("u.day") <= F.col("d.day")),
+    )
+    return (
+        joined.groupBy(F.col("d.day").alias("d_day"))
+        .agg(
+            F.countDistinct(
+                F.when(F.col("u.day") == F.col("d.day"), F.col("u.user_id"))
+            ).alias("dau"),
+            F.countDistinct("u.user_id").alias("wau"),
+        )
+        .select(
+            F.date_format("d_day", "yyyy-MM-dd").alias("day"), "dau", "wau"
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket lift (orders twin of the ratings PMI)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_basket_lift",
+    f"""
+WITH items AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n_orders
+      FROM items),
+pc AS (SELECT l_partkey, CAST(COUNT(*) AS DOUBLE) AS n_p
+       FROM items GROUP BY l_partkey),
+pairs AS (
+    SELECT a.l_partkey AS pid_a, b.l_partkey AS pid_b,
+           CAST(COUNT(*) AS DOUBLE) AS n_ab
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+)
+SELECT CAST(pid_a AS BIGINT) AS pid_a,
+       CAST(pid_b AS BIGINT) AS pid_b,
+       CAST(n_ab AS BIGINT) AS n_ab,
+       {sql_round_stable('n_ab * n_orders / (ca.n_p * cb.n_p)', 4)} AS lift
+FROM pairs
+JOIN pc ca ON pairs.pid_a = ca.l_partkey
+JOIN pc cb ON pairs.pid_b = cb.l_partkey
+CROSS JOIN n
+WHERE n_ab >= 3
+ORDER BY pid_a, pid_b
+""",
+    doc="market-basket lift over order baskets — the orders-table twin "
+    "of product_cooccurrence_pmi (lift = P(a,b)/(P(a)P(b)) vs its log "
+    "form): pair volume bounded by per-order basket size squared (no "
+    "cap needed — baskets are physically small), part-count tables "
+    "broadcast, support floor n_ab >= 3",
+    defer=True,
+)
+def orders_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = items.agg(
+        F.countDistinct("l_orderkey").cast("double").alias("n_orders")
+    )
+    pc = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("double").alias("n_p")
+    )
+    a = items.withColumnsRenamed({"l_partkey": "pid_a"})
+    b = items.withColumnsRenamed({"l_partkey": "pid_b"})
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pid_a") < F.col("pid_b"))
+        .groupBy("pid_a", "pid_b")
+        .agg(F.count(F.lit(1)).cast("double").alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    ca = pc.withColumnsRenamed({"l_partkey": "pid_a", "n_p": "na"})
+    cb = pc.withColumnsRenamed({"l_partkey": "pid_b", "n_p": "nb"})
+    return (
+        pairs.join(F.broadcast(ca), "pid_a")
+        .join(F.broadcast(cb), "pid_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("pid_a").cast("bigint"),
+            F.col("pid_b").cast("bigint"),
+            F.col("n_ab").cast("bigint"),
+            round_stable(
+                F.col("n_ab")
+                * F.col("n_orders")
+                / (F.col("na") * F.col("nb")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy("pid_a", "pid_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus analytics: boilerplate, entropy, diversity, curriculum, mixture
+# ---------------------------------------------------------------------------
+
+# shared with text_queries._SHINGLES_CTE (kept local to avoid an import
+# cycle; the decontamination oracle pins the same construction)
+_SHINGLES_CTE = r"""
+toks AS (
+    SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+    FROM documents
+),
+sh AS (
+    SELECT doc_id,
+           list_distinct([array_to_string(t[i:i+2], ' ')
+                          for i in generate_series(1, greatest(len(t)-2, 1))])
+               AS g
+    FROM toks
+)
+""".strip()
+
+
+@register(
+    "doc_boilerplate_ngrams",
+    f"""
+WITH {_SHINGLES_CTE}
+SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM (SELECT doc_id, unnest(g) AS gram FROM sh)
+GROUP BY gram
+HAVING COUNT(*) >= 2
+ORDER BY n_docs DESC, gram
+LIMIT 20
+""",
+    doc="cross-document boilerplate n-grams (C4-style strip-list "
+    "builder): distinct word 3-grams per doc, DOCUMENT frequency "
+    "aggregate, top-20 — corpus-level complement of the within-doc "
+    "repetition signals; posexplode+lead grams, TakeOrderedAndProject",
+    defer=True,
+)
+def doc_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myrecommendsystem_spark.operators.corpus_quality import (
+        boilerplate_ngrams,
+    )
+
+    return boilerplate_ngrams(
+        _t(spark, sf_dir, "documents"), n=3, min_docs=2, k=20
+    )
+
+
+@register(
+    "doc_token_entropy",
+    f"""
+WITH toks AS (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+               AS term
+    FROM documents WHERE length(trim(text)) > 0
+),
+tf AS (
+    SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS c
+    FROM toks GROUP BY doc_id, term
+),
+tot AS (SELECT doc_id, SUM(c) AS t FROM tf GROUP BY doc_id)
+SELECT tf.doc_id,
+       {sql_round_stable('-SUM((c / t) * ln(c / t))', 4)} AS token_entropy
+FROM tf JOIN tot USING (doc_id)
+GROUP BY tf.doc_id
+ORDER BY tf.doc_id
+""",
+    doc="per-document token-distribution Shannon entropy (nats) — the "
+    "quality signal that separates natural prose from keyword stuffing "
+    "and generator loops: two-level aggregate (tf, then -sum p ln p), "
+    "one doc_id shuffle shared by both levels",
+    defer=True,
+)
+def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myrecommendsystem_spark.functions import text as TXT
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    tf = (
+        docs.select(
+            "doc_id", F.explode(TXT.tokens(F.col("text"))).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    tot = tf.groupBy("doc_id").agg(F.sum("c").alias("t"))
+    p = F.col("c") / F.col("t")
+    return (
+        tf.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(round_stable(-F.sum(p * F.log(p)), 4).alias("token_entropy"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "corpus_vocab_diversity",
+    f"""
+WITH toks AS (
+    SELECT source, unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+               AS term
+    FROM documents WHERE length(trim(text)) > 0
+),
+tf AS (
+    SELECT source, term, CAST(COUNT(*) AS DOUBLE) AS c
+    FROM toks GROUP BY source, term
+),
+tot AS (SELECT source, SUM(c) AS t, COUNT(*) AS v FROM tf GROUP BY source)
+SELECT tf.source,
+       CAST(MAX(tot.t) AS BIGINT) AS n_tokens,
+       CAST(MAX(tot.v) AS BIGINT) AS n_distinct,
+       {sql_round_stable('MAX(tot.v) / MAX(tot.t)', 4)} AS ttr,
+       {sql_round_stable('SUM((c / t) * (c / t))', 6)} AS simpson
+FROM tf JOIN tot USING (source)
+GROUP BY tf.source
+ORDER BY tf.source
+""",
+    doc="per-source vocabulary diversity: type-token ratio + Simpson "
+    "concentration (sum p^2) — the drift/mixture dashboard's lexical "
+    "health row; same two-level aggregate shape as token entropy, keyed "
+    "by source",
+    defer=True,
+)
+def corpus_vocab_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myrecommendsystem_spark.functions import text as TXT
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    tf = (
+        docs.select(
+            "source", F.explode(TXT.tokens(F.col("text"))).alias("term")
+        )
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    tot = tf.groupBy("source").agg(
+        F.sum("c").alias("t"), F.count(F.lit(1)).alias("v")
+    )
+    p = F.col("c") / F.col("t")
+    return (
+        tf.join(tot, "source")
+        .groupBy("source")
+        .agg(
+            F.max("t").cast("bigint").alias("n_tokens"),
+            F.max("v").cast("bigint").alias("n_distinct"),
+            round_stable(F.max("v") / F.max("t"), 4).alias("ttr"),
+            round_stable(F.sum(p * p), 6).alias("simpson"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "docs_mixture_resample",
+    """
+WITH cnt AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+mn AS (SELECT MIN(n) AS m FROM cnt),
+frac AS (
+    SELECT source, 0.5 * CAST(m AS DOUBLE) / n AS f
+    FROM cnt CROSS JOIN mn
+)
+SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_kept
+FROM documents d JOIN frac USING (source)
+WHERE CAST(CAST(('0x' || substring(md5('mix' || CAST(doc_id AS VARCHAR)),
+                 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0 < f
+GROUP BY d.source
+ORDER BY d.source
+""",
+    doc="mixture rebalancing: every source deterministically capped at "
+    "half the smallest source's size (operators.sampling."
+    "resample_balanced) — per-stratum fraction computed relationally "
+    "(counts aggregate + 1-row min broadcast), membership md5(doc_id), "
+    "so the kept subset is engine- and layout-independent",
+    defer=True,
+)
+def docs_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myrecommendsystem_spark.operators.sampling import resample_balanced
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    kept = resample_balanced(
+        docs, "doc_id", "source", target_fraction=0.5, salt="mix"
+    )
+    return (
+        kept.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("source")
+    )
+
+
+@register(
+    "doc_length_curriculum",
+    f"""
+WITH staged AS (
+    SELECT n_chars,
+           NTILE(4) OVER (ORDER BY n_chars, doc_id) AS stage
+    FROM documents
+)
+SELECT CAST(stage AS INTEGER) AS stage,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+       {sql_round_stable('AVG(n_chars)', 2)} AS avg_chars
+FROM staged GROUP BY stage ORDER BY stage
+""",
+    doc="curriculum staging by document length: NTILE(4) with doc_id "
+    "tie-break (both engines bucket identically), per-stage size/range "
+    "summary — the short-to-long schedule builder; global NTILE lowers "
+    "to a single-partition sort of (n_chars, doc_id) pairs only",
+    defer=True,
+)
+def doc_length_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    staged = docs.select(
+        "n_chars",
+        F.ntile(4).over(Window.orderBy("n_chars", "doc_id")).alias("stage"),
+    )
+    return (
+        staged.groupBy(F.col("stage").cast("int").alias("stage"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+            round_stable(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+        .orderBy("stage")
+    )

@@ -206,6 +206,41 @@ def test_shard_assignment_stable_across_partitioning(spark):
     assert set(a.values()) <= set(range(32))
 
 
+def test_resample_balanced_stable_and_capped(spark):
+    from myrecommendsystem_spark.io import readers
+    from myrecommendsystem_spark.operators import sampling
+
+    docs = readers.load_table(
+        spark, "/root/testdata/sf0.001", "documents"
+    ).select("doc_id", "source")
+    kept = {
+        r.doc_id
+        for r in sampling.resample_balanced(
+            docs, "doc_id", "source", target_fraction=0.5
+        ).collect()
+    }
+    again = {
+        r.doc_id
+        for r in sampling.resample_balanced(
+            docs.repartition(7), "doc_id", "source", target_fraction=0.5
+        ).collect()
+    }
+    assert kept == again  # membership is content-addressed
+    sizes = {
+        (r.source, r.cnt)
+        for r in docs.filter(F.col("doc_id").isin(list(kept)))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    min_n = min(
+        r.cnt
+        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    # every stratum lands near half the smallest stratum (md5 uniformity)
+    assert all(c <= min_n for _, c in sizes)
+
+
 def test_export_manifest_totals_conserve(spark):
     from myrecommendsystem_spark.io import readers
     from myrecommendsystem_spark.operators import sampling

@@ -393,19 +393,25 @@ def test_driver_window_derived_from_correctness_artifacts():
     """Round-3 advice: the window must be derivable from the recorded
     CORRECTNESS_r0*.json artifacts, not a hand-list that can go stale.
 
-    Invariants: (a) every registered query with NO driver row ever is in
-    the window front, before any re-check; (b) window padding re-checks
-    all HAVE a prior driver row; (c) nothing outside the window is
-    unverified.  When the r04 artifact lands, (a) becomes vacuous and the
-    test keeps passing — the next rotation refreshes the list."""
+    Invariants: (a) every unverified query is either at the exact front
+    of the window or a declared same-round addition (``defer=True`` —
+    the NEXT rotation's front); (b) window padding re-checks all HAVE a
+    prior driver row; (c) no established (non-defer) query hides
+    unverified behind the window.  When the r04 artifact lands, (a)
+    becomes vacuous for this window and the next rotation refreshes it."""
     seen = _driver_verified_names()
-    names = [s.name for s in registry._ordered()]
+    ordered = registry._ordered()
+    names = [s.name for s in ordered]
+    defer = {s.name for s in ordered if s.defer}
     window = registry._DRIVER_WINDOW_R4
-    never = [n for n in names if n not in seen]
-    # (a) + (c): unverified queries sit at the exact front of the window
-    assert never == window[: len(never)]
+    never_in_window = [n for n in names if n not in seen and n in window]
+    # (a): unverified window members sit at the exact front
+    assert never_in_window == window[: len(never_in_window)]
     # (b): everything after the unverified block is a genuine re-check
-    assert all(n in seen for n in window[len(never) :])
+    assert all(n in seen for n in window[len(never_in_window) :])
+    # (c): unverified queries behind the window are all declared defers
+    hidden = [n for n in names if n not in seen and n not in window]
+    assert all(n in defer for n in hidden), [n for n in hidden if n not in defer]
 
 
 def test_driver_window_schemas_are_flat(spark, sf_dir):
