@@ -532,3 +532,297 @@ def doc_length_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage")
     )
+
+
+# ---------------------------------------------------------------------------
+# Warehouse maintenance: SCD2 intervals, OHLC resampling, integrity report
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_scd2_intervals",
+    """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(event_id AS BIGINT) AS version_id,
+       value,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       COALESCE(strftime(lead(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id),
+                         '%Y-%m-%d %H:%M:%S'),
+                '9999-12-31 00:00:00') AS valid_to,
+       CAST(CASE WHEN lead(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                 THEN 1 ELSE 0 END AS INTEGER) AS is_current
+FROM events
+ORDER BY user_id, version_id
+""",
+    doc="SCD-type-2 dimension build: each event becomes a version row "
+    "with [valid_from, valid_to) from a LEAD offset window and an "
+    "is_current flag — one user_id exchange serves both window "
+    "expressions; the standard warehouse history-table constructor",
+    defer=True,
+)
+def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    fmt = lambda c: F.date_format(c, "yyyy-MM-dd HH:mm:ss")  # noqa: E731
+    return (
+        ev.select(
+            F.col("user_id").cast("bigint"),
+            F.col("event_id").cast("bigint").alias("version_id"),
+            "value",
+            fmt("ts").alias("valid_from"),
+            F.coalesce(fmt(nxt), F.lit("9999-12-31 00:00:00")).alias(
+                "valid_to"
+            ),
+            F.when(nxt.isNull(), 1).otherwise(0).cast("int").alias(
+                "is_current"
+            ),
+        )
+        .orderBy("user_id", "version_id")
+    )
+
+
+@register(
+    "events_ohlc_hourly",
+    f"""
+WITH h AS (
+    SELECT event_type,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+           value,
+           ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                              ORDER BY ts, event_id) AS rn_a,
+           ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                              ORDER BY ts DESC, event_id DESC) AS rn_d
+    FROM events
+)
+SELECT event_type, hour,
+       {sql_round_stable('MAX(CASE WHEN rn_a = 1 THEN value END)', 2)} AS open,
+       {sql_round_stable('MAX(value)', 2)} AS high,
+       {sql_round_stable('MIN(value)', 2)} AS low,
+       {sql_round_stable('MAX(CASE WHEN rn_d = 1 THEN value END)', 2)} AS close,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM h GROUP BY event_type, hour
+ORDER BY event_type, hour
+""",
+    doc="time-series OHLC resampling per (type, hour): open/close via "
+    "first/last row-number flags (deterministic (ts, event_id) "
+    "tie-break), high/low as plain aggregates — both windows and the "
+    "final aggregate share ONE (event_type, hour) exchange",
+    defer=True,
+)
+def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hour_ts = F.date_trunc("hour", F.col("ts"))
+    wa = Window.partitionBy("event_type", hour_ts).orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", hour_ts).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    h = ev.select(
+        "event_type",
+        F.date_format(hour_ts, "yyyy-MM-dd HH:00").alias("hour"),
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return (
+        h.groupBy("event_type", "hour")
+        .agg(
+            round_stable(
+                F.max(F.when(F.col("rn_a") == 1, F.col("value"))), 2
+            ).alias("open"),
+            round_stable(F.max("value"), 2).alias("high"),
+            round_stable(F.min("value"), 2).alias("low"),
+            round_stable(
+                F.max(F.when(F.col("rn_d") == 1, F.col("value"))), 2
+            ).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+@register(
+    "label_centroid_similarity",
+    f"""
+WITH cent AS (
+    SELECT label, pos, AVG(v) AS c
+    FROM (
+        SELECT label, unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings
+    )
+    GROUP BY label, pos
+),
+nrm AS (
+    SELECT label, sqrt(SUM(c * c)) AS nrm FROM cent GROUP BY label
+),
+dots AS (
+    SELECT a.label AS label_a, b.label AS label_b, SUM(a.c * b.c) AS dot
+    FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+    GROUP BY a.label, b.label
+)
+SELECT CAST(label_a AS INTEGER) AS label_a,
+       CAST(label_b AS INTEGER) AS label_b,
+       {sql_round_stable('dot / (na.nrm * nb.nrm)', 4)} AS cos
+FROM dots
+JOIN nrm na ON dots.label_a = na.label
+JOIN nrm nb ON dots.label_b = nb.label
+ORDER BY label_a, label_b
+""",
+    doc="label-centroid cosine matrix (class-confusability report): "
+    "centroids stay exploded as (label, pos, value) rows — no vector "
+    "ever assembled on one node — and the pairwise dot is a dim-keyed "
+    "self-join of a labels×dims relation (tiny after the first "
+    "aggregate); the embedding-space twin of corpus_drift_terms",
+    defer=True,
+)
+def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = readers.load_table(spark, sf_dir, "embeddings")
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("p", "v"))
+        .groupBy("label", (F.col("p") + 1).alias("pos"))
+        .agg(F.avg("v").alias("c"))
+    )
+    nrm = cent.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nrm")
+    )
+    a = cent.withColumnsRenamed({"label": "label_a", "c": "ca"})
+    b = cent.withColumnsRenamed({"label": "label_b", "c": "cb"})
+    dots = (
+        a.join(b, "pos")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    na = nrm.withColumnsRenamed({"label": "label_a", "nrm": "na"})
+    nb = nrm.withColumnsRenamed({"label": "label_b", "nrm": "nb"})
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            F.col("label_a").cast("int"),
+            F.col("label_b").cast("int"),
+            round_stable(
+                F.col("dot") / (F.col("na") * F.col("nb")), 4
+            ).alias("cos"),
+        )
+        .orderBy("label_a", "label_b")
+    )
+
+
+@register(
+    "lineitem_integrity_report",
+    """
+SELECT 'dup_key_rows' AS check_name, CAST(COUNT(*) AS BIGINT) AS n_violations
+FROM lineitem
+JOIN (SELECT l_orderkey, l_linenumber FROM lineitem
+      GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1)
+USING (l_orderkey, l_linenumber)
+UNION ALL
+SELECT 'discount_out_of_range', CAST(COUNT(*) AS BIGINT)
+FROM lineitem WHERE l_discount < 0 OR l_discount > 1
+UNION ALL
+SELECT 'nonpositive_quantity', CAST(COUNT(*) AS BIGINT)
+FROM lineitem WHERE l_quantity <= 0
+UNION ALL
+SELECT 'null_quantity', CAST(COUNT(*) AS BIGINT)
+FROM lineitem WHERE l_quantity IS NULL
+UNION ALL
+SELECT 'orphan_lineitems', CAST(COUNT(*) AS BIGINT)
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IS NULL
+UNION ALL
+SELECT 'ship_before_order', CAST(COUNT(*) AS BIGINT)
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate < o.o_orderdate
+ORDER BY check_name
+""",
+    doc="data-quality expectations report (operators.quality_checks."
+    "violations_report): six declarative checks — referential orphans, "
+    "duplicated business keys, range/null/date-order violations — each "
+    "an independently optimized aggregate subplan; the ingest gate a "
+    "training-data pipeline runs before trusting a drop",
+    defer=True,
+)
+def lineitem_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myrecommendsystem_spark.operators.quality_checks import (
+        violations_report,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    dup_keys = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .select("l_orderkey", "l_linenumber")
+    )
+    with_order = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    )
+    return violations_report(
+        {
+            "dup_key_rows": li.join(
+                dup_keys, ["l_orderkey", "l_linenumber"], "left_semi"
+            ),
+            "discount_out_of_range": li.filter(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
+            ),
+            "nonpositive_quantity": li.filter(F.col("l_quantity") <= 0),
+            "null_quantity": li.filter(F.col("l_quantity").isNull()),
+            "orphan_lineitems": li.join(
+                orders.select("o_orderkey"),
+                li.l_orderkey == F.col("o_orderkey"),
+                "left_anti",
+            ),
+            "ship_before_order": with_order.filter(
+                F.col("l_shipdate") < F.col("o_orderdate")
+            ),
+        }
+    )
+
+
+@register(
+    "product_graph_pagerank",
+    None,
+    doc="PageRank over the item-similarity graph (operators.graph."
+    "pagerank): power iteration, one node-keyed join+aggregate per "
+    "round, lineage checkpoint-truncated, dangling mass redistributed "
+    "so ranks sum to 1 — rows-only (iterative float fixpoint isn't "
+    "SQL-reproducible); distribution/star-graph laws pinned in "
+    "tests/test_graph.py",
+    defer=True,
+)
+def product_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myrecommendsystem_spark.ml.itemcf import corating_similarities
+    from myrecommendsystem_spark.operators.graph import pagerank
+
+    from myrecommendsystem_spark.operators.relational import top_k_per_group
+
+    ratings = readers.events_as_ratings(spark, sf_dir)
+    # kNN edge construction: each product's 10 most-similar neighbors.
+    # A fixed cosine threshold is scale-dependent (co-rating cosines
+    # dilute as the user count grows — 0.4 keeps 0 edges at sf0.1);
+    # per-node top-k keeps the graph connected at every scale.
+    sims = corating_similarities(ratings, threshold=0.0)
+    edges = top_k_per_group(
+        sims,
+        ["pid"],
+        [F.col("sim").desc(), F.col("other_pid")],
+        10,
+    ).select(F.col("pid").alias("src"), F.col("other_pid").alias("dst"))
+    # 8 rounds ranks a small-world kNN graph to a stable ordering; the
+    # per-iteration cost is fixed-job overhead at test scale (SCALE.md)
+    ranks = pagerank(edges, damping=0.85, iterations=8)
+    w = Window.orderBy(F.col("rank").desc(), F.col("product_id"))
+    return (
+        ranks.select(
+            F.col("id").cast("int").alias("product_id"),
+            F.round(F.col("rank"), 6).alias("rank"),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 50)
+    )

@@ -1,0 +1,62 @@
+"""PageRank operator laws — distribution, structure, determinism.
+
+Asserted against the textbook formulation: ranks are a probability
+distribution (dangling mass redistributed), hubs outrank leaves, and the
+fixpoint is layout-independent.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from myrecommendsystem_spark.operators.graph import pagerank
+
+
+def _ranks(df):
+    return {r.id: r.rank for r in df.collect()}
+
+
+def test_pagerank_is_probability_distribution(spark):
+    # star: every leaf points at the hub; hub has no out-edges (dangling)
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, 6)], "src int, dst int"
+    )
+    r = _ranks(pagerank(edges, iterations=15))
+    assert abs(sum(r.values()) - 1.0) < 1e-6
+    assert all(v > 0 for v in r.values())
+    # the hub absorbs every leaf's full rank — it must dominate
+    assert r[0] == max(r.values())
+    assert r[0] > 3 * r[1]
+    # leaves are symmetric
+    leaf_vals = [r[i] for i in range(1, 6)]
+    assert max(leaf_vals) - min(leaf_vals) < 1e-9
+
+
+def test_pagerank_chain_orders_by_depth(spark):
+    # a -> b -> c: downstream nodes accumulate rank
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src int, dst int")
+    r = _ranks(pagerank(edges, iterations=25))
+    assert r[3] > r[2] > r[1]
+    assert abs(sum(r.values()) - 1.0) < 1e-6
+
+
+def test_pagerank_layout_invariant(spark):
+    edges = spark.createDataFrame(
+        [(i, (i * 7) % 23) for i in range(100) for _ in (0,)],
+        "src int, dst int",
+    )
+    a = _ranks(pagerank(edges, iterations=8))
+    b = _ranks(pagerank(edges.repartition(13), iterations=8))
+    assert set(a) == set(b)
+    assert all(abs(a[k] - b[k]) < 1e-9 for k in a)
+
+
+def test_pagerank_symmetric_graph_uniform(spark):
+    # 4-cycle with both directions: perfectly symmetric → uniform ranks
+    cyc = [(i, (i + 1) % 4) for i in range(4)]
+    edges = spark.createDataFrame(
+        cyc + [(b, a) for a, b in cyc], "src int, dst int"
+    )
+    r = _ranks(pagerank(edges, iterations=10))
+    assert all(abs(v - 0.25) < 1e-9 for v in r.values())
