@@ -614,20 +614,33 @@ ORDER BY event_type, hour
 )
 def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    hour_ts = F.date_trunc("hour", F.col("ts"))
-    wa = Window.partitionBy("event_type", hour_ts).orderBy("ts", "event_id")
-    wd = Window.partitionBy("event_type", hour_ts).orderBy(
+    # project the truncated hour FIRST and partition windows + aggregate
+    # on the same attribute — an inline date_trunc in the window spec
+    # becomes a private `_w0` projection Catalyst cannot unify with the
+    # aggregate's key, costing a second exchange (pinned); the string
+    # formatting happens only in the final projection
+    base = ev.select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+        "value",
+        "ts",
+        "event_id",
+    )
+    wa = Window.partitionBy("event_type", "hour_ts").orderBy(
+        "ts", "event_id"
+    )
+    wd = Window.partitionBy("event_type", "hour_ts").orderBy(
         F.col("ts").desc(), F.col("event_id").desc()
     )
-    h = ev.select(
+    h = base.select(
         "event_type",
-        F.date_format(hour_ts, "yyyy-MM-dd HH:00").alias("hour"),
+        "hour_ts",
         "value",
         F.row_number().over(wa).alias("rn_a"),
         F.row_number().over(wd).alias("rn_d"),
     )
     return (
-        h.groupBy("event_type", "hour")
+        h.groupBy("event_type", "hour_ts")
         .agg(
             round_stable(
                 F.max(F.when(F.col("rn_a") == 1, F.col("value"))), 2
@@ -638,6 +651,15 @@ def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.max(F.when(F.col("rn_d") == 1, F.col("value"))), 2
             ).alias("close"),
             F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "event_type",
+            F.date_format("hour_ts", "yyyy-MM-dd HH:00").alias("hour"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n",
         )
         .orderBy("event_type", "hour")
     )

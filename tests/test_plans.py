@@ -461,6 +461,45 @@ def test_winsorize_broadcasts_cut_table(spark):
     assert "Python" not in plan
 
 
+def test_division_broadcasts_universe_count(spark):
+    """Relational division: the universe count must ride a broadcast —
+    never a shuffled join — and the pair-distinct + count path is
+    Python-free."""
+    plan = _executed(spark, "suppliers_covering_all_types")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+
+
+def test_ohlc_windows_share_one_exchange(spark):
+    """Both row-number flags and the final aggregate key on
+    (event_type, hour): one exchange serves all three."""
+    plan = _executed(spark, "events_ohlc_hourly")
+    assert plan.count("Exchange") <= 2  # keyed exchange + final order
+    assert "Python" not in plan
+
+
+def test_integrity_report_no_cartesian_no_python(spark):
+    plan = _executed(spark, "lineitem_integrity_report")
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+
+
+def test_scd2_single_user_exchange(spark):
+    """Both LEAD expressions ride the same (user_id) window exchange."""
+    plan = _executed(spark, "events_scd2_intervals")
+    assert plan.count("Window") == 1
+    assert "Python" not in plan
+
+
+def test_mixture_resample_fraction_broadcast(spark):
+    """The per-stratum fraction table joins broadcast; membership filter
+    is a codegen expression, no Python anywhere."""
+    plan = _executed(spark, "docs_mixture_resample")
+    assert "BroadcastHashJoin" in plan
+    assert "Python" not in plan
+
+
 def test_session_examples_share_one_shuffle(spark):
     plan = _executed(spark, "ratings_session_examples")
     # session-id window and per-session history window ride ONE exchange
