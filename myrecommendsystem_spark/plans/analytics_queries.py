@@ -848,3 +848,153 @@ def product_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= 50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed corpus-hygiene pipeline (the end-to-end user story)
+# ---------------------------------------------------------------------------
+
+_PUNCT_SQL = r"""[!"#$%&'()*+,\-./:;<=>?@\[\\\]^_`{|}~]""".replace("'", "''")
+
+
+@register(
+    "corpus_clean_pipeline",
+    rf"""
+WITH train AS (SELECT * FROM documents WHERE doc_id % 97 != 0),
+fp AS (
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+    FROM train
+),
+keep1 AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY f),
+s1 AS (SELECT t.* FROM train t JOIN keep1 USING (doc_id)),
+qt AS (
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE length(regexp_split_to_array(trim(text), '\s+'))
+                END AS n_tok,
+           length(text) AS n_char,
+           length(text) - length(regexp_replace(text, '{_PUNCT_SQL}', '', 'g'))
+               AS n_punct,
+           length(regexp_replace(lower(trim(text)), '\s+', '', 'g')) AS tok_chars
+    FROM s1
+),
+qm AS (
+    SELECT doc_id,
+           LEAST(n_tok / 100.0, 1.0) AS len_score,
+           CASE WHEN n_char = 0 THEN 1.0
+                ELSE GREATEST(0.0, 1.0 - (n_punct / CAST(n_char AS DOUBLE)) * 4.0)
+                END AS punct_pen,
+           CASE WHEN tok_chars / CAST(n_tok AS DOUBLE) BETWEEN 3.0 AND 10.0
+                THEN 1.0 ELSE 0.5 END AS shape_score
+    FROM qt
+),
+qq AS (
+    SELECT doc_id,
+           {sql_round_stable('len_score * 0.5 + punct_pen * 0.25 + shape_score * 0.25', 4)}
+               AS quality
+    FROM qm
+),
+keep2 AS (
+    SELECT doc_id FROM (
+        SELECT s1.doc_id,
+               PERCENT_RANK() OVER (
+                   PARTITION BY s1.lang ORDER BY qq.quality, s1.doc_id
+               ) AS pr
+        FROM s1 JOIN qq USING (doc_id)
+    ) WHERE pr >= 0.5
+),
+s2 AS (SELECT s1.* FROM s1 JOIN keep2 USING (doc_id)),
+btoks AS (
+    SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+    FROM documents WHERE doc_id % 97 = 0
+),
+bsh AS (
+    SELECT DISTINCT unnest(list_distinct(
+        [array_to_string(t[i:i+2], ' ')
+         for i in generate_series(1, greatest(len(t)-2, 1))])) AS gram
+    FROM btoks
+),
+stoks AS (
+    SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+    FROM s2
+),
+ssh AS (
+    SELECT doc_id, unnest(list_distinct(
+        [array_to_string(t[i:i+2], ' ')
+         for i in generate_series(1, greatest(len(t)-2, 1))])) AS gram
+    FROM stoks
+),
+cagg AS (
+    SELECT s.doc_id,
+           COUNT(*) AS n_grams,
+           SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+    FROM ssh s LEFT JOIN bsh b USING (gram)
+    GROUP BY s.doc_id
+),
+keep3 AS (
+    SELECT doc_id FROM cagg
+    WHERE {sql_round_stable(
+        'CASE WHEN n_grams = 0 THEN 0.0 '
+        'ELSE n_hits / CAST(n_grams AS DOUBLE) END', 4)} < 0.1
+),
+s3 AS (SELECT s2.* FROM s2 JOIN keep3 USING (doc_id))
+SELECT source, stage, CAST(n_docs AS BIGINT) AS n_docs FROM (
+    SELECT source, '0_ingest' AS stage, COUNT(*) AS n_docs
+    FROM train GROUP BY source
+    UNION ALL SELECT source, '1_dedup', COUNT(*) FROM s1 GROUP BY source
+    UNION ALL SELECT source, '2_quality', COUNT(*) FROM s2 GROUP BY source
+    UNION ALL SELECT source, '3_decontaminated', COUNT(*) FROM s3 GROUP BY source
+)
+ORDER BY source, stage
+""",
+    doc="the END-TO-END corpus hygiene pipeline as one query — exact "
+    "dedup (md5 keepers) → per-lang top-half quality gate → benchmark "
+    "decontamination (< 10%% 3-gram overlap), reporting the per-source "
+    "funnel (stage, n_docs).  Composes the three individually-gated "
+    "operators sequentially, each stage shrinking the next one's input "
+    "— the ingest shape a 100 TB pretraining pipeline runs nightly",
+    defer=True,
+)
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from myrecommendsystem_spark.functions import text as TXT
+    from myrecommendsystem_spark.operators import corpus_quality, dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    keep1 = dedup.exact_duplicates(train).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    s1 = train.join(keep1, "doc_id", "left_semi")
+    scored = s1.select(
+        "doc_id",
+        "lang",
+        round_stable(TXT.quality_score(F.col("text")), 4).alias("quality"),
+    )
+    w = Window.partitionBy("lang").orderBy("quality", "doc_id")
+    keep2 = (
+        scored.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") >= 0.5)
+        .select("doc_id")
+    )
+    s2 = s1.join(keep2, "doc_id", "left_semi")
+    keep3 = corpus_quality.ngram_contamination(s2, bench, n=3).filter(
+        F.col("contamination") < 0.1
+    ).select("doc_id")
+    s3 = s2.join(keep3, "doc_id", "left_semi")
+    stages = [
+        ("0_ingest", train),
+        ("1_dedup", s1),
+        ("2_quality", s2),
+        ("3_decontaminated", s3),
+    ]
+    outs = [
+        df.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .select("source", F.lit(stage).alias("stage"), "n_docs")
+        for stage, df in stages
+    ]
+    return reduce(DataFrame.unionByName, outs).orderBy("source", "stage")
