@@ -87,6 +87,16 @@ HEADLINE: tuple[str, ...] = (
     "corpus_drift_terms",
     "events_type_transitions",
     "events_user_retention_cohorts",
+    # round-4 extensions: division / RFM / cadence / baskets / corpus
+    # analytics / the composed hygiene funnel
+    "suppliers_covering_all_types",
+    "customer_rfm_scores",
+    "events_dau_wau",
+    "orders_basket_lift",
+    "doc_token_entropy",
+    "docs_mixture_resample",
+    "lineitem_integrity_report",
+    "corpus_clean_pipeline",
 )
 
 

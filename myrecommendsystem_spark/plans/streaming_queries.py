@@ -70,6 +70,64 @@ sims AS (
 )
 """.strip()
 
+# The full micro-batch cycle (trigger → candidates → seen filter →
+# recent-K pairing → priority) as shared CTEs — used by the plain batch
+# query and the cold-start-fallback composition; batch = users with
+# userId % 13 = 0.
+_CYCLE_CTES = f"""
+batch AS (SELECT * FROM ratings WHERE userId % 13 = 0),
+trig AS (
+    SELECT userId, productId AS trigger_pid FROM (
+        SELECT userId, productId, ROW_NUMBER() OVER (
+            PARTITION BY userId ORDER BY ts DESC, productId DESC
+        ) AS rn FROM batch
+    ) WHERE rn = 1
+),
+cand0 AS (
+    SELECT t.userId, s.other_pid AS candidateId, s.sim AS trigger_sim
+    FROM trig t JOIN sims s ON t.trigger_pid = s.pid
+    WHERE s.sim > {_ITEMCF_THRESHOLD}
+),
+cand1 AS (
+    SELECT c.* FROM cand0 c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM ratings r
+        WHERE r.userId = c.userId AND r.productId = c.candidateId
+    )
+),
+cand AS (
+    SELECT userId, candidateId FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY userId ORDER BY trigger_sim DESC, candidateId
+        ) AS rn FROM cand1
+    ) WHERE rn <= 20
+),
+recent AS (
+    SELECT userId, productId, score FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY userId
+            ORDER BY ts DESC, productId DESC, score DESC
+        ) AS rn FROM ratings
+    ) WHERE rn <= 20
+),
+pairs AS (
+    SELECT c.userId, c.candidateId, s.sim, r.score
+    FROM cand c
+    JOIN recent r ON c.userId = r.userId
+    JOIN sims s ON s.pid = c.candidateId AND s.other_pid = r.productId
+    WHERE s.sim > {_ITEMCF_THRESHOLD}
+),
+scores AS (
+    SELECT userId, candidateId,
+           {sql_round_stable(
+            'AVG(sim * score)'
+            ' + LOG10(GREATEST(SUM(CASE WHEN score > 3 THEN 1 ELSE 0 END), 1))'
+            ' - LOG10(GREATEST(SUM(CASE WHEN score <= 3 THEN 1 ELSE 0 END), 1))',
+            4)} AS priority
+    FROM pairs GROUP BY userId, candidateId
+)
+""".strip()
+
 
 @register(
     "stream_log_filter_parse",
@@ -175,57 +233,7 @@ def itemcf_similarities(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 WITH {RATINGS_CTE},
 {_ITEMCF_CTES},
-batch AS (SELECT * FROM ratings WHERE userId % 13 = 0),
-trig AS (
-    SELECT userId, productId AS trigger_pid FROM (
-        SELECT userId, productId, ROW_NUMBER() OVER (
-            PARTITION BY userId ORDER BY ts DESC, productId DESC
-        ) AS rn FROM batch
-    ) WHERE rn = 1
-),
-cand0 AS (
-    SELECT t.userId, s.other_pid AS candidateId, s.sim AS trigger_sim
-    FROM trig t JOIN sims s ON t.trigger_pid = s.pid
-    WHERE s.sim > {_ITEMCF_THRESHOLD}
-),
-cand1 AS (
-    SELECT c.* FROM cand0 c
-    WHERE NOT EXISTS (
-        SELECT 1 FROM ratings r
-        WHERE r.userId = c.userId AND r.productId = c.candidateId
-    )
-),
-cand AS (
-    SELECT userId, candidateId FROM (
-        SELECT *, ROW_NUMBER() OVER (
-            PARTITION BY userId ORDER BY trigger_sim DESC, candidateId
-        ) AS rn FROM cand1
-    ) WHERE rn <= 20
-),
-recent AS (
-    SELECT userId, productId, score FROM (
-        SELECT *, ROW_NUMBER() OVER (
-            PARTITION BY userId
-            ORDER BY ts DESC, productId DESC, score DESC
-        ) AS rn FROM ratings
-    ) WHERE rn <= 20
-),
-pairs AS (
-    SELECT c.userId, c.candidateId, s.sim, r.score
-    FROM cand c
-    JOIN recent r ON c.userId = r.userId
-    JOIN sims s ON s.pid = c.candidateId AND s.other_pid = r.productId
-    WHERE s.sim > {_ITEMCF_THRESHOLD}
-),
-scores AS (
-    SELECT userId, candidateId,
-           {sql_round_stable(
-            'AVG(sim * score)'
-            ' + LOG10(GREATEST(SUM(CASE WHEN score > 3 THEN 1 ELSE 0 END), 1))'
-            ' - LOG10(GREATEST(SUM(CASE WHEN score <= 3 THEN 1 ELSE 0 END), 1))',
-            4)} AS priority
-    FROM pairs GROUP BY userId, candidateId
-)
+{_CYCLE_CTES}
 SELECT userId, candidateId, priority, CAST(rn AS INTEGER) AS rnk FROM (
     SELECT *, ROW_NUMBER() OVER (
         PARTITION BY userId ORDER BY priority DESC, candidateId
@@ -252,6 +260,75 @@ def stream_recs_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_recs_flat(
         batch, sims, ratings, recent, sim_threshold=_ITEMCF_THRESHOLD
     )
+
+
+@register(
+    "stream_recs_cold_start",
+    f"""
+WITH {RATINGS_CTE},
+{_ITEMCF_CTES},
+{_CYCLE_CTES},
+final0 AS (
+    SELECT userId, candidateId, priority, CAST(rn AS INTEGER) AS rnk,
+           'model' AS rec_source
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY userId ORDER BY priority DESC, candidateId
+        ) AS rn FROM scores
+    ) WHERE rn <= 20
+),
+missing AS (
+    SELECT DISTINCT userId FROM batch b
+    WHERE NOT EXISTS (SELECT 1 FROM final0 f WHERE f.userId = b.userId)
+),
+popt AS (
+    SELECT productId, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM ratings GROUP BY productId
+),
+fb0 AS (
+    SELECT m.userId, p.productId, p.cnt
+    FROM missing m CROSS JOIN popt p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM ratings r
+        WHERE r.userId = m.userId AND r.productId = p.productId
+    )
+),
+fb AS (
+    SELECT userId, productId AS candidateId, 0.0 AS priority,
+           CAST(rn AS INTEGER) AS rnk, 'popularity' AS rec_source
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY userId ORDER BY cnt DESC, productId
+        ) AS rn FROM fb0
+    ) WHERE rn <= 5
+)
+SELECT * FROM final0 UNION ALL SELECT * FROM fb
+""",
+    doc="the serving-complete micro-batch: model cycle output PLUS the "
+    "popularity fallback rail for batch users the personalized path "
+    "left empty (cold start / no similar neighbors) — the reference "
+    "serves its statistics job's popularity list in exactly this role; "
+    "fallback excludes seen products, popularity table broadcast, "
+    "rec_source tags the provenance",
+    defer=True,
+)
+def stream_recs_cold_start(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myrecommendsystem_spark.operators import stats
+    from myrecommendsystem_spark.streaming.recommender import (
+        recs_with_popularity_fallback,
+    )
+
+    ratings = readers.events_as_ratings(spark, sf_dir)
+    sims = corating_similarities(ratings, threshold=_ITEMCF_THRESHOLD).cache()
+    batch = ratings.filter(F.col("userId") % 13 == 0)
+    recent = compact_recent_ratings(ratings)
+    recs = stream_recs_flat(
+        batch, sims, ratings, recent, sim_threshold=_ITEMCF_THRESHOLD
+    )
+    pop = stats.rate_more_products(ratings)
+    return recs_with_popularity_fallback(
+        recs, batch, pop, ratings, k=5
+    ).orderBy("userId", "rec_source", "rnk")
 
 
 @register(

@@ -174,6 +174,62 @@ def stream_recs_for_events(
     return collect_recs(flat, "userId", "candidateId", "priority", k=k)
 
 
+def recs_with_popularity_fallback(
+    recs: DataFrame,
+    batch_events: DataFrame,
+    popularity: DataFrame,
+    seen_ratings: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """Cold-start completion: batch users the model cycle produced NO
+    recommendations for (new users, trigger products with no similar
+    neighbors) get the top-``k`` globally-popular products they have not
+    seen — the reference serves exactly this popularity list from its
+    statistics job when the personalized path is empty
+    (StatisticsRecommender.scala:54 feeding the UI's fallback rail).
+
+    Output: (userId, candidateId, priority, rnk, rec_source) with
+    rec_source ∈ {{'model', 'popularity'}}; fallback rows carry
+    priority 0.0 and rank by popularity count.  Scale shape: the
+    popularity list is a bounded product-dimension relation → broadcast;
+    the seen-filter is the same anti join as the model path.
+    """
+    from myrecommendsystem_spark.operators.relational import (
+        anti_join,
+        top_k_per_group,
+    )
+
+    model = recs.select(
+        "userId",
+        "candidateId",
+        "priority",
+        F.col("rnk").cast("int").alias("rnk"),
+    ).withColumn("rec_source", F.lit("model"))
+    missing = (
+        batch_events.select("userId")
+        .distinct()
+        .join(recs.select("userId").distinct(), "userId", "left_anti")
+    )
+    cand = missing.crossJoin(
+        F.broadcast(popularity.select("productId", "cnt"))
+    )
+    cand = anti_join(
+        cand,
+        seen_ratings.select("userId", "productId"),
+        ["userId", "productId"],
+    )
+    fallback = top_k_per_group(
+        cand, ["userId"], [F.col("cnt").desc(), F.col("productId")], k
+    ).select(
+        "userId",
+        F.col("productId").alias("candidateId"),
+        F.lit(0.0).alias("priority"),
+        F.col("rnk").cast("int").alias("rnk"),
+        F.lit("popularity").alias("rec_source"),
+    )
+    return model.unionByName(fallback)
+
+
 BUCKET_COL = "__bucket"
 
 

@@ -571,3 +571,29 @@ def test_streaming_soak_redelivery_keeps_recs_stable(spark, tmp_path):
     assert len(first) == len({u for u, _ in first})  # one row per key
     run("ck_replay")  # full re-delivery, fresh checkpoint
     assert snap() == first
+
+
+def test_popularity_fallback_fills_cold_users(spark):
+    """Users with no model recs get top-k popular UNSEEN products tagged
+    'popularity'; users with recs are untouched."""
+    from myrecommendsystem_spark.streaming.recommender import (
+        recs_with_popularity_fallback,
+    )
+
+    recs = spark.createDataFrame(
+        [(1, 4, 3.5, 1)], "userId int, candidateId int, priority double, rnk int"
+    )
+    batch = spark.createDataFrame(
+        [(1, 9, 1.0, 5), (2, 9, 1.0, 5)], EVENT_SCHEMA
+    )
+    pop = spark.createDataFrame(
+        [(7, 10), (8, 6), (9, 3)], "productId int, cnt long"
+    )
+    seen = spark.createDataFrame([(2, 7, 1.0, 1)], EVENT_SCHEMA)
+    out = recs_with_popularity_fallback(recs, batch, pop, seen, k=2).collect()
+    rows = {(r.userId, r.candidateId): (r.rec_source, r.rnk) for r in out}
+    assert rows[(1, 4)] == ("model", 1)  # modeled user untouched
+    # user 2: product 7 is seen → next two popular products, pop order
+    assert rows[(2, 8)] == ("popularity", 1)
+    assert rows[(2, 9)] == ("popularity", 2)
+    assert len(rows) == 3
