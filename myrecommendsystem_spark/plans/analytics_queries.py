@@ -998,3 +998,40 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         for stage, df in stages
     ]
     return reduce(DataFrame.unionByName, outs).orderBy("source", "stage")
+
+
+@register(
+    "orders_yoy_growth",
+    f"""
+WITH yearly AS (
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
+           SUM(o_totalprice) AS revenue
+    FROM orders GROUP BY yr
+)
+SELECT yr,
+       {sql_round_stable('revenue', 2)} AS revenue,
+       {sql_round_stable(
+           '100.0 * (revenue - lag(revenue) OVER (ORDER BY yr))'
+           ' / lag(revenue) OVER (ORDER BY yr)', 2)} AS yoy_pct
+FROM yearly
+ORDER BY yr
+""",
+    doc="year-over-year revenue growth: one orders aggregate + a LAG "
+    "window over the tiny year spine (first year NULL by definition) — "
+    "the reporting staple every warehouse front-end asks of the engine",
+    defer=True,
+)
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    yearly = orders.groupBy(
+        F.year("o_orderdate").cast("int").alias("yr")
+    ).agg(F.sum("o_totalprice").alias("revenue"))
+    w = Window.orderBy("yr")
+    prev = F.lag("revenue").over(w)
+    return yearly.select(
+        "yr",
+        round_stable(F.col("revenue"), 2).alias("revenue"),
+        round_stable(
+            100.0 * (F.col("revenue") - prev) / prev, 2
+        ).alias("yoy_pct"),
+    ).orderBy("yr")
