@@ -97,6 +97,9 @@ HEADLINE: tuple[str, ...] = (
     "docs_mixture_resample",
     "lineitem_integrity_report",
     "corpus_clean_pipeline",
+    "product_popularity_decayed",
+    "corpus_zipf_fit",
+    "usercf_similarities",
 )
 
 

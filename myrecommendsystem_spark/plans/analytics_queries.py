@@ -1035,3 +1035,230 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             100.0 * (F.col("revenue") - prev) / prev, 2
         ).alias("yoy_pct"),
     ).orderBy("yr")
+
+
+# ---------------------------------------------------------------------------
+# Time-decayed popularity (the modern "rate more recently")
+# ---------------------------------------------------------------------------
+
+# Half-life decay constant shared verbatim by both engines.
+_DECAY_LAMBDA = 0.09902102579427789  # ln(2) / 7-day half-life
+
+
+@register(
+    "product_popularity_decayed",
+    f"""
+WITH ratings AS (
+    SELECT CAST(user_id AS INTEGER) AS userId,
+           CAST(regexp_extract(props, '[0-9]+', 0) AS INTEGER) AS productId,
+           value AS score,
+           CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec
+    FROM events
+),
+mx AS (SELECT MAX(sec) AS max_sec FROM ratings)
+SELECT productId,
+       CAST(COUNT(*) AS BIGINT) AS n_ratings,
+       {sql_round_stable(
+           'SUM(score * EXP(-' + repr(_DECAY_LAMBDA)
+           + ' * (max_sec - sec) / 86400.0))', 4)} AS decayed_score
+FROM ratings CROSS JOIN mx
+GROUP BY productId
+ORDER BY decayed_score DESC, productId
+""",
+    doc="exponentially time-decayed popularity (7-day half-life): the "
+    "production upgrade of the reference's fixed-window 'rate more "
+    "recently' count (StatisticsRecommender.scala:79-86) — recency "
+    "weighting without a window cliff.  One groupBy; the global max "
+    "timestamp rides a broadcast 1-row cross join, so the shape is "
+    "identical to a plain grouped aggregate at any scale",
+    defer=True,
+)
+def product_popularity_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ratings = readers.events_as_ratings(spark, sf_dir).withColumn(
+        "sec", F.unix_timestamp("ts")
+    )
+    mx = ratings.agg(F.max("sec").alias("max_sec"))
+    age_days = (F.col("max_sec") - F.col("sec")) / 86400.0
+    return (
+        ratings.crossJoin(F.broadcast(mx))
+        .groupBy("productId")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ratings"),
+            round_stable(
+                F.sum(F.col("score") * F.exp(-_DECAY_LAMBDA * age_days)), 4
+            ).alias("decayed_score"),
+        )
+        .orderBy(F.col("decayed_score").desc(), "productId")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency fit (corpus health diagnostic)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_zipf_fit",
+    r"""
+WITH tf AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (
+        SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        FROM documents
+        WHERE length(trim(text)) > 0
+    )
+    GROUP BY term
+),
+head AS (SELECT term, freq FROM tf ORDER BY freq DESC, term LIMIT 500),
+ranked AS (
+    SELECT freq,
+           ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS rnk
+    FROM head
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+       ROUND(regr_slope(ln(CAST(freq AS DOUBLE)), ln(CAST(rnk AS DOUBLE)))
+             + 1e-09, 4) AS zipf_slope,
+       ROUND(regr_r2(ln(CAST(freq AS DOUBLE)), ln(CAST(rnk AS DOUBLE)))
+             + 1e-09, 4) AS zipf_r2
+FROM ranked
+""",
+    doc="Zipf rank-frequency fit over the vocabulary head: log-log OLS "
+    "slope + R² of the top-500 terms (natural text ≈ -1; synthetic or "
+    "boilerplate-heavy corpora flatten).  The full-vocabulary sort never "
+    "happens — top-500 via TakeOrderedAndProject, then the regression "
+    "runs on 500 rows with Spark's native regr_slope/regr_r2 aggregates "
+    "(no driver-side numpy).  A standard corpus-health diagnostic for "
+    "pretraining-data pipelines",
+    defer=True,
+)
+def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myrecommendsystem_spark.functions import text as TXT
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    tf = (
+        docs.select(F.explode(TXT.tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    head = tf.orderBy(F.col("freq").desc(), "term").limit(500)
+    ranked = head.select(
+        "freq",
+        F.row_number()
+        .over(Window.orderBy(F.col("freq").desc(), "term"))
+        .alias("rnk"),
+    )
+    lf = F.log(F.col("freq").cast("double"))
+    lr = F.log(F.col("rnk").cast("double"))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.round(F.regr_slope(lf, lr) + F.lit(1e-09), 4).alias("zipf_slope"),
+        F.round(F.regr_r2(lf, lr) + F.lit(1e-09), 4).alias("zipf_r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# User-user collaborative filtering (the transposed M7)
+# ---------------------------------------------------------------------------
+
+_USERCF_THRESHOLD = 0.3
+
+
+@register(
+    "usercf_similarities",
+    f"""
+WITH ratings AS (
+    SELECT CAST(user_id AS INTEGER) AS userId,
+           CAST(regexp_extract(props, '[0-9]+', 0) AS INTEGER) AS productId,
+           value AS score,
+           ts
+    FROM events
+),
+capped AS (
+    SELECT userId, productId, score FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY productId
+            ORDER BY ts DESC, userId DESC, score DESC
+        ) AS rn FROM ratings
+    ) WHERE rn <= 20
+),
+r AS (
+    SELECT userId, productId, AVG(score) AS score
+    FROM capped GROUP BY userId, productId
+),
+norms AS (
+    SELECT userId, SQRT(SUM(score * score)) AS nrm
+    FROM r GROUP BY userId
+),
+dots AS (
+    SELECT a.userId AS uid, b.userId AS other_uid,
+           SUM(a.score * b.score) AS dot
+    FROM r a JOIN r b ON a.productId = b.productId AND a.userId <> b.userId
+    GROUP BY uid, other_uid
+),
+sims AS (
+    SELECT uid, other_uid,
+           {sql_round_stable('dot / (na.nrm * nb.nrm)', 4)} AS sim
+    FROM dots
+    JOIN norms na ON dots.uid = na.userId
+    JOIN norms nb ON dots.other_uid = nb.userId
+)
+SELECT uid, other_uid, sim FROM sims WHERE sim > {_USERCF_THRESHOLD}
+""",
+    doc="user-user cosine similarity — the transposed complement of M7's "
+    "item-item matrix (OfflineRecommender.scala:92-109), the other half "
+    "of classical neighborhood CF.  Reuses ml.itemcf.corating_"
+    "similarities with the axes swapped; the per-item recent-20-raters "
+    "cap bounds the self-join at O(items·K²) pairs exactly as the "
+    "per-user cap does for item-CF — the same 100 TB knob, mirrored",
+    defer=True,
+)
+def usercf_similarities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myrecommendsystem_spark.ml.itemcf import corating_similarities
+
+    # Transpose the rating matrix: users become the "items" being
+    # compared, products become the shared coordinate axis.
+    transposed = readers.events_as_ratings(spark, sf_dir).select(
+        F.col("productId").alias("userId"),
+        F.col("userId").alias("productId"),
+        "score",
+        "ts",
+    )
+    sims = corating_similarities(transposed, threshold=_USERCF_THRESHOLD)
+    return sims.select(
+        F.col("pid").alias("uid"),
+        F.col("other_pid").alias("other_uid"),
+        "sim",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding k-means cluster profile (rows-only: iterative algorithm)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_kmeans_clusters",
+    None,  # k-means is iterative — no SQL oracle; laws in tests/test_operators.py
+    doc="k-means cluster profile over the embedding corpus: the IVF "
+    "coarse quantizer (operators/similarity.fit_ivf_centroids — "
+    "k-means++ on a bounded deterministic sample, Lloyd refinement) "
+    "exposed as a clustering operator in its own right.  Assignment is "
+    "the fused no-shuffle Arrow pass (ivf_assign); the profile is one "
+    "grouped aggregate over (cell, unit-dot).  Deterministic at any "
+    "partitioning: sample membership is hash-keyed and the training "
+    "matrix is sorted by id before the fit",
+    defer=True,
+)
+def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myrecommendsystem_spark.operators import similarity as SIM
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids = SIM.fit_ivf_centroids(emb, n_cells=8)
+    assigned = SIM.ivf_assign(emb, centroids, nprobe=1)
+    return (
+        assigned.groupBy(F.col("cell_id").alias("cluster_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
+        .orderBy("cluster_id")
+    )
