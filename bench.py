@@ -100,6 +100,7 @@ HEADLINE: tuple[str, ...] = (
     "product_popularity_decayed",
     "corpus_zipf_fit",
     "usercf_similarities",
+    "product_graph_distances",
 )
 
 

@@ -85,3 +85,45 @@ def pagerank(
             # truncate lineage: plan depth stays O(checkpoint_every)
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seed: int,
+    max_hops: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Shortest hop-distance from ``seed`` to every node reachable in
+    ``max_hops`` → (id, dist).
+
+    The frontier-expansion BFS: each round joins the previous frontier
+    against the edge list and anti-joins already-settled nodes, so a
+    node's distance is fixed the first time it is reached (hop count is
+    the BFS invariant — no min-aggregate needed).  Per round: one
+    shuffle join keyed on node id + one anti join against the settled
+    set; the settled relation is ``localCheckpoint``-truncated so plan
+    depth stays O(1) per hop.  The loop bound is ``max_hops`` (fixed),
+    not convergence — deterministic cost, and the SQL twin is a bounded
+    recursive CTE (DuckDB ``WITH RECURSIVE``), which Spark has no native
+    operator for: this IS the Spark-side expression of recursive SQL.
+    """
+    spark = edges.sparkSession
+    src, dst = F.col(src_col), F.col(dst_col)
+    settled = spark.createDataFrame([(seed, 0)], "id long, dist int")
+    settled = settled.localCheckpoint(eager=True)
+    frontier = settled.select("id")
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier["id"] == src)
+            .select(dst.cast("long").alias("id"))
+            .distinct()
+        )
+        new = nxt.join(settled, "id", "left_anti").withColumn(
+            "dist", F.lit(hop)
+        )
+        settled = settled.unionByName(new).localCheckpoint(eager=True)
+        frontier = new.select("id")
+        if frontier.isEmpty():  # graph exhausted before the hop cap
+            break
+    return settled

@@ -1262,3 +1262,102 @@ def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
         .orderBy("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# BFS shortest distances (recursive SQL vs iterative DataFrame parity)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "product_graph_distances",
+    f"""
+WITH RECURSIVE ratings AS (
+    SELECT CAST(user_id AS INTEGER) AS userId,
+           CAST(regexp_extract(props, '[0-9]+', 0) AS INTEGER) AS productId,
+           value AS score,
+           ts
+    FROM events
+),
+capped AS (
+    SELECT userId, productId, score FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY userId
+            ORDER BY ts DESC, productId DESC, score DESC
+        ) AS rn FROM ratings
+    ) WHERE rn <= 20
+),
+r AS (
+    SELECT userId, productId, AVG(score) AS score
+    FROM capped GROUP BY userId, productId
+),
+norms AS (
+    SELECT productId, SQRT(SUM(score * score)) AS nrm
+    FROM r GROUP BY productId
+),
+dots AS (
+    SELECT a.productId AS pid, b.productId AS other_pid,
+           SUM(a.score * b.score) AS dot
+    FROM r a JOIN r b ON a.userId = b.userId AND a.productId <> b.productId
+    GROUP BY pid, other_pid
+),
+sims AS (
+    SELECT pid, other_pid,
+           {sql_round_stable('dot / (na.nrm * nb.nrm)', 4)} AS sim
+    FROM dots
+    JOIN norms na ON dots.pid = na.productId
+    JOIN norms nb ON dots.other_pid = nb.productId
+),
+edges AS (
+    SELECT CAST(pid AS BIGINT) AS src, CAST(other_pid AS BIGINT) AS dst
+    FROM (
+        SELECT pid, other_pid, ROW_NUMBER() OVER (
+            PARTITION BY pid ORDER BY sim DESC, other_pid
+        ) AS rn
+        FROM sims WHERE sim > 0
+    ) WHERE rn <= 10
+),
+hops AS (
+        SELECT (SELECT MIN(src) FROM edges) AS id, 0 AS dist
+    UNION
+        SELECT e.dst AS id, h.dist + 1 AS dist
+        FROM hops h JOIN edges e ON e.src = h.id
+        WHERE h.dist < 4
+)
+SELECT CAST(id AS BIGINT) AS id, CAST(MIN(dist) AS INTEGER) AS dist
+FROM hops
+GROUP BY id
+ORDER BY dist, id
+""",
+    doc="BFS shortest hop-distances over the kNN item-similarity graph "
+    "(operators/graph.bfs_distances), seeded at the minimum product id, "
+    "4-hop cap.  The oracle is a bounded RECURSIVE CTE — SQL Spark has "
+    "no native operator for; the Spark side is the frontier-expansion "
+    "loop (join + anti-join per hop, checkpoint-truncated lineage).  "
+    "The strongest check in the graph family: an iterative distributed "
+    "algorithm hash-matched against declarative recursive SQL",
+    defer=True,
+)
+def product_graph_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myrecommendsystem_spark.ml.itemcf import corating_similarities
+    from myrecommendsystem_spark.operators.graph import bfs_distances
+    from myrecommendsystem_spark.operators.relational import top_k_per_group
+
+    ratings = readers.events_as_ratings(spark, sf_dir)
+    sims = corating_similarities(ratings, threshold=0.0)
+    edges = top_k_per_group(
+        sims, ["pid"], [F.col("sim").desc(), F.col("other_pid")], 10
+    ).select(
+        F.col("pid").cast("long").alias("src"),
+        F.col("other_pid").cast("long").alias("dst"),
+    )
+    # seed = min node id: a 1-row metadata-sized driver scalar (same
+    # contract as pagerank's node count)
+    seed = edges.agg(F.min("src")).collect()[0][0]
+    if seed is None:  # edgeless graph — empty result, stable schema
+        return spark.createDataFrame([], "id bigint, dist int")
+    return (
+        bfs_distances(edges, seed=int(seed), max_hops=4)
+        .select(F.col("id").cast("bigint"), F.col("dist").cast("int"))
+        .orderBy("dist", "id")
+    )

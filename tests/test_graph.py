@@ -60,3 +60,48 @@ def test_pagerank_symmetric_graph_uniform(spark):
     )
     r = _ranks(pagerank(edges, iterations=10))
     assert all(abs(v - 0.25) < 1e-9 for v in r.values())
+
+
+# ---------------------------------------------------------------------------
+# bfs_distances laws
+# ---------------------------------------------------------------------------
+
+from myrecommendsystem_spark.operators.graph import bfs_distances  # noqa: E402
+
+
+def _dists(df):
+    return {r["id"]: r["dist"] for r in df.collect()}
+
+
+def test_bfs_chain_distances_exact(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    d = _dists(bfs_distances(edges, seed=1, max_hops=3))
+    assert d == {1: 0, 2: 1, 3: 2, 4: 3}, "hop cap excludes node 5"
+
+
+def test_bfs_shortest_path_wins_over_longer(spark):
+    # two routes 1→4: direct edge (1 hop) and via 2,3 (3 hops)
+    edges = spark.createDataFrame(
+        [(1, 4), (1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    d = _dists(bfs_distances(edges, seed=1, max_hops=4))
+    assert d[4] == 1
+
+
+def test_bfs_cycle_terminates_and_unreachable_excluded(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (7, 8)], "src long, dst long"
+    )
+    d = _dists(bfs_distances(edges, seed=1, max_hops=4))
+    assert d == {1: 0, 2: 1}, "cycle settles; disconnected 7/8 excluded"
+
+
+def test_bfs_layout_invariant(spark):
+    edges = spark.createDataFrame(
+        [(i, (i * 3) % 17) for i in range(50)], "src long, dst long"
+    )
+    a = _dists(bfs_distances(edges, seed=0, max_hops=4))
+    b = _dists(bfs_distances(edges.repartition(13), seed=0, max_hops=4))
+    assert a == b
