@@ -112,3 +112,35 @@ def diff_tables(
         .filter(F.col("status").isNotNull())
         .select(*out_keys, "status")
     )
+
+
+def cdc_apply(
+    ops: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    op_col: str,
+    delete_op: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Apply a change-data-capture op log → final table state (the MERGE
+    INTO / upsert-with-deletes shape, set-oriented).
+
+    ``ops`` is an append-only log of keyed operations; the final state is
+    "last writer wins, a trailing delete removes the key":
+
+    1. ``latest_by_key`` keeps each key's most recent op — one keyed
+       shuffle, spillable window, never a per-key replay loop (the naive
+       CDC apply folds ops in order per key; last-writer-wins needs only
+       the max, so the whole log collapses in a single window pass);
+    2. keys whose surviving op is ``delete_op`` drop out.
+
+    At 100 TB the log is partitioned by ingest date and the window
+    shuffle is the only data movement; compaction of the applied state
+    back to storage is `streaming.recommender.upsert_by_key` (touched
+    hash-buckets only).  Deterministic given a unique ``tiebreak_col``
+    for equal timestamps.
+    """
+    from myrecommendsystem_spark.operators.relational import latest_by_key
+
+    last = latest_by_key(ops, keys, ts_col, tiebreak_col=tiebreak_col)
+    return last.filter(F.col(op_col) != delete_op)

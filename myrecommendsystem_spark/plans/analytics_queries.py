@@ -1361,3 +1361,166 @@ def product_graph_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id").cast("bigint"), F.col("dist").cast("int"))
         .orderBy("dist", "id")
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC apply (the MERGE INTO / op-log shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_cdc_final_state",
+    """
+WITH ops AS (
+    SELECT CAST(user_id AS INTEGER) AS userId,
+           CAST(regexp_extract(props, '[0-9]+', 0) AS INTEGER) AS productId,
+           event_type, value AS score, ts, event_id
+    FROM events
+),
+last AS (
+    SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY userId, productId
+            ORDER BY ts DESC, event_id DESC
+        ) AS rn FROM ops
+    ) WHERE rn = 1
+)
+SELECT userId, productId, event_type AS last_op, score
+FROM last
+WHERE event_type <> 'error'
+ORDER BY userId, productId
+""",
+    doc="CDC op-log apply (operators/incremental.cdc_apply): the events "
+    "stream read as a keyed change log — last writer wins per (user, "
+    "product), a trailing 'error' op tombstones the key.  The MERGE "
+    "INTO shape as one set-oriented pass: last-writer-wins needs only "
+    "the per-key max, so the whole log collapses in a single spillable "
+    "window (never a per-key ordered replay); deletes are a filter on "
+    "the survivor.  Composes with upsert_by_key for the storage write",
+    defer=True,
+)
+def events_cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myrecommendsystem_spark.operators.incremental import cdc_apply
+
+    ev = _t(spark, sf_dir, "events")
+    ops = ev.select(
+        F.col("user_id").cast("int").alias("userId"),
+        F.regexp_extract("props", "[0-9]+", 0).cast("int").alias("productId"),
+        "event_type",
+        F.col("value").alias("score"),
+        "ts",
+        "event_id",
+    )
+    final = cdc_apply(
+        ops,
+        keys=["userId", "productId"],
+        ts_col="ts",
+        op_col="event_type",
+        delete_op="error",
+        tiebreak_col="event_id",
+    )
+    return final.select(
+        "userId",
+        "productId",
+        F.col("event_type").alias("last_op"),
+        "score",
+    ).orderBy("userId", "productId")
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment read-out (two-proportion z-test)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_ab_test_zscore",
+    f"""
+WITH conv AS (
+    SELECT CAST(user_id AS INTEGER) AS userId,
+           CASE WHEN substring(
+               md5('ab' || CAST(CAST(user_id AS INTEGER) AS VARCHAR)), 1, 8
+           ) < '80000000' THEN 'A' ELSE 'B' END AS variant,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+    FROM events
+    GROUP BY userId, variant
+),
+per AS (
+    SELECT variant,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(converted) AS BIGINT) AS n_conv
+    FROM conv GROUP BY variant
+),
+wide AS (
+    SELECT MAX(CASE WHEN variant = 'A' THEN n_users END) AS n_a,
+           MAX(CASE WHEN variant = 'B' THEN n_users END) AS n_b,
+           MAX(CASE WHEN variant = 'A' THEN n_conv END) AS conv_a,
+           MAX(CASE WHEN variant = 'B' THEN n_conv END) AS conv_b
+    FROM per
+)
+SELECT n_a, n_b, conv_a, conv_b,
+       {sql_round_stable('conv_a * 1.0 / n_a', 4)} AS rate_a,
+       {sql_round_stable('conv_b * 1.0 / n_b', 4)} AS rate_b,
+       {sql_round_stable(
+           '(conv_a * 1.0 / n_a - conv_b * 1.0 / n_b)'
+           ' / NULLIF(SQRT(((conv_a + conv_b) * 1.0 / (n_a + n_b))'
+           '   * (1.0 - (conv_a + conv_b) * 1.0 / (n_a + n_b))'
+           '   * (1.0 / n_a + 1.0 / n_b)), 0)', 4)} AS z_score
+FROM wide
+""",
+    doc="A/B experiment read-out: deterministic hash-split of users into "
+    "variants (md5 content cut — engine-independent membership, the "
+    "sampling.py coordinate), per-user conversion flag (any purchase), "
+    "and the pooled two-proportion z-test.  Two grouped aggregates and "
+    "a conditional-aggregation pivot to one row — the experiment "
+    "dashboard query at any scale, no driver math",
+    defer=True,
+)
+def events_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("int")
+    variant = F.when(
+        F.substring(F.md5(F.concat(F.lit("ab"), uid.cast("string"))), 1, 8)
+        < "80000000",
+        "A",
+    ).otherwise("B")
+    conv = (
+        ev.select(
+            uid.alias("userId"),
+            variant.alias("variant"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("c"),
+        )
+        .groupBy("userId", "variant")
+        .agg(F.max("c").alias("converted"))
+    )
+    per = conv.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_conv"),
+    )
+    pick = lambda v, c: F.max(F.when(F.col("variant") == v, F.col(c)))  # noqa: E731
+    wide = per.agg(
+        pick("A", "n_users").alias("n_a"),
+        pick("B", "n_users").alias("n_b"),
+        pick("A", "n_conv").alias("conv_a"),
+        pick("B", "n_conv").alias("conv_b"),
+    )
+    rate_a = F.col("conv_a") * 1.0 / F.col("n_a")
+    rate_b = F.col("conv_b") * 1.0 / F.col("n_b")
+    pool = (F.col("conv_a") + F.col("conv_b")) * 1.0 / (
+        F.col("n_a") + F.col("n_b")
+    )
+    se = F.nullif(
+        F.sqrt(
+            pool * (1.0 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+        ),
+        F.lit(0.0),
+    )
+    return wide.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        round_stable(rate_a, 4).alias("rate_a"),
+        round_stable(rate_b, 4).alias("rate_b"),
+        round_stable((rate_a - rate_b) / se, 4).alias("z_score"),
+    )

@@ -82,3 +82,31 @@ def test_kmeans_clusters_partition_the_corpus(spark):
     n = spark.read.parquet(f"{SF}/embeddings.parquet").count()
     assert total == n, "nprobe=1 assignment partitions the corpus exactly"
     assert 1 <= len(out) <= 8
+
+
+def test_cdc_apply_last_writer_wins_and_tombstones(spark):
+    from myrecommendsystem_spark.operators.incremental import cdc_apply
+
+    ops = spark.createDataFrame(
+        [
+            # key (1,1): upsert then delete → gone
+            (1, 1, "upsert", 1.0, 10, 100),
+            (1, 1, "delete", 0.0, 20, 101),
+            # key (1,2): delete then upsert → survives with latest value
+            (1, 2, "delete", 0.0, 10, 102),
+            (1, 2, "upsert", 7.0, 20, 103),
+            # key (2,1): equal ts — tiebreak on op_id picks the later row
+            (2, 1, "upsert", 3.0, 30, 104),
+            (2, 1, "upsert", 9.0, 30, 105),
+        ],
+        "u int, p int, op string, v double, ts int, op_id int",
+    )
+    out = {
+        (r["u"], r["p"]): (r["op"], r["v"])
+        for r in cdc_apply(
+            ops, ["u", "p"], "ts", "op", "delete", tiebreak_col="op_id"
+        ).collect()
+    }
+    assert (1, 1) not in out, "trailing delete tombstones the key"
+    assert out[(1, 2)] == ("upsert", 7.0), "delete-then-upsert resurrects"
+    assert out[(2, 1)] == ("upsert", 9.0), "equal-ts tiebreak deterministic"
