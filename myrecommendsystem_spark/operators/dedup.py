@@ -536,3 +536,65 @@ def substring_overlap_pairs(
         .filter(F.col("shared_windows") >= min_shared)
     )
     return eager_release(out, fps)
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    col: str,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """All distinct-value pairs within Levenshtein distance 1 →
+    (val_a, val_b, lev), via symmetric-deletion blocking (SymSpell).
+
+    Two strings are within edit distance 1 iff they share a member of
+    their deletion neighborhoods D(s) = {s} ∪ {s minus one char}:
+    equality shares s itself; a substitution shares the string with the
+    differing position deleted from each side; an insert/delete means
+    the shorter string IS a deletion of the longer.  So the candidate
+    join is an equi-join on deletion variants — O(N·L) blocking keys
+    instead of the N² cross join — followed by one exact
+    ``levenshtein`` verify.  Variant expansion is pure built-ins
+    (sequence → transform → explode, ``Column.substr`` with column
+    positions: whole-stage codegen, no Python); ``max_bucket`` caps
+    pathological shared variants exactly like the MinHash band cap.
+    This is the typo-dedup / fuzzy-entity-resolution kernel at the
+    string-key scale where MinHash shingles are too coarse.
+    """
+    v = F.col("val")
+    vals = (
+        df.select(F.col(col).alias("val"))
+        .filter(v.isNotNull())
+        .distinct()
+    )
+    # D(s): i = 0 keeps s; i in [1, len] deletes the i-th char (1-based).
+    delete_i = lambda i: F.concat(  # noqa: E731
+        v.substr(F.lit(1), i - 1), v.substr(i + 1, F.length(v))
+    )
+    variants = vals.select(
+        "val",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.length(v)),
+                    lambda i: F.when(i == F.lit(0), v).otherwise(delete_i(i)),
+                )
+            )
+        ).alias("variant"),
+    )
+    sizes = variants.groupBy("variant").agg(F.count(F.lit(1)).alias("n"))
+    capped = variants.join(
+        sizes.filter(F.col("n") <= max_bucket).select("variant"), "variant"
+    )
+    a = capped.select("variant", F.col("val").alias("val_a"))
+    b = capped.select("variant", F.col("val").alias("val_b"))
+    cands = (
+        a.join(b, "variant")
+        .filter(F.col("val_a") < F.col("val_b"))
+        .select("val_a", "val_b")
+        .distinct()
+    )
+    return cands.select(
+        "val_a",
+        "val_b",
+        F.levenshtein("val_a", "val_b").cast("int").alias("lev"),
+    ).filter(F.col("lev") <= 1)

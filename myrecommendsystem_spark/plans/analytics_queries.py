@@ -1524,3 +1524,38 @@ def events_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_stable(rate_b, 4).alias("rate_b"),
         round_stable((rate_a - rate_b) / se, 4).alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy string matching (SymSpell deletion blocking vs brute force)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "part_name_fuzzy_pairs",
+    """
+WITH names AS (
+    SELECT DISTINCT p_name AS val FROM part WHERE p_name IS NOT NULL
+)
+SELECT a.val AS val_a, b.val AS val_b,
+       CAST(levenshtein(a.val, b.val) AS INTEGER) AS lev
+FROM names a JOIN names b ON a.val < b.val
+WHERE levenshtein(a.val, b.val) <= 1
+ORDER BY val_a, val_b
+""",
+    doc="fuzzy string self-join, edit distance <= 1 (operators/dedup."
+    "edit_distance_pairs): symmetric-deletion blocking (SymSpell) — "
+    "candidates equi-join on O(N*L) deletion variants, one levenshtein "
+    "verify — hash-matched against the oracle's N^2 brute-force cross "
+    "join.  The blocking set provably covers every distance-1 pair "
+    "(equality shares the string; substitution shares the both-sides "
+    "deletion; insert/delete shares the shorter string), so the check "
+    "pins completeness, not just precision.  Typo-dedup / entity "
+    "resolution at string-key scale",
+    defer=True,
+)
+def part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myrecommendsystem_spark.operators.dedup import edit_distance_pairs
+
+    part = _t(spark, sf_dir, "part")
+    return edit_distance_pairs(part, "p_name").orderBy("val_a", "val_b")

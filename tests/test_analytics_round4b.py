@@ -110,3 +110,20 @@ def test_cdc_apply_last_writer_wins_and_tombstones(spark):
     assert (1, 1) not in out, "trailing delete tombstones the key"
     assert out[(1, 2)] == ("upsert", 7.0), "delete-then-upsert resurrects"
     assert out[(2, 1)] == ("upsert", 9.0), "equal-ts tiebreak deterministic"
+
+
+def test_edit_distance_pairs_covers_all_edit_kinds(spark):
+    from myrecommendsystem_spark.operators.dedup import edit_distance_pairs
+
+    vals = ["cat", "cta", "cut", "cart", "at", "dog", "café", "cafe"]
+    df = spark.createDataFrame([(v,) for v in vals], "name string")
+    pairs = {
+        (r["val_a"], r["val_b"]): r["lev"]
+        for r in edit_distance_pairs(df, "name").collect()
+    }
+    assert pairs[("cat", "cut")] == 1  # substitution
+    assert pairs[("cart", "cat")] == 1  # deletion
+    assert pairs[("at", "cat")] == 1  # insertion
+    assert ("cat", "dog") not in pairs  # distance 3
+    assert ("cat", "cta") not in pairs  # transposition is distance 2
+    assert pairs[("cafe", "café")] == 1  # unicode substitution
