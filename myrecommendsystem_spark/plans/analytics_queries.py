@@ -1559,3 +1559,134 @@ def part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     part = _t(spark, sf_dir, "part")
     return edit_distance_pairs(part, "p_name").orderBy("val_a", "val_b")
+
+
+# ---------------------------------------------------------------------------
+# Robust outliers (median absolute deviation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_value_mad_outliers",
+    f"""
+WITH med AS (
+    SELECT event_type, quantile_cont(value, 0.5) AS med
+    FROM events GROUP BY event_type
+),
+dev AS (
+    SELECT e.event_type, e.value, m.med, ABS(e.value - m.med) AS adev
+    FROM events e JOIN med m ON e.event_type = m.event_type
+),
+mad AS (
+    SELECT event_type, quantile_cont(adev, 0.5) AS mad
+    FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {sql_round_stable('MAX(d.med)', 4)} AS med,
+       {sql_round_stable('MAX(a.mad)', 4)} AS mad,
+       CAST(SUM(CASE WHEN d.adev > 3.5 * 1.4826 * a.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad a ON d.event_type = a.event_type
+GROUP BY d.event_type
+ORDER BY d.event_type
+""",
+    doc="robust outlier detection via median absolute deviation: the "
+    "breakdown-resistant complement of events_value_zscores (mean/std "
+    "move with the outliers they are meant to find; median/MAD don't — "
+    "50% breakdown point).  Two exact-median passes (F.percentile ≡ "
+    "quantile_cont) with the per-type med/mad tables riding broadcast "
+    "joins; the modified-z cut 3.5·1.4826·MAD is the Iglewicz-Hoaglin "
+    "convention.  Three scans of events, zero extra shuffles beyond "
+    "the two 5-row aggregates",
+    defer=True,
+)
+def events_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", 0.5).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            round_stable(F.max("med"), 4).alias("med"),
+            round_stable(F.max("mad"), 4).alias("mad"),
+            F.sum(
+                F.when(
+                    F.col("adev") > 3.5 * 1.4826 * F.col("mad"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exponentially-decayed daily series (windowed decay)
+# ---------------------------------------------------------------------------
+
+_EMA_ALPHA = 0.8  # per-day retention; shared verbatim by both engines
+
+
+@register(
+    "events_ema_daily",
+    f"""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, SUM(value) AS x
+    FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+idx AS (
+    SELECT event_type, day, x,
+           datediff('day',
+                    MIN(day) OVER (PARTITION BY event_type),
+                    day) AS di
+    FROM daily
+)
+SELECT event_type,
+       strftime(day, '%Y-%m-%d') AS day,
+       {sql_round_stable('x', 4)} AS day_total,
+       {sql_round_stable(
+           'POW(' + repr(_EMA_ALPHA) + ', di)'
+           ' * SUM(x * POW(' + repr(_EMA_ALPHA) + ', -di)) OVER ('
+           '     PARTITION BY event_type ORDER BY di)', 4)} AS decayed_sum
+FROM idx
+ORDER BY event_type, day
+""",
+    doc="exponentially-decayed daily running total per event type "
+    "(EMA-family smoothing): the recurrence s_d = x_d + a*s_(d-1) in "
+    "closed form as a^di * cumsum(x * a^-di) — one ordered cumulative "
+    "window, NO recursion and NO sequential pass, so it scales as a "
+    "plain window over the (type, day) spine.  Complements "
+    "product_popularity_decayed (grouped decay) with windowed decay; "
+    "the day-index rebase keeps a^-di bounded by the series span",
+    defer=True,
+)
+def events_ema_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum("value").alias("x"))
+    wmin = Window.partitionBy("event_type")
+    idx = daily.withColumn(
+        "di", F.datediff(F.col("day"), F.min("day").over(wmin))
+    )
+    wcum = Window.partitionBy("event_type").orderBy("di")
+    decayed = F.pow(F.lit(_EMA_ALPHA), F.col("di")) * F.sum(
+        F.col("x") * F.pow(F.lit(_EMA_ALPHA), -F.col("di"))
+    ).over(wcum)
+    return idx.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        round_stable(F.col("x"), 4).alias("day_total"),
+        round_stable(decayed, 4).alias("decayed_sum"),
+    ).orderBy("event_type", "day")
