@@ -1690,3 +1690,65 @@ def events_ema_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_stable(F.col("x"), 4).alias("day_total"),
         round_stable(decayed, 4).alias("decayed_sum"),
     ).orderBy("event_type", "day")
+
+
+# ---------------------------------------------------------------------------
+# Interval concurrency (open-order backlog over time)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_open_backlog",
+    """
+WITH spans AS (
+    SELECT o.o_orderkey,
+           o.o_orderdate AS opened,
+           MAX(l.l_shipdate) AS closed
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey, o.o_orderdate
+),
+deltas AS (
+    SELECT opened AS day, 1 AS delta FROM spans
+    UNION ALL
+    SELECT closed AS day, -1 AS delta FROM spans
+),
+daily AS (
+    SELECT day, CAST(SUM(delta) AS BIGINT) AS net
+    FROM deltas GROUP BY day
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(SUM(net) OVER (ORDER BY day) AS BIGINT) AS open_orders
+FROM daily
+ORDER BY day
+""",
+    doc="interval concurrency counting: how many orders are open (placed, "
+    "not yet fully shipped) on each day.  The scalable shape — intervals "
+    "become +1/-1 boundary events, one grouped sum per day, one ordered "
+    "cumulative window over the day spine — O(N) rows moved, versus the "
+    "naive day-spine x interval range join which is O(days*N).  The same "
+    "sweep-line trick covers concurrent sessions, active users, and "
+    "resource occupancy at any scale",
+    defer=True,
+)
+def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    spans = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("closed"))
+        .select(F.col("o_orderdate").alias("opened"), "closed")
+    )
+    deltas = spans.select(
+        F.col("opened").alias("day"), F.lit(1).alias("delta")
+    ).unionByName(
+        spans.select(F.col("closed").alias("day"), F.lit(-1).alias("delta"))
+    )
+    daily = deltas.groupBy("day").agg(
+        F.sum("delta").cast("bigint").alias("net")
+    )
+    w = Window.orderBy("day")
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.sum("net").over(w).cast("bigint").alias("open_orders"),
+    ).orderBy("day")
