@@ -101,6 +101,12 @@ HEADLINE: tuple[str, ...] = (
     "corpus_zipf_fit",
     "usercf_similarities",
     "product_graph_distances",
+    "events_cdc_final_state",
+    "events_ab_test_zscore",
+    "part_name_fuzzy_pairs",
+    "events_value_mad_outliers",
+    "events_ema_daily",
+    "orders_open_backlog",
 )
 
 

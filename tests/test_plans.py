@@ -505,3 +505,29 @@ def test_session_examples_share_one_shuffle(spark):
     # session-id window and per-session history window ride ONE exchange
     assert plan.count("Exchange") == 1
     assert "Python" not in plan
+
+
+def test_mad_outliers_broadcasts_stat_tables(spark):
+    """events_value_mad_outliers: the 5-row med/mad relations must ride
+    broadcast joins — a shuffle join keyed on 5 event types would put
+    the whole fact table through a 5-key exchange (skew by design)."""
+    plan = _executed(spark, "events_value_mad_outliers")
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    assert "SortMergeJoin" not in plan
+
+
+def test_fuzzy_pairs_no_cartesian(spark):
+    """part_name_fuzzy_pairs: SymSpell blocking must stay an equi-join
+    on deletion variants — any nested-loop/cartesian means the blocking
+    silently degraded to the N^2 oracle shape."""
+    plan = _executed(spark, "part_name_fuzzy_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cdc_final_state_single_window_pass(spark):
+    """events_cdc_final_state: last-writer-wins must be ONE keyed window
+    (one Exchange on the key), never a join of the log against itself."""
+    plan = _executed(spark, "events_cdc_final_state")
+    assert plan.count("RunningWindowFunction") + plan.count("Window") >= 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
