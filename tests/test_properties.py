@@ -239,3 +239,50 @@ def test_cdc_chunks_reassembly_law(spark, texts):
         assert sum(r.n_bytes for r in got) == len(t.encode("utf-8"))
         assert all(r.n_bytes <= 256 for r in got)
         assert all(r.n_bytes > 0 for r in got)
+
+
+# ---------------------------------------------------------------------------
+# SymSpell deletion blocking: completeness law vs brute-force Levenshtein
+# ---------------------------------------------------------------------------
+
+
+def _py_lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abc", min_size=0, max_size=5),
+        min_size=1,
+        max_size=12,
+    )
+)
+@_settings
+def test_edit_distance_pairs_matches_bruteforce(spark, vals):
+    """Blocking must find EXACTLY the distance<=1 pairs brute force finds
+    — on arbitrary strings, including empty and duplicated ones."""
+    from myrecommendsystem_spark.operators.dedup import edit_distance_pairs
+
+    df = spark.createDataFrame([(v,) for v in vals], "name string")
+    got = {
+        (r["val_a"], r["val_b"]): r["lev"]
+        for r in edit_distance_pairs(df, "name").collect()
+    }
+    uniq = sorted(set(vals))
+    want = {
+        (a, b): _py_lev(a, b)
+        for i, a in enumerate(uniq)
+        for b in uniq[i + 1 :]
+        if _py_lev(a, b) <= 1
+    }
+    assert got == want
