@@ -1752,3 +1752,201 @@ def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         F.sum("net").over(w).cast("bigint").alias("open_orders"),
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-out target encoding (ML feature engineering)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_target_encoding",
+    f"""
+WITH enc AS (
+    SELECT o_orderkey, o_orderpriority,
+           COUNT(*) OVER (PARTITION BY o_orderpriority) AS n,
+           SUM(o_totalprice) OVER (PARTITION BY o_orderpriority) AS s,
+           o_totalprice
+    FROM orders
+)
+SELECT o_orderkey, o_orderpriority,
+       {sql_round_stable(
+           'CASE WHEN n > 1 THEN (s - o_totalprice) / (n - 1) END', 4)}
+           AS prio_loo_mean
+FROM enc
+ORDER BY o_orderkey
+""",
+    doc="leave-one-out target encoding: each order's priority category "
+    "encoded as the mean total price of the OTHER orders in the "
+    "category — the standard leakage-free categorical encoding for "
+    "gradient-boosted / linear models.  (sum - own) / (n - 1) over one "
+    "unordered category window: a single exchange on the category key, "
+    "no per-row re-aggregation, NULL for singleton categories.  The "
+    "training-data shape feature stores compute at 100 TB",
+    defer=True,
+)
+def orders_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    w = Window.partitionBy("o_orderpriority")
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum("o_totalprice").over(w)
+    loo = F.when(n > 1, (s - F.col("o_totalprice")) / (n - 1))
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        round_stable(loo, 4).alias("prio_loo_mean"),
+    ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Population stability index (train/serve drift)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_value_psi",
+    f"""
+WITH bounds AS (
+    SELECT MIN(epoch_ms(ts)) AS t0, MAX(epoch_ms(ts)) AS t1 FROM events
+),
+tagged AS (
+    SELECT e.value,
+           CASE WHEN epoch_ms(e.ts) < (b.t0 + b.t1) / 2.0
+                THEN 'ref' ELSE 'cur' END AS era,
+           LEAST(9, GREATEST(0, CAST(FLOOR(e.value / 10.0) AS INTEGER)))
+               AS bin
+    FROM events e CROSS JOIN bounds b
+),
+counts AS (
+    SELECT era, bin, CAST(COUNT(*) AS BIGINT) AS n
+    FROM tagged GROUP BY era, bin
+),
+tot AS (
+    SELECT era, SUM(n) AS total FROM counts GROUP BY era
+),
+props AS (
+    SELECT c.bin,
+           MAX(CASE WHEN c.era = 'ref'
+               THEN GREATEST(c.n * 1.0 / t.total, 0.0001) END) AS p,
+           MAX(CASE WHEN c.era = 'cur'
+               THEN GREATEST(c.n * 1.0 / t.total, 0.0001) END) AS q
+    FROM counts c JOIN tot t ON c.era = t.era
+    GROUP BY c.bin
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+       {sql_round_stable(
+           'SUM((COALESCE(p, 0.0001) - COALESCE(q, 0.0001))'
+           ' * LN(COALESCE(p, 0.0001) / COALESCE(q, 0.0001)))', 4)} AS psi
+FROM props
+""",
+    doc="population stability index between the first and second half of "
+    "the event stream (train/serve drift monitoring): fixed-width value "
+    "bins, per-era proportions with the conventional 1e-4 floor, "
+    "PSI = sum((p-q)*ln(p/q)).  Two grouped aggregates and a 10-row "
+    "conditional pivot — the drift check every deployed model re-runs "
+    "per slice at any scale; the era boundary is a 1-row broadcast",
+    defer=True,
+)
+def events_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ts is TIMESTAMP_NTZ; the UTC session timezone makes the cast to
+    # instant semantics-preserving for unix_millis (same as median_gap)
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    ev = _t(spark, sf_dir, "events").select("value", ms.alias("ms"))
+    b = ev.agg(F.min("ms").alias("t0"), F.max("ms").alias("t1"))
+    tagged = ev.crossJoin(F.broadcast(b)).select(
+        F.when(
+            F.col("ms") < (F.col("t0") + F.col("t1")) / 2.0,
+            "ref",
+        )
+        .otherwise("cur")
+        .alias("era"),
+        F.least(
+            F.lit(9),
+            F.greatest(F.lit(0), F.floor(F.col("value") / 10.0).cast("int")),
+        ).alias("bin"),
+    )
+    counts = tagged.groupBy("era", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = counts.groupBy("era").agg(F.sum("n").alias("total"))
+    floor = lambda c: F.greatest(c, F.lit(0.0001))  # noqa: E731
+    props = (
+        counts.join(tot, "era")
+        .groupBy("bin")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("era") == "ref",
+                    floor(F.col("n") * 1.0 / F.col("total")),
+                )
+            ).alias("p"),
+            F.max(
+                F.when(
+                    F.col("era") == "cur",
+                    floor(F.col("n") * 1.0 / F.col("total")),
+                )
+            ).alias("q"),
+        )
+    )
+    p = F.coalesce(F.col("p"), F.lit(0.0001))
+    q = F.coalesce(F.col("q"), F.lit(0.0001))
+    return props.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        round_stable(F.sum((p - q) * F.log(p / q)), 4).alias("psi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-group regression trend
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "product_score_trend",
+    f"""
+WITH ratings AS (
+    SELECT CAST(user_id AS INTEGER) AS userId,
+           CAST(regexp_extract(props, '[0-9]+', 0) AS INTEGER) AS productId,
+           value AS score,
+           ts
+    FROM events
+),
+mn AS (SELECT MIN(epoch_ms(ts)) AS t0 FROM ratings)
+SELECT productId,
+       CAST(COUNT(*) AS BIGINT) AS n_ratings,
+       {sql_round_stable(
+           'regr_slope(score,'
+           ' (epoch_ms(ts) - t0) / 86400000.0)', 6)} AS slope_per_day
+FROM ratings CROSS JOIN mn
+GROUP BY productId
+HAVING COUNT(*) >= 5
+ORDER BY productId
+""",
+    doc="per-product rating trend: OLS slope of score over time (days "
+    "since corpus start) via the native regr_slope aggregate — one "
+    "grouped pass, no per-group fitting loop; products trending up or "
+    "down are the freshness signal the popularity statistics family "
+    "(A1-A3) can't see.  The time origin is a 1-row broadcast; groups "
+    "under 5 ratings are suppressed (slope noise)",
+    defer=True,
+)
+def product_score_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ratings = readers.events_as_ratings(spark, sf_dir).withColumn(
+        "ms", F.unix_millis(F.col("ts").cast("timestamp"))
+    )
+    mn = ratings.agg(F.min("ms").alias("t0"))
+    days = (F.col("ms") - F.col("t0")) / 86400000.0
+    return (
+        ratings.crossJoin(F.broadcast(mn))
+        .groupBy("productId")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ratings"),
+            round_stable(F.regr_slope(F.col("score"), days), 6).alias(
+                "slope_per_day"
+            ),
+        )
+        .filter(F.col("n_ratings") >= 5)
+        .orderBy("productId")
+    )
