@@ -1950,3 +1950,98 @@ def product_score_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_ratings") >= 5)
         .orderBy("productId")
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit (data forensics)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_benford_digits",
+    f"""
+WITH digits AS (
+    SELECT CAST(FLOOR(o_totalprice
+               / POW(10, FLOOR(LOG10(o_totalprice)))) AS INTEGER) AS digit
+    FROM orders WHERE o_totalprice > 0
+),
+counts AS (
+    SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY digit
+),
+tot AS (SELECT SUM(n) AS total FROM counts)
+SELECT digit, n,
+       {sql_round_stable('n * 1.0 / total', 4)} AS share,
+       {sql_round_stable('LOG10(1.0 + 1.0 / digit)', 4)} AS benford_expected
+FROM counts CROSS JOIN tot
+ORDER BY digit
+""",
+    doc="Benford first-significant-digit audit of order totals: observed "
+    "digit shares vs the Benford expectation log10(1+1/d) — the "
+    "classic fabricated-data / unit-mixup forensic check.  The digit is "
+    "extracted arithmetically (floor(x / 10^floor(log10 x))) — never via "
+    "double->string casts, whose formatting is engine-dependent.  One "
+    "9-row aggregate + a 1-row broadcast total",
+    defer=True,
+)
+def orders_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.floor(
+        F.col("o_totalprice")
+        / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+    ).cast("int")
+    counts = orders.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = counts.agg(F.sum("n").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            round_stable(F.col("n") * 1.0 / F.col("total"), 4).alias("share"),
+            round_stable(
+                F.log10(1.0 + 1.0 / F.col("digit")), 4
+            ).alias("benford_expected"),
+        )
+        .orderBy("digit")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonality profile (day-of-week x hour activity matrix)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_seasonality_profile",
+    f"""
+SELECT CAST(isodow(ts) AS INTEGER) AS dow,
+       CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {sql_round_stable('AVG(value)', 4)} AS avg_value
+FROM events
+GROUP BY dow, hour
+ORDER BY dow, hour
+""",
+    doc="seasonality profile: the (ISO day-of-week x hour) activity "
+    "matrix with per-cell event count and mean value — the load-shape / "
+    "staffing / anomaly-baseline query every event system runs.  ISO "
+    "numbering is pinned on both engines (Spark weekday()+1 = DuckDB "
+    "isodow: 1=Mon..7=Sun) because the engines' default DOW conventions "
+    "disagree (Spark dayofweek is 1=Sun).  One grouped aggregate over "
+    "a 168-cell key space — map-side combine collapses everything",
+    defer=True,
+)
+def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            (F.weekday("ts") + 1).cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            round_stable(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy("dow", "hour")
+    )
