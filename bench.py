@@ -107,6 +107,11 @@ HEADLINE: tuple[str, ...] = (
     "events_value_mad_outliers",
     "events_ema_daily",
     "orders_open_backlog",
+    "orders_target_encoding",
+    "events_value_psi",
+    "product_score_trend",
+    "orders_benford_digits",
+    "events_seasonality_profile",
 )
 
 

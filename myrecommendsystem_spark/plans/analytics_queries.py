@@ -857,10 +857,43 @@ def product_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PUNCT_SQL = r"""[!"#$%&'()*+,\-./:;<=>?@\[\\\]^_`{|}~]""".replace("'", "''")
 
 
-@register(
-    "corpus_clean_pipeline",
-    rf"""
-WITH train AS (SELECT * FROM documents WHERE doc_id % 97 != 0),
+def _hygiene_stages(spark: SparkSession, sf_dir: str):
+    """Shared stage chain for the composed corpus pipelines:
+    (train, s1=dedup survivors, s2=quality survivors, s3=decontaminated).
+    The SQL twin is ``_HYGIENE_CTES``."""
+    from myrecommendsystem_spark.functions import text as TXT
+    from myrecommendsystem_spark.operators import corpus_quality, dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    keep1 = dedup.exact_duplicates(train).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    s1 = train.join(keep1, "doc_id", "left_semi")
+    scored = s1.select(
+        "doc_id",
+        "lang",
+        round_stable(TXT.quality_score(F.col("text")), 4).alias("quality"),
+    )
+    w = Window.partitionBy("lang").orderBy("quality", "doc_id")
+    keep2 = (
+        scored.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") >= 0.5)
+        .select("doc_id")
+    )
+    s2 = s1.join(keep2, "doc_id", "left_semi")
+    keep3 = corpus_quality.ngram_contamination(s2, bench, n=3).filter(
+        F.col("contamination") < 0.1
+    ).select("doc_id")
+    s3 = s2.join(keep3, "doc_id", "left_semi")
+    return train, s1, s2, s3
+
+
+# Shared hygiene CTE chain: exact dedup -> per-lang quality gate ->
+# decontamination.  Used by corpus_clean_pipeline (funnel counts) and
+# corpus_export_pipeline (resample + shard manifest on top).
+_HYGIENE_CTES = rf"""train AS (SELECT * FROM documents WHERE doc_id % 97 != 0),
 fp AS (
     SELECT doc_id,
            md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
@@ -938,7 +971,13 @@ keep3 AS (
         'CASE WHEN n_grams = 0 THEN 0.0 '
         'ELSE n_hits / CAST(n_grams AS DOUBLE) END', 4)} < 0.1
 ),
-s3 AS (SELECT s2.* FROM s2 JOIN keep3 USING (doc_id))
+s3 AS (SELECT s2.* FROM s2 JOIN keep3 USING (doc_id))"""
+
+
+@register(
+    "corpus_clean_pipeline",
+    rf"""
+WITH {_HYGIENE_CTES}
 SELECT source, stage, CAST(n_docs AS BIGINT) AS n_docs FROM (
     SELECT source, '0_ingest' AS stage, COUNT(*) AS n_docs
     FROM train GROUP BY source
@@ -959,32 +998,7 @@ ORDER BY source, stage
 def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from functools import reduce
 
-    from myrecommendsystem_spark.functions import text as TXT
-    from myrecommendsystem_spark.operators import corpus_quality, dedup
-
-    docs = _t(spark, sf_dir, "documents")
-    bench = docs.filter(F.col("doc_id") % 97 == 0)
-    train = docs.filter(F.col("doc_id") % 97 != 0)
-    keep1 = dedup.exact_duplicates(train).select(
-        F.col("keep_id").alias("doc_id")
-    )
-    s1 = train.join(keep1, "doc_id", "left_semi")
-    scored = s1.select(
-        "doc_id",
-        "lang",
-        round_stable(TXT.quality_score(F.col("text")), 4).alias("quality"),
-    )
-    w = Window.partitionBy("lang").orderBy("quality", "doc_id")
-    keep2 = (
-        scored.withColumn("pr", F.percent_rank().over(w))
-        .filter(F.col("pr") >= 0.5)
-        .select("doc_id")
-    )
-    s2 = s1.join(keep2, "doc_id", "left_semi")
-    keep3 = corpus_quality.ngram_contamination(s2, bench, n=3).filter(
-        F.col("contamination") < 0.1
-    ).select("doc_id")
-    s3 = s2.join(keep3, "doc_id", "left_semi")
+    train, s1, s2, s3 = _hygiene_stages(spark, sf_dir)
     stages = [
         ("0_ingest", train),
         ("1_dedup", s1),
@@ -2044,4 +2058,71 @@ def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_stable(F.avg("value"), 4).alias("avg_value"),
         )
         .orderBy("dow", "hour")
+    )
+
+
+# ---------------------------------------------------------------------------
+# The full export job: hygiene -> mixture rebalance -> shard manifest
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_export_pipeline",
+    rf"""
+WITH {_HYGIENE_CTES},
+cnt4 AS (SELECT source, COUNT(*) AS n FROM s3 GROUP BY source),
+mn4 AS (SELECT MIN(n) AS m FROM cnt4),
+frac AS (
+    SELECT source, 0.5 * CAST(m AS DOUBLE) / n AS f
+    FROM cnt4 CROSS JOIN mn4
+),
+s4 AS (
+    SELECT s3.* FROM s3 JOIN frac USING (source)
+    WHERE CAST(CAST(('0x' || substring(md5('mix' || CAST(doc_id AS VARCHAR)),
+                     1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0 < f
+),
+sharded AS (
+    SELECT source,
+           CAST(CAST(('0x' || substr(md5('shard' || CAST(doc_id AS VARCHAR)),
+                      1, 8)) AS BIGINT) % 8 AS INTEGER) AS shard,
+           n_chars
+    FROM s4
+)
+SELECT source, shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM sharded
+GROUP BY source, shard
+ORDER BY source, shard
+""",
+    doc="the COMPLETE training-data export job as one query: hygiene "
+    "funnel (exact dedup -> per-lang quality gate -> decontamination, "
+    "the shared _HYGIENE_CTES chain) -> mixture rebalancing (every "
+    "source capped at half the smallest survivor source, md5 "
+    "membership) -> deterministic 8-way shard manifest (md5 mod N) "
+    "with per-(source, shard) doc and char totals.  Six individually "
+    "oracle-gated operators composed end-to-end; every cut is a pure "
+    "function of the data, so the export is reproducible on any "
+    "engine, partitioning, or cluster size — the nightly job a 100 TB "
+    "pretraining pipeline actually ships",
+    defer=True,
+)
+def corpus_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myrecommendsystem_spark.operators.sampling import (
+        resample_balanced,
+        shard_assignment,
+    )
+
+    _, _, _, s3 = _hygiene_stages(spark, sf_dir)
+    s4 = resample_balanced(
+        s3, "doc_id", "source", target_fraction=0.5, salt="mix"
+    )
+    sharded = shard_assignment(s4, "doc_id", n_shards=8, salt="shard")
+    return (
+        sharded.groupBy("source", "shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("source", "shard")
     )
