@@ -112,6 +112,7 @@ HEADLINE: tuple[str, ...] = (
     "product_score_trend",
     "orders_benford_digits",
     "events_seasonality_profile",
+    "corpus_export_pipeline",
 )
 
 
