@@ -2126,3 +2126,293 @@ def corpus_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Recommender evaluation metrics (precision / recall / NDCG @ 20)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "recsys_popularity_eval",
+    f"""
+WITH ratings AS (
+    SELECT CAST(user_id AS INTEGER) AS userId,
+           CAST(regexp_extract(props, '[0-9]+', 0) AS INTEGER) AS productId,
+           value AS score
+    FROM events
+),
+split AS (
+    SELECT *,
+           CAST(CAST(('0x' || substring(md5('eval' || CAST(userId AS VARCHAR)
+                || ':' || CAST(productId AS VARCHAR)), 1, 8)) AS BIGINT)
+                AS DOUBLE) / 4294967296.0 < 0.2 AS is_test
+    FROM ratings
+),
+train AS (SELECT * FROM split WHERE NOT is_test),
+test AS (
+    SELECT DISTINCT userId, productId FROM split WHERE is_test
+),
+top20 AS (
+    SELECT productId,
+           ROW_NUMBER() OVER (ORDER BY cnt DESC, productId) AS rnk
+    FROM (
+        SELECT productId, COUNT(*) AS cnt FROM train GROUP BY productId
+    ) QUALIFY rnk <= 20
+),
+user_test AS (
+    SELECT userId, CAST(COUNT(*) AS BIGINT) AS n_test FROM test
+    GROUP BY userId
+),
+hits AS (
+    SELECT t.userId, k.rnk
+    FROM test t JOIN top20 k ON t.productId = k.productId
+),
+per_user AS (
+    SELECT u.userId,
+           u.n_test,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           COALESCE(h.dcg, 0.0) AS dcg,
+           i.idcg
+    FROM user_test u
+    LEFT JOIN (
+        SELECT userId, CAST(COUNT(*) AS BIGINT) AS n_hits,
+               SUM(1.0 / LOG2(rnk + 1.0)) AS dcg
+        FROM hits GROUP BY userId
+    ) h ON u.userId = h.userId
+    JOIN (
+        SELECT n.n_test,
+               SUM(1.0 / LOG2(g.i + 1.0)) AS idcg
+        FROM (SELECT DISTINCT n_test FROM user_test) n
+        JOIN generate_series(1, 20) AS g(i)
+             ON g.i <= LEAST(n.n_test, 20)
+        GROUP BY n.n_test
+    ) i ON u.n_test = i.n_test
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       {sql_round_stable('AVG(n_hits / 20.0)', 4)} AS precision_at_20,
+       {sql_round_stable('AVG(n_hits * 1.0 / n_test)', 4)} AS recall_at_20,
+       {sql_round_stable('AVG(dcg / idcg)', 4)} AS ndcg_at_20
+FROM per_user
+""",
+    doc="offline recommender evaluation: precision/recall/NDCG@20 of the "
+    "popularity baseline against a deterministic md5 hold-out (20% of "
+    "ratings by (user, product) coordinate — any engine agrees on the "
+    "split).  DCG joins hold-out hits against the ranked list and sums "
+    "1/log2(rank+1); IDCG comes from a per-test-size ideal table "
+    "joined back (never a per-user loop).  The evaluation harness "
+    "every recommender change is gated on — fully relational, so it "
+    "runs where the recs run, at any scale",
+    defer=True,
+)
+def recsys_popularity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myrecommendsystem_spark.operators.sampling import hash_key
+
+    ratings = readers.events_as_ratings(spark, sf_dir).select(
+        "userId", "productId", "score"
+    )
+    coord = F.conv(
+        hash_key(
+            F.concat(
+                F.col("userId").cast("string"),
+                F.lit(":"),
+                F.col("productId").cast("string"),
+            ),
+            "eval",
+        ),
+        16,
+        10,
+    ).cast("double") / F.lit(float(1 << 32))
+    split = ratings.withColumn("is_test", coord < 0.2)
+    train = split.filter(~F.col("is_test"))
+    test = (
+        split.filter("is_test").select("userId", "productId").distinct()
+    )
+    top20 = (
+        train.groupBy("productId")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "productId",
+            F.row_number()
+            .over(Window.orderBy(F.col("cnt").desc(), "productId"))
+            .alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 20)
+    )
+    user_test = test.groupBy("userId").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test")
+    )
+    hits = test.join(F.broadcast(top20), "productId").select("userId", "rnk")
+    per_hit = hits.groupBy("userId").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+        F.sum(1.0 / F.log2(F.col("rnk") + 1.0)).alias("dcg"),
+    )
+    # ideal DCG per distinct hold-out size: a tiny spine joined back
+    sizes = user_test.select("n_test").distinct()
+    ideal = (
+        sizes.select(
+            "n_test",
+            F.explode(
+                F.sequence(F.lit(1), F.least(F.col("n_test"), F.lit(20)))
+            ).alias("i"),
+        )
+        .groupBy("n_test")
+        .agg(F.sum(1.0 / F.log2(F.col("i") + 1.0)).alias("idcg"))
+    )
+    per_user = (
+        user_test.join(per_hit, "userId", "left")
+        .join(F.broadcast(ideal), "n_test")
+        .select(
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            "n_test",
+            F.coalesce(F.col("dcg"), F.lit(0.0)).alias("dcg"),
+            "idcg",
+        )
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        round_stable(F.avg(F.col("n_hits") / 20.0), 4).alias(
+            "precision_at_20"
+        ),
+        round_stable(
+            F.avg(F.col("n_hits") * 1.0 / F.col("n_test")), 4
+        ).alias("recall_at_20"),
+        round_stable(F.avg(F.col("dcg") / F.col("idcg")), 4).alias(
+            "ndcg_at_20"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Privacy: k-anonymity audit over quasi-identifiers
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_k_anonymity",
+    f"""
+WITH cells AS (
+    SELECT event_type,
+           CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           CAST(FLOOR(value / 10.0) AS INTEGER) AS value_band,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM events
+    GROUP BY event_type, day, value_band
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(CASE WHEN n_users < 5 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_risky_cells,
+       CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN n_users < 5 THEN n_rows ELSE 0 END) AS BIGINT)
+           AS n_risky_rows,
+       {sql_round_stable(
+           'SUM(CASE WHEN n_users < 5 THEN n_rows ELSE 0 END)'
+           ' * 100.0 / SUM(n_rows)', 4)} AS risky_row_pct,
+       CAST(MIN(n_users) AS BIGINT) AS k_anonymity
+FROM cells
+""",
+    doc="k-anonymity audit before releasing or sharing event data: "
+    "quasi-identifier cells = (event_type, day, value band); a cell "
+    "re-identifies if fewer than k=5 distinct users share it.  Reports "
+    "the risky-cell/row counts, the at-risk row share, and the "
+    "dataset's effective k (the minimum cell population) — the number "
+    "a privacy review asks for first.  One grouped aggregate + one "
+    "6-column rollup; distinct-user counts spread hot cells across "
+    "partitions exactly like count_distinct_two_phase",
+    defer=True,
+)
+def events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        F.col("ts").cast("date").cast("string").alias("day"),
+        F.floor(F.col("value") / 10.0).cast("int").alias("value_band"),
+    ).agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    risky = F.when(F.col("n_users") < 5, F.col("n_rows")).otherwise(0)
+    return cells.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum(F.when(F.col("n_users") < 5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_risky_cells"),
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.sum(risky).cast("bigint").alias("n_risky_rows"),
+        round_stable(
+            F.sum(risky) * 100.0 / F.sum("n_rows"), 4
+        ).alias("risky_row_pct"),
+        F.min("n_users").cast("bigint").alias("k_anonymity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer QA: out-of-vocabulary rate per source
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_oov_rate",
+    rf"""
+WITH toks AS (
+    SELECT source,
+           unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+    FROM documents
+    WHERE length(trim(text)) > 0
+),
+vocab AS (
+    SELECT term FROM (
+        SELECT term, COUNT(*) AS freq FROM toks GROUP BY term
+        ORDER BY freq DESC, term LIMIT 1000
+    )
+)
+SELECT t.source,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov,
+       {sql_round_stable(
+           'SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)'
+           ' * 100.0 / COUNT(*)', 4)} AS oov_pct
+FROM toks t LEFT JOIN vocab v ON t.term = v.term
+GROUP BY t.source
+ORDER BY t.source
+""",
+    doc="out-of-vocabulary rate per source against the corpus's own "
+    "top-1000 vocabulary head — the coverage report run before "
+    "freezing a tokenizer (a source whose OOV share spikes will "
+    "fragment into bytes/unknowns at training time).  The vocabulary "
+    "is a TakeOrdered top-k riding a broadcast hash join against the "
+    "token stream; one explode, two aggregates, no full-vocabulary "
+    "sort",
+    defer=True,
+)
+def doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myrecommendsystem_spark.functions import text as TXT
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    toks = docs.select(
+        "source", F.explode(TXT.tokens(F.col("text"))).alias("term")
+    )
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "term")
+        .limit(1000)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    oov = F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+    return (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(oov).cast("bigint").alias("n_oov"),
+            round_stable(F.sum(oov) * 100.0 / F.count(F.lit(1)), 4).alias(
+                "oov_pct"
+            ),
+        )
+        .orderBy("source")
+    )
