@@ -2416,3 +2416,210 @@ def doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Recommender evaluation: the ACTUAL item-CF recommender vs hold-out
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "recsys_itemcf_eval",
+    f"""
+WITH ratings AS (
+    SELECT CAST(user_id AS INTEGER) AS userId,
+           CAST(regexp_extract(props, '[0-9]+', 0) AS INTEGER) AS productId,
+           value AS score,
+           ts
+    FROM events
+),
+split AS (
+    SELECT *,
+           CAST(CAST(('0x' || substring(md5('eval' || CAST(userId AS VARCHAR)
+                || ':' || CAST(productId AS VARCHAR)), 1, 8)) AS BIGINT)
+                AS DOUBLE) / 4294967296.0 < 0.2 AS is_test
+    FROM ratings
+),
+train AS (SELECT userId, productId, score, ts FROM split WHERE NOT is_test),
+test AS (SELECT DISTINCT userId, productId FROM split WHERE is_test),
+capped AS (
+    SELECT userId, productId, score FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY userId
+            ORDER BY ts DESC, productId DESC, score DESC
+        ) AS rn FROM train
+    ) WHERE rn <= 20
+),
+r AS (
+    SELECT userId, productId, AVG(score) AS score
+    FROM capped GROUP BY userId, productId
+),
+norms AS (
+    SELECT productId, SQRT(SUM(score * score)) AS nrm
+    FROM r GROUP BY productId
+),
+dots AS (
+    SELECT a.productId AS pid, b.productId AS other_pid,
+           SUM(a.score * b.score) AS dot
+    FROM r a JOIN r b ON a.userId = b.userId AND a.productId <> b.productId
+    GROUP BY pid, other_pid
+),
+sims AS (
+    SELECT pid, other_pid,
+           {sql_round_stable('dot / (na.nrm * nb.nrm)', 4)} AS sim
+    FROM dots
+    JOIN norms na ON dots.pid = na.productId
+    JOIN norms nb ON dots.other_pid = nb.productId
+),
+scores AS (
+    SELECT t.userId, s.other_pid AS candidateId,
+           {sql_round_stable('SUM(s.sim * t.score)', 4)} AS rec_score
+    FROM train t JOIN sims s ON t.productId = s.pid
+    GROUP BY t.userId, s.other_pid
+),
+unseen AS (
+    SELECT sc.* FROM scores sc
+    WHERE NOT EXISTS (
+        SELECT 1 FROM train tr
+        WHERE tr.userId = sc.userId AND tr.productId = sc.candidateId
+    )
+),
+recs AS (
+    SELECT userId, candidateId,
+           ROW_NUMBER() OVER (
+               PARTITION BY userId
+               ORDER BY rec_score DESC, candidateId
+           ) AS rnk
+    FROM unseen QUALIFY rnk <= 20
+),
+user_test AS (
+    SELECT userId, CAST(COUNT(*) AS BIGINT) AS n_test FROM test
+    GROUP BY userId
+),
+hits AS (
+    SELECT t.userId, k.rnk
+    FROM test t JOIN recs k
+      ON t.productId = k.candidateId AND t.userId = k.userId
+),
+per_user AS (
+    SELECT u.userId, u.n_test,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           COALESCE(h.dcg, 0.0) AS dcg,
+           i.idcg
+    FROM user_test u
+    LEFT JOIN (
+        SELECT userId, CAST(COUNT(*) AS BIGINT) AS n_hits,
+               SUM(1.0 / LOG2(rnk + 1.0)) AS dcg
+        FROM hits GROUP BY userId
+    ) h ON u.userId = h.userId
+    JOIN (
+        SELECT n.n_test, SUM(1.0 / LOG2(g.i + 1.0)) AS idcg
+        FROM (SELECT DISTINCT n_test FROM user_test) n
+        JOIN generate_series(1, 20) AS g(i)
+             ON g.i <= LEAST(n.n_test, 20)
+        GROUP BY n.n_test
+    ) i ON u.n_test = i.n_test
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       {sql_round_stable('AVG(n_hits / 20.0)', 4)} AS precision_at_20,
+       {sql_round_stable('AVG(n_hits * 1.0 / n_test)', 4)} AS recall_at_20,
+       {sql_round_stable('AVG(dcg / idcg)', 4)} AS ndcg_at_20
+FROM per_user
+""",
+    doc="offline evaluation of the ACTUAL item-CF recommender: sims fit "
+    "on the 80% md5-split train ratings (same capped-cosine CTEs as "
+    "itemcf_similarities), per-user candidate scores = sum(sim x train "
+    "score), train-seen anti-joined out, top-20 per user, then the "
+    "identical precision/recall/NDCG@20 harness as "
+    "recsys_popularity_eval — so the two queries ARE the baseline-vs-"
+    "model comparison a recommender team reads.  Every stage is the "
+    "production-shaped operator (capped pair join, broadcast sims, "
+    "windowed top-k), so eval cost tracks serving cost",
+    defer=True,
+)
+def recsys_itemcf_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myrecommendsystem_spark.ml.itemcf import corating_similarities
+    from myrecommendsystem_spark.operators.relational import top_k_per_group
+    from myrecommendsystem_spark.operators.sampling import hash_key
+
+    ratings = readers.events_as_ratings(spark, sf_dir)
+    coord = F.conv(
+        hash_key(
+            F.concat(
+                F.col("userId").cast("string"),
+                F.lit(":"),
+                F.col("productId").cast("string"),
+            ),
+            "eval",
+        ),
+        16,
+        10,
+    ).cast("double") / F.lit(float(1 << 32))
+    split = ratings.withColumn("is_test", coord < 0.2)
+    train = split.filter(~F.col("is_test")).select(
+        "userId", "productId", "score", "ts"
+    )
+    test = (
+        split.filter("is_test").select("userId", "productId").distinct()
+    )
+    sims = corating_similarities(train, threshold=-1.0)
+    scores = (
+        train.join(sims, train.productId == sims.pid)
+        .groupBy("userId", F.col("other_pid").alias("candidateId"))
+        .agg(round_stable(F.sum(F.col("sim") * F.col("score")), 4).alias("rec_score"))
+    )
+    unseen = scores.join(
+        train.select("userId", F.col("productId").alias("candidateId")),
+        ["userId", "candidateId"],
+        "left_anti",
+    )
+    recs = top_k_per_group(
+        unseen,
+        ["userId"],
+        [F.col("rec_score").desc(), F.col("candidateId")],
+        20,
+    ).select("userId", "candidateId", "rnk")
+    user_test = test.groupBy("userId").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test")
+    )
+    hits = test.join(
+        recs,
+        (test.productId == recs.candidateId) & (test.userId == recs.userId),
+    ).select(test.userId.alias("userId"), "rnk")
+    per_hit = hits.groupBy("userId").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+        F.sum(1.0 / F.log2(F.col("rnk") + 1.0)).alias("dcg"),
+    )
+    sizes = user_test.select("n_test").distinct()
+    ideal = (
+        sizes.select(
+            "n_test",
+            F.explode(
+                F.sequence(F.lit(1), F.least(F.col("n_test"), F.lit(20)))
+            ).alias("i"),
+        )
+        .groupBy("n_test")
+        .agg(F.sum(1.0 / F.log2(F.col("i") + 1.0)).alias("idcg"))
+    )
+    per_user = (
+        user_test.join(per_hit, "userId", "left")
+        .join(F.broadcast(ideal), "n_test")
+        .select(
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            "n_test",
+            F.coalesce(F.col("dcg"), F.lit(0.0)).alias("dcg"),
+            "idcg",
+        )
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        round_stable(F.avg(F.col("n_hits") / 20.0), 4).alias(
+            "precision_at_20"
+        ),
+        round_stable(
+            F.avg(F.col("n_hits") * 1.0 / F.col("n_test")), 4
+        ).alias("recall_at_20"),
+        round_stable(F.avg(F.col("dcg") / F.col("idcg")), 4).alias(
+            "ndcg_at_20"
+        ),
+    )
