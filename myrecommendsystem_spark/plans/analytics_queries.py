@@ -2623,3 +2623,130 @@ def recsys_itemcf_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ndcg_at_20"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-label materialization (churn) + PIT-correct feature join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "users_churn_labels",
+    f"""
+WITH mx AS (SELECT MAX(epoch_ms(ts)) AS t1 FROM events),
+per_user AS (
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days,
+           {sql_round_stable('AVG(value)', 4)} AS mean_value,
+           MAX(epoch_ms(ts)) AS last_ms
+    FROM events GROUP BY user_id
+)
+SELECT user_id, n_events, active_days, mean_value,
+       CAST(CASE WHEN t1 - last_ms > 7 * 86400000 THEN 1 ELSE 0 END
+            AS INTEGER) AS churned
+FROM per_user CROSS JOIN mx
+ORDER BY user_id
+""",
+    doc="churn-label + feature materialization: per-user activity "
+    "features (event count, active days, mean value) and the binary "
+    "churn label (no events in the trailing 7 days of the corpus) in "
+    "one grouped pass — the labeled training table a churn model "
+    "consumes.  The corpus horizon is a 1-row broadcast; everything "
+    "else is map-side-combinable aggregation",
+    defer=True,
+)
+def users_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    mx = ev.agg(F.max(ms).alias("t1"))
+    per_user = ev.groupBy(
+        F.col("user_id").cast("bigint").alias("user_id")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct(F.col("ts").cast("date"))
+        .cast("bigint")
+        .alias("active_days"),
+        round_stable(F.avg("value"), 4).alias("mean_value"),
+        F.max(ms).alias("last_ms"),
+    )
+    return (
+        per_user.crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            "n_events",
+            "active_days",
+            "mean_value",
+            F.when(
+                F.col("t1") - F.col("last_ms") > 7 * 86400000, 1
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("churned"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "events_pit_training_set",
+    f"""
+WITH hist AS (
+    SELECT user_id, event_id, event_type, value, ts,
+           COUNT(*) OVER w AS prior_events,
+           AVG(value) OVER w AS prior_mean_value
+    FROM events
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    )
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(event_id AS BIGINT) AS event_id,
+       CAST(COALESCE(prior_events, 0) AS BIGINT) AS prior_events,
+       {sql_round_stable('COALESCE(prior_mean_value, 0.0)', 4)}
+           AS prior_mean_value,
+       {sql_round_stable('value', 4)} AS label_value
+FROM hist
+WHERE event_type = 'purchase'
+ORDER BY user_id, event_id
+""",
+    doc="point-in-time-correct training set: for every purchase (the "
+    "label row), features computed ONLY from the user's strictly "
+    "earlier events via a ROWS ... 1 PRECEDING frame — the leakage-free "
+    "feature join a feature store must produce (joining current "
+    "aggregates would leak the future into training).  One keyed "
+    "window; the label filter prunes after feature computation so "
+    "features see the full history",
+    defer=True,
+)
+def events_pit_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hist = ev.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("event_id").cast("bigint").alias("event_id"),
+        "event_type",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("prior_events"),
+        F.avg("value").over(w).alias("prior_mean_value"),
+        F.col("value").alias("label_value"),
+    )
+    return (
+        hist.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            F.coalesce(F.col("prior_events"), F.lit(0))
+            .cast("bigint")
+            .alias("prior_events"),
+            round_stable(
+                F.coalesce(F.col("prior_mean_value"), F.lit(0.0)), 4
+            ).alias("prior_mean_value"),
+            round_stable(F.col("label_value"), 4).alias("label_value"),
+        )
+        .orderBy("user_id", "event_id")
+    )
