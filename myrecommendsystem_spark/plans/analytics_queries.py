@@ -2423,10 +2423,10 @@ def doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "recsys_itemcf_eval",
-    f"""
-WITH ratings AS (
+# Shared eval CTE chain: md5 train/test split -> capped-cosine sims on
+# train -> scored candidates -> seen anti-join -> per-user top-20 recs.
+# Used by recsys_itemcf_eval and recsys_beyond_accuracy.
+_EVAL_RECS_CTES = f"""ratings AS (
     SELECT CAST(user_id AS INTEGER) AS userId,
            CAST(regexp_extract(props, '[0-9]+', 0) AS INTEGER) AS productId,
            value AS score,
@@ -2491,7 +2491,13 @@ recs AS (
                ORDER BY rec_score DESC, candidateId
            ) AS rnk
     FROM unseen QUALIFY rnk <= 20
-),
+)"""
+
+
+@register(
+    "recsys_itemcf_eval",
+    f"""
+WITH {_EVAL_RECS_CTES},
 user_test AS (
     SELECT userId, CAST(COUNT(*) AS BIGINT) AS n_test FROM test
     GROUP BY userId
@@ -2749,4 +2755,138 @@ def events_pit_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_stable(F.col("label_value"), 4).alias("label_value"),
         )
         .orderBy("user_id", "event_id")
+    )
+
+
+@register(
+    "recsys_beyond_accuracy",
+    f"""
+WITH {_EVAL_RECS_CTES},
+pop AS (SELECT productId, COUNT(*) AS cnt FROM train GROUP BY productId),
+tot AS (SELECT SUM(cnt) AS total FROM pop),
+cat AS (SELECT COUNT(DISTINCT productId) AS n_catalog FROM ratings),
+conc AS (
+    SELECT candidateId, CAST(COUNT(*) AS BIGINT) AS n
+    FROM recs GROUP BY candidateId
+),
+ranked AS (
+    SELECT n, ROW_NUMBER() OVER (ORDER BY n, candidateId) AS i FROM conc
+),
+gini AS (
+    SELECT 2.0 * SUM(i * n) / (COUNT(*) * SUM(n))
+           - (COUNT(*) + 1.0) / COUNT(*) AS g
+    FROM ranked
+),
+nov AS (
+    SELECT AVG(-LOG2(p.cnt * 1.0 / t.total)) AS novelty
+    FROM recs r JOIN pop p ON r.candidateId = p.productId CROSS JOIN tot t
+)
+SELECT CAST((SELECT COUNT(*) FROM conc) AS BIGINT) AS n_rec_items,
+       {sql_round_stable(
+           '(SELECT COUNT(*) FROM conc) * 100.0'
+           ' / (SELECT n_catalog FROM cat)', 4)} AS catalog_coverage_pct,
+       {sql_round_stable('(SELECT novelty FROM nov)', 4)} AS novelty_bits,
+       {sql_round_stable('(SELECT g FROM gini)', 4)} AS gini_concentration
+""",
+    doc="beyond-accuracy evaluation of the item-CF recs (same "
+    "_EVAL_RECS_CTES rec lists as recsys_itemcf_eval): catalog "
+    "coverage (share of items ever recommended), novelty (mean "
+    "-log2 popularity share — self-information in bits), and Gini "
+    "concentration of recommendation exposure.  Accuracy alone "
+    "rewards recommending the head; these three metrics are the "
+    "standard counterweights.  All scalars assemble from tiny "
+    "aggregates; the rec lists are never re-derived",
+    defer=True,
+)
+def recsys_beyond_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myrecommendsystem_spark.ml.itemcf import corating_similarities
+    from myrecommendsystem_spark.operators.relational import top_k_per_group
+    from myrecommendsystem_spark.operators.sampling import hash_key
+
+    ratings = readers.events_as_ratings(spark, sf_dir)
+    coord = F.conv(
+        hash_key(
+            F.concat(
+                F.col("userId").cast("string"),
+                F.lit(":"),
+                F.col("productId").cast("string"),
+            ),
+            "eval",
+        ),
+        16,
+        10,
+    ).cast("double") / F.lit(float(1 << 32))
+    split = ratings.withColumn("is_test", coord < 0.2)
+    train = split.filter(~F.col("is_test")).select(
+        "userId", "productId", "score", "ts"
+    )
+    sims = corating_similarities(train, threshold=-1.0)
+    scores = (
+        train.join(sims, train.productId == sims.pid)
+        .groupBy("userId", F.col("other_pid").alias("candidateId"))
+        .agg(
+            round_stable(F.sum(F.col("sim") * F.col("score")), 4).alias(
+                "rec_score"
+            )
+        )
+    )
+    unseen = scores.join(
+        train.select("userId", F.col("productId").alias("candidateId")),
+        ["userId", "candidateId"],
+        "left_anti",
+    )
+    recs = top_k_per_group(
+        unseen,
+        ["userId"],
+        [F.col("rec_score").desc(), F.col("candidateId")],
+        20,
+    ).select("userId", "candidateId")
+
+    pop = train.groupBy("productId").agg(F.count(F.lit(1)).alias("cnt"))
+    total = pop.agg(F.sum("cnt").alias("total"))
+    n_catalog = ratings.agg(
+        F.countDistinct("productId").alias("n_catalog")
+    )
+    conc = recs.groupBy("candidateId").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    ranked = conc.select(
+        "n",
+        F.row_number()
+        .over(Window.orderBy("n", "candidateId"))
+        .alias("i"),
+    )
+    gini = ranked.agg(
+        (
+            2.0
+            * F.sum(F.col("i") * F.col("n"))
+            / (F.count(F.lit(1)) * F.sum("n"))
+            - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1))
+        ).alias("g")
+    )
+    nov = (
+        recs.join(
+            F.broadcast(pop),
+            recs.candidateId == pop.productId,
+        )
+        .crossJoin(F.broadcast(total))
+        .agg(
+            F.avg(-F.log2(F.col("cnt") * 1.0 / F.col("total"))).alias(
+                "novelty"
+            )
+        )
+    )
+    n_rec = conc.agg(F.count(F.lit(1)).cast("bigint").alias("n_rec_items"))
+    return (
+        n_rec.crossJoin(F.broadcast(n_catalog))
+        .crossJoin(F.broadcast(nov))
+        .crossJoin(F.broadcast(gini))
+        .select(
+            "n_rec_items",
+            round_stable(
+                F.col("n_rec_items") * 100.0 / F.col("n_catalog"), 4
+            ).alias("catalog_coverage_pct"),
+            round_stable(F.col("novelty"), 4).alias("novelty_bits"),
+            round_stable(F.col("g"), 4).alias("gini_concentration"),
+        )
     )
