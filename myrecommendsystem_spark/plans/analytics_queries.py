@@ -2890,3 +2890,146 @@ def recsys_beyond_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_stable(F.col("g"), 4).alias("gini_concentration"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting / clustering coefficient (graph cohesion)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "product_graph_triangles",
+    f"""
+WITH ratings AS (
+    SELECT CAST(user_id AS INTEGER) AS userId,
+           CAST(regexp_extract(props, '[0-9]+', 0) AS INTEGER) AS productId,
+           value AS score,
+           ts
+    FROM events
+),
+capped AS (
+    SELECT userId, productId, score FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY userId
+            ORDER BY ts DESC, productId DESC, score DESC
+        ) AS rn FROM ratings
+    ) WHERE rn <= 20
+),
+r AS (
+    SELECT userId, productId, AVG(score) AS score
+    FROM capped GROUP BY userId, productId
+),
+norms AS (
+    SELECT productId, SQRT(SUM(score * score)) AS nrm
+    FROM r GROUP BY productId
+),
+dots AS (
+    SELECT a.productId AS pid, b.productId AS other_pid,
+           SUM(a.score * b.score) AS dot
+    FROM r a JOIN r b ON a.userId = b.userId AND a.productId <> b.productId
+    GROUP BY pid, other_pid
+),
+sims AS (
+    SELECT pid, other_pid,
+           {sql_round_stable('dot / (na.nrm * nb.nrm)', 4)} AS sim
+    FROM dots
+    JOIN norms na ON dots.pid = na.productId
+    JOIN norms nb ON dots.other_pid = nb.productId
+),
+knn AS (
+    SELECT pid, other_pid FROM (
+        SELECT pid, other_pid, ROW_NUMBER() OVER (
+            PARTITION BY pid ORDER BY sim DESC, other_pid
+        ) AS rn
+        FROM sims WHERE sim > 0
+    ) WHERE rn <= 10
+),
+und AS (
+    SELECT DISTINCT LEAST(pid, other_pid) AS a,
+                    GREATEST(pid, other_pid) AS b
+    FROM knn
+),
+tri AS (
+    SELECT COUNT(*) AS n_triangles
+    FROM und e1
+    JOIN und e2 ON e2.a = e1.b
+    JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+deg AS (
+    SELECT node, COUNT(*) AS d FROM (
+        SELECT a AS node FROM und UNION ALL SELECT b FROM und
+    ) GROUP BY node
+),
+wedges AS (SELECT SUM(d * (d - 1) / 2.0) AS n_wedges FROM deg)
+SELECT CAST((SELECT COUNT(*) FROM und) AS BIGINT) AS n_edges,
+       CAST((SELECT n_triangles FROM tri) AS BIGINT) AS n_triangles,
+       {sql_round_stable(
+           '3.0 * (SELECT n_triangles FROM tri)'
+           ' / NULLIF((SELECT n_wedges FROM wedges), 0)', 4)}
+           AS clustering_coefficient
+""",
+    doc="triangle count + global clustering coefficient of the "
+    "undirected kNN item-similarity graph: edges canonicalized "
+    "(least, greatest), triangles enumerated once via the a<b<c "
+    "ordered two-hop join (each triangle counted exactly once, no "
+    "6x overcount), transitivity = 3*triangles/wedges.  Graph "
+    "cohesion is the structural complement of PageRank (importance) "
+    "and BFS (reachability); on a co-rating graph it measures how "
+    "clustered taste neighborhoods are.  The ordered join is the "
+    "standard distributed triangle algorithm — candidate volume "
+    "bounded by degree, never |V|³",
+    defer=True,
+)
+def product_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myrecommendsystem_spark.ml.itemcf import corating_similarities
+    from myrecommendsystem_spark.operators.relational import top_k_per_group
+
+    ratings = readers.events_as_ratings(spark, sf_dir)
+    sims = corating_similarities(ratings, threshold=0.0)
+    knn = top_k_per_group(
+        sims, ["pid"], [F.col("sim").desc(), F.col("other_pid")], 10
+    ).select("pid", "other_pid")
+    und = (
+        knn.select(
+            F.least("pid", "other_pid").alias("a"),
+            F.greatest("pid", "other_pid").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # reused by 3 joins + degree agg
+    )
+    e1 = und.alias("e1")
+    e2 = und.alias("e2")
+    e3 = und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wedges = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2.0).alias("n_wedges")
+    )
+    n_edges = und.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return (
+        n_edges.crossJoin(F.broadcast(tri))
+        .crossJoin(F.broadcast(wedges))
+        .select(
+            "n_edges",
+            F.col("n_triangles").cast("bigint"),
+            round_stable(
+                3.0
+                * F.col("n_triangles")
+                / F.nullif(F.col("n_wedges"), F.lit(0.0)),
+                4,
+            ).alias("clustering_coefficient"),
+        )
+    )
