@@ -113,6 +113,15 @@ HEADLINE: tuple[str, ...] = (
     "orders_benford_digits",
     "events_seasonality_profile",
     "corpus_export_pipeline",
+    # evaluation / privacy / tokenizer-QA / label-materialization families
+    "recsys_popularity_eval",
+    "recsys_itemcf_eval",
+    "recsys_beyond_accuracy",
+    "events_k_anonymity",
+    "doc_oov_rate",
+    "users_churn_labels",
+    "events_pit_training_set",
+    "product_graph_triangles",
 )
 
 

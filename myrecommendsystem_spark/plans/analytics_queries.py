@@ -3033,3 +3033,92 @@ def product_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_coefficient"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Session engagement metrics (bounce rate, depth, duration)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_session_metrics",
+    f"""
+WITH s AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+t AS (
+    SELECT user_id, ts, CAST(SUM(new_s) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_id
+    FROM s
+),
+sess AS (
+    SELECT user_id, session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           (epoch_ms(MAX(ts)) - epoch_ms(MIN(ts))) / 1000.0 AS dur_s
+    FROM t GROUP BY user_id, session_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       {sql_round_stable(
+           'SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)'
+           ' * 100.0 / COUNT(*)', 4)} AS bounce_pct,
+       {sql_round_stable('AVG(n_events)', 4)} AS avg_depth,
+       {sql_round_stable('AVG(dur_s)', 4)} AS avg_duration_s
+FROM sess
+""",
+    doc="session engagement read-out over 30-min-gap sessions (the same "
+    "gap-flag running-sum sessionization as ratings_session_examples, "
+    "one user_id exchange): session count, bounce rate (single-event "
+    "sessions), mean depth, mean duration — the four numbers an "
+    "engagement dashboard leads with.  Batch twin of the streaming "
+    "session_event_stats window",
+    defer=True,
+)
+def events_session_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_s = F.when(
+        F.lag(ms).over(w).isNull() | ((ms - F.lag(ms).over(w)) > 1800000),
+        1,
+    ).otherwise(0)
+    t = ev.select(
+        "user_id",
+        "ts",
+        F.sum(new_s)
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .cast("int")
+        .alias("session_id"),
+    )
+    sess = t.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        (
+            (
+                F.unix_millis(F.max("ts").cast("timestamp"))
+                - F.unix_millis(F.min("ts").cast("timestamp"))
+            )
+            / 1000.0
+        ).alias("dur_s"),
+    )
+    return sess.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        round_stable(
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+            * 100.0
+            / F.count(F.lit(1)),
+            4,
+        ).alias("bounce_pct"),
+        round_stable(F.avg("n_events"), 4).alias("avg_depth"),
+        round_stable(F.avg("dur_s"), 4).alias("avg_duration_s"),
+    )
