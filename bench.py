@@ -122,6 +122,7 @@ HEADLINE: tuple[str, ...] = (
     "users_churn_labels",
     "events_pit_training_set",
     "product_graph_triangles",
+    "events_session_metrics",
 )
 
 

@@ -2562,13 +2562,21 @@ def recsys_itemcf_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         10,
     ).cast("double") / F.lit(float(1 << 32))
     split = ratings.withColumn("is_test", coord < 0.2)
-    train = split.filter(~F.col("is_test")).select(
-        "userId", "productId", "score", "ts"
+    # train feeds four plan branches (sims' r/norms/dots, candidate
+    # scoring, the seen anti-join) — materialize the split once so the
+    # md5-coordinate scan isn't re-run per branch; sims is a
+    # products^2-bounded relation read by two joins.
+    train = (
+        split.filter(~F.col("is_test"))
+        .select("userId", "productId", "score", "ts")
+        .localCheckpoint(eager=True)
     )
     test = (
         split.filter("is_test").select("userId", "productId").distinct()
     )
-    sims = corating_similarities(train, threshold=-1.0)
+    sims = corating_similarities(train, threshold=-1.0).localCheckpoint(
+        eager=True
+    )
     scores = (
         train.join(sims, train.productId == sims.pid)
         .groupBy("userId", F.col("other_pid").alias("candidateId"))
@@ -2817,10 +2825,16 @@ def recsys_beyond_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         10,
     ).cast("double") / F.lit(float(1 << 32))
     split = ratings.withColumn("is_test", coord < 0.2)
-    train = split.filter(~F.col("is_test")).select(
-        "userId", "productId", "score", "ts"
+    # same materialization rationale as recsys_itemcf_eval: train feeds
+    # sims, scoring, the anti-join, and popularity; sims feeds scoring.
+    train = (
+        split.filter(~F.col("is_test"))
+        .select("userId", "productId", "score", "ts")
+        .localCheckpoint(eager=True)
     )
-    sims = corating_similarities(train, threshold=-1.0)
+    sims = corating_similarities(train, threshold=-1.0).localCheckpoint(
+        eager=True
+    )
     scores = (
         train.join(sims, train.productId == sims.pid)
         .groupBy("userId", F.col("other_pid").alias("candidateId"))
@@ -2835,12 +2849,16 @@ def recsys_beyond_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["userId", "candidateId"],
         "left_anti",
     )
+    # The rec-list relation feeds FOUR independent aggregates (conc,
+    # novelty, n_rec, and via conc the gini ranking) — left lazy, each
+    # one re-derives the whole split->sims->scores->anti-join chain.
+    # It is small by contract (users x 20), so materialize it once.
     recs = top_k_per_group(
         unseen,
         ["userId"],
         [F.col("rec_score").desc(), F.col("candidateId")],
         20,
-    ).select("userId", "candidateId")
+    ).select("userId", "candidateId").localCheckpoint(eager=True)
 
     pop = train.groupBy("productId").agg(F.count(F.lit(1)).alias("cnt"))
     total = pop.agg(F.sum("cnt").alias("total"))
