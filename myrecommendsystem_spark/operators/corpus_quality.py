@@ -295,3 +295,72 @@ def cross_corpus_dedup(
     return new_docs.withColumn(
         "fp", TXT.exact_fingerprint(F.col(text_col))
     ).join(ref_fp, "fp", "left_anti").drop("fp")
+
+
+def bigram_lm_perplexity(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document bigram language-model perplexity → (id, n_bigrams,
+    ppl) — the CCNet-style corpus filter: documents that the corpus's
+    own n-gram LM finds surprising are boilerplate, gibberish, or
+    wrong-language, and get filtered or down-weighted before training.
+
+    Model: add-one-smoothed bigram LM fit on the corpus itself,
+    P(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V); per-doc perplexity is
+    2^(mean -log2 P) over the doc's bigrams (docs with < 2 tokens have
+    no bigrams and are excluded — nothing to score).
+
+    Shape: one word-level ``posexplode`` + a ``lead`` window builds the
+    bigram stream (codegen, no array lambdas); the count model is two
+    grouped aggregates over it; scoring is one join of the stream
+    against the bigram table with the unigram table and the vocabulary
+    scalar riding broadcasts.  Every piece is partial-aggregatable —
+    the 100 TB version fits the same model with map-side combine and
+    scores in one pass.
+    """
+    from pyspark.sql import Window
+
+    from myrecommendsystem_spark.functions import text as TXT
+
+    toks = F.when(
+        F.length(F.trim(F.col(text_col))) == 0,
+        F.array().cast("array<string>"),
+    ).otherwise(TXT.tokens(F.col(text_col)))
+    words = docs.select(
+        F.col(id_col), F.posexplode(toks).alias("pos", "word")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    bigrams = (
+        words.select(
+            id_col,
+            F.col("word").alias("w1"),
+            F.lead("word", 1).over(w).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+    )
+    big_counts = bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c12")
+    )
+    uni_counts = words.groupBy(F.col("word").alias("w1")).agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    vocab = words.agg(F.countDistinct("word").alias("v"))
+    scored = (
+        bigrams.join(F.broadcast(big_counts), ["w1", "w2"])
+        .join(F.broadcast(uni_counts), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            id_col,
+            (
+                -F.log2(
+                    (F.col("c12") + 1.0) / (F.col("c1") + F.col("v"))
+                )
+            ).alias("nll"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.pow(F.lit(2.0), F.avg("nll")).alias("ppl"),
+    )

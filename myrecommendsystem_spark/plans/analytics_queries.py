@@ -3140,3 +3140,81 @@ def events_session_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_stable(F.avg("n_events"), 4).alias("avg_depth"),
         round_stable(F.avg("dur_s"), 4).alias("avg_duration_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM perplexity corpus filter (CCNet-style)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_perplexity_report",
+    rf"""
+WITH toks AS (
+    SELECT doc_id, source,
+           CASE WHEN length(trim(text)) = 0 THEN []
+                ELSE regexp_split_to_array(lower(trim(text)), '\s+')
+                END AS t
+    FROM documents
+),
+words AS (SELECT doc_id, unnest(t) AS word FROM toks),
+bigrams AS (
+    SELECT doc_id, unnest(
+        [t[i] || ' ' || t[i + 1] for i in generate_series(1, len(t) - 1)]
+    ) AS gram
+    FROM toks WHERE len(t) >= 2
+),
+split_g AS (
+    SELECT doc_id,
+           string_split(gram, ' ')[1] AS w1,
+           string_split(gram, ' ')[2] AS w2
+    FROM bigrams
+),
+big AS (SELECT w1, w2, COUNT(*) AS c12 FROM split_g GROUP BY w1, w2),
+uni AS (SELECT word AS w1, COUNT(*) AS c1 FROM words GROUP BY word),
+voc AS (SELECT COUNT(DISTINCT word) AS v FROM words),
+nll AS (
+    SELECT s.doc_id,
+           -LOG2((b.c12 + 1.0) / (u.c1 + voc.v)) AS nll
+    FROM split_g s
+    JOIN big b ON s.w1 = b.w1 AND s.w2 = b.w2
+    JOIN uni u ON s.w1 = u.w1
+    CROSS JOIN voc
+),
+per_doc AS (
+    SELECT doc_id, POW(2.0, AVG(nll)) AS ppl FROM nll GROUP BY doc_id
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs_scored,
+       {sql_round_stable('AVG(p.ppl)', 4)} AS mean_ppl,
+       {sql_round_stable('quantile_cont(p.ppl, 0.5)', 4)} AS median_ppl
+FROM per_doc p JOIN documents d ON p.doc_id = d.doc_id
+GROUP BY d.source
+ORDER BY d.source
+""",
+    doc="bigram-LM perplexity report per source (operators/"
+    "corpus_quality.bigram_lm_perplexity): an add-one-smoothed bigram "
+    "model fit on the corpus itself scores every document; sources "
+    "whose perplexity distribution shifts are accumulating gibberish, "
+    "boilerplate, or wrong-language text — the CCNet-style filter "
+    "signal LLM data pipelines gate ingestion on.  Exact interpolated "
+    "median (F.percentile ≡ quantile_cont) per source",
+    defer=True,
+)
+def doc_perplexity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myrecommendsystem_spark.operators.corpus_quality import (
+        bigram_lm_perplexity,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ppl = bigram_lm_perplexity(docs)
+    return (
+        ppl.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs_scored"),
+            round_stable(F.avg("ppl"), 4).alias("mean_ppl"),
+            round_stable(F.percentile("ppl", 0.5), 4).alias("median_ppl"),
+        )
+        .orderBy("source")
+    )
