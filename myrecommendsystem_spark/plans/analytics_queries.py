@@ -3218,3 +3218,101 @@ def doc_perplexity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort lifetime value (revenue-side cohort analysis)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_cohort_ltv",
+    f"""
+WITH first AS (
+    SELECT o_custkey, MIN(o_orderdate) AS first_dt
+    FROM orders GROUP BY o_custkey
+),
+coh AS (
+    SELECT o_custkey,
+           strftime(date_trunc('month', first_dt), '%Y-%m') AS cohort
+    FROM first
+),
+sizes AS (
+    SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM coh GROUP BY cohort
+),
+rev AS (
+    SELECT c.cohort,
+           CAST(date_diff('month',
+                date_trunc('month', f.first_dt),
+                date_trunc('month', o.o_orderdate)) AS INTEGER) AS age,
+           SUM(o.o_totalprice) AS revenue
+    FROM orders o
+    JOIN first f ON o.o_custkey = f.o_custkey
+    JOIN coh c ON o.o_custkey = c.o_custkey
+    GROUP BY c.cohort, age
+),
+cum AS (
+    SELECT cohort, age,
+           SUM(revenue) OVER (
+               PARTITION BY cohort ORDER BY age
+               ROWS UNBOUNDED PRECEDING) AS cum_revenue
+    FROM rev
+)
+SELECT m.cohort, m.age, s.n_customers,
+       {sql_round_stable('m.cum_revenue / s.n_customers', 2)}
+           AS ltv_per_customer
+FROM cum m JOIN sizes s ON m.cohort = s.cohort
+ORDER BY m.cohort, m.age
+""",
+    doc="cohort lifetime-value matrix: customers grouped by first-order "
+    "month, cumulative revenue per customer by months-since-first — the "
+    "revenue-side complement of events_user_retention_cohorts (which "
+    "counts users).  First-order table and cohort sizes are "
+    "customer-keyed aggregates; the age matrix is one grouped sum + a "
+    "per-cohort cumulative window over the tiny (cohort, age) spine",
+    defer=True,
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    first = orders.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first_dt")
+    )
+    coh = first.select(
+        "o_custkey",
+        F.date_format(F.trunc("first_dt", "month"), "yyyy-MM").alias(
+            "cohort"
+        ),
+    )
+    sizes = coh.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers")
+    )
+    age = F.months_between(
+        F.trunc("o_orderdate", "month"), F.trunc("first_dt", "month")
+    ).cast("int")
+    rev = (
+        orders.join(first, "o_custkey")
+        .join(coh.select("o_custkey", "cohort"), "o_custkey")
+        .groupBy("cohort", age.alias("age"))
+        .agg(F.sum("o_totalprice").alias("revenue"))
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = rev.withColumn("cum_revenue", F.sum("revenue").over(w))
+    return (
+        cum.join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            "age",
+            "n_customers",
+            round_stable(
+                F.col("cum_revenue") / F.col("n_customers"), 2
+            ).alias("ltv_per_customer"),
+        )
+        .orderBy("cohort", "age")
+    )
