@@ -3316,3 +3316,87 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort", "age")
     )
+
+
+# ---------------------------------------------------------------------------
+# Supplier scorecard (composite multi-metric report)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "supplier_scorecard",
+    f"""
+WITH per_supp AS (
+    SELECT l_suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           SUM(l_extendedprice * (1 - l_discount)) AS revenue,
+           AVG(date_diff('day', o_orderdate, l_shipdate)) AS ship_lag_days,
+           AVG(CASE WHEN l_returnflag = 'R'
+                    THEN 1.0 ELSE 0.0 END) AS return_rate
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY l_suppkey
+),
+tot AS (SELECT SUM(revenue) AS total_rev FROM per_supp)
+SELECT s.s_name,
+       p.n_lines,
+       {sql_round_stable('p.revenue', 2)} AS revenue,
+       {sql_round_stable('p.revenue * 100.0 / t.total_rev', 4)}
+           AS revenue_share_pct,
+       {sql_round_stable('p.ship_lag_days', 4)} AS avg_ship_lag_days,
+       {sql_round_stable('p.return_rate * 100.0', 4)} AS return_pct
+FROM per_supp p
+JOIN supplier s ON p.l_suppkey = s.s_suppkey
+CROSS JOIN tot t
+ORDER BY revenue DESC, s.s_name
+""",
+    doc="supplier scorecard: one composite report joining delivery "
+    "performance (mean order-to-ship lag), quality (return-flag rate), and "
+    "commercial weight (revenue + share) per supplier — the wide "
+    "multi-metric rollup a procurement dashboard serves.  One lineitem "
+    "aggregate (all metrics partial-aggregatable in the same pass), "
+    "supplier dimension broadcast, total a 1-row cross join",
+    defer=True,
+)
+def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    per_supp = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+            F.avg(
+                F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+            ).alias("ship_lag_days"),
+            F.avg(
+                F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0)
+            ).alias("return_rate"),
+        )
+    )
+    tot = per_supp.agg(F.sum("revenue").alias("total_rev"))
+    return (
+        per_supp.join(
+            F.broadcast(supp),
+            per_supp.l_suppkey == supp.s_suppkey,
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "s_name",
+            "n_lines",
+            round_stable(F.col("revenue"), 2).alias("revenue"),
+            round_stable(
+                F.col("revenue") * 100.0 / F.col("total_rev"), 4
+            ).alias("revenue_share_pct"),
+            round_stable(F.col("ship_lag_days"), 4).alias(
+                "avg_ship_lag_days"
+            ),
+            round_stable(F.col("return_rate") * 100.0, 4).alias(
+                "return_pct"
+            ),
+        )
+        .orderBy(F.col("revenue").desc(), "s_name")
+    )
