@@ -123,6 +123,9 @@ HEADLINE: tuple[str, ...] = (
     "events_pit_training_set",
     "product_graph_triangles",
     "events_session_metrics",
+    "doc_perplexity_report",
+    "orders_cohort_ltv",
+    "supplier_scorecard",
 )
 
 
