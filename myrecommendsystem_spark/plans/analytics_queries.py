@@ -3400,3 +3400,205 @@ def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("revenue").desc(), "s_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Forecast backtest (seasonal naive + MAPE)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_forecast_backtest",
+    f"""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, SUM(value) AS x
+    FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+joined AS (
+    SELECT a.event_type, a.day, a.x AS actual, b.x AS forecast
+    FROM daily a JOIN daily b
+      ON a.event_type = b.event_type AND b.day = a.day - 7
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_days_scored,
+       {sql_round_stable(
+           'AVG(ABS(actual - forecast) / NULLIF(ABS(actual), 0))'
+           ' * 100.0', 4)} AS mape_pct,
+       {sql_round_stable(
+           'AVG(2.0 * ABS(actual - forecast)'
+           ' / NULLIF(ABS(actual) + ABS(forecast), 0)) * 100.0', 4)}
+           AS smape_pct
+FROM joined
+GROUP BY event_type
+ORDER BY event_type
+""",
+    doc="forecast backtest: the seasonal-naive model (predict day d by "
+    "day d-7) scored with MAPE and sMAPE per event type — the baseline "
+    "every forecasting system must beat, and the backtest harness that "
+    "scores it.  One daily aggregate, one self-join on the lagged day "
+    "key (equi-join, no window needed), NULLIF guards for zero days",
+    defer=True,
+)
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum("value").alias("x"))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("b.day") == F.date_sub(F.col("a.day"), 7)),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.x").alias("actual"),
+        F.col("b.x").alias("forecast"),
+    )
+    ae = F.abs(F.col("actual") - F.col("forecast"))
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days_scored"),
+            round_stable(
+                F.avg(ae / F.nullif(F.abs(F.col("actual")), F.lit(0.0)))
+                * 100.0,
+                4,
+            ).alias("mape_pct"),
+            round_stable(
+                F.avg(
+                    2.0
+                    * ae
+                    / F.nullif(
+                        F.abs(F.col("actual")) + F.abs(F.col("forecast")),
+                        F.lit(0.0),
+                    )
+                )
+                * 100.0,
+                4,
+            ).alias("smape_pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-transaction suspects (fraud screening)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_duplicate_suspects",
+    """
+SELECT CAST(a.o_orderkey AS BIGINT) AS orderkey_a,
+       CAST(b.o_orderkey AS BIGINT) AS orderkey_b,
+       CAST(a.o_custkey AS BIGINT) AS custkey,
+       CAST(ABS(date_diff('day', a.o_orderdate, b.o_orderdate))
+            AS INTEGER) AS day_gap
+FROM orders a JOIN orders b
+  ON a.o_custkey = b.o_custkey
+ AND a.o_totalprice = b.o_totalprice
+ AND a.o_orderkey < b.o_orderkey
+WHERE ABS(date_diff('day', a.o_orderdate, b.o_orderdate)) <= 1
+ORDER BY orderkey_a, orderkey_b
+""",
+    doc="duplicate-transaction screening: pairs of orders from the same "
+    "customer with the IDENTICAL total price within one day — the "
+    "double-charge / replayed-submission suspects a payments review "
+    "queue starts from.  The join is equi on (customer, exact amount) "
+    "— high-selectivity keys that block the pair space the way the "
+    "SymSpell variants do for strings — with the day-gap filter as "
+    "the cheap post-join verify",
+    defer=True,
+)
+def orders_duplicate_suspects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    a = orders.alias("a")
+    b = orders.alias("b")
+    gap = F.abs(
+        F.datediff(F.col("a.o_orderdate"), F.col("b.o_orderdate"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.o_totalprice") == F.col("b.o_totalprice"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+        )
+        .filter(gap <= 1)
+        .select(
+            F.col("a.o_orderkey").cast("bigint").alias("orderkey_a"),
+            F.col("b.o_orderkey").cast("bigint").alias("orderkey_b"),
+            F.col("a.o_custkey").cast("bigint").alias("custkey"),
+            gap.cast("int").alias("day_gap"),
+        )
+        .orderBy("orderkey_a", "orderkey_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pareto concentration (Lorenz point)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_power_users_pareto",
+    f"""
+WITH per_user AS (
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY user_id
+),
+ranked AS (
+    SELECT n,
+           ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS rnk,
+           SUM(n) OVER (ORDER BY n DESC, user_id
+                        ROWS UNBOUNDED PRECEDING) AS cum_n,
+           COUNT(*) OVER () AS n_users,
+           SUM(n) OVER () AS total_n
+    FROM per_user
+)
+SELECT CAST(MIN(n_users) AS BIGINT) AS n_users,
+       CAST(MIN(CASE WHEN cum_n * 1.0 / total_n >= 0.8 THEN rnk END)
+            AS BIGINT) AS users_for_80pct,
+       {sql_round_stable(
+           'MIN(CASE WHEN cum_n * 1.0 / total_n >= 0.8 THEN rnk END)'
+           ' * 100.0 / MIN(n_users)', 4)} AS pct_users_for_80pct
+FROM ranked
+""",
+    doc="Pareto concentration (the Lorenz 80% point): how many of the "
+    "heaviest users generate 80% of all events — the '80/20' number "
+    "capacity planning and abuse review both ask for.  Per-user "
+    "totals, one descending cumulative window with a deterministic "
+    "tie-break, and the threshold rank folded out via a conditional "
+    "MIN — no iteration, no driver scan",
+    defer=True,
+)
+def events_power_users_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w_ord = Window.orderBy(F.col("n").desc(), "user_id")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    ranked = per_user.select(
+        "n",
+        F.row_number().over(w_ord).alias("rnk"),
+        F.sum("n").over(w_cum).alias("cum_n"),
+        F.count(F.lit(1)).over(w_all).alias("n_users"),
+        F.sum("n").over(w_all).alias("total_n"),
+    )
+    at80 = F.min(
+        F.when(
+            F.col("cum_n") * 1.0 / F.col("total_n") >= 0.8, F.col("rnk")
+        )
+    )
+    return ranked.agg(
+        F.min("n_users").cast("bigint").alias("n_users"),
+        at80.cast("bigint").alias("users_for_80pct"),
+        round_stable(at80 * 100.0 / F.min("n_users"), 4).alias(
+            "pct_users_for_80pct"
+        ),
+    )
