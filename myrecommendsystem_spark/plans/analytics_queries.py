@@ -3602,3 +3602,172 @@ def events_power_users_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pct_users_for_80pct"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Readability report (text-quality family)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_readability_report",
+    rf"""
+WITH stats AS (
+    SELECT doc_id, source,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE length(regexp_split_to_array(trim(text), '\s+'))
+                END AS n_words,
+           length(regexp_replace(text, '[^.!?]', '', 'g')) AS n_sent_marks,
+           length(regexp_replace(lower(trim(text)), '\s+', '', 'g'))
+               AS n_word_chars
+    FROM documents
+),
+per_doc AS (
+    SELECT source,
+           n_words * 1.0 / GREATEST(n_sent_marks, 1) AS words_per_sentence,
+           n_word_chars * 1.0 / GREATEST(n_words, 1) AS chars_per_word
+    FROM stats WHERE n_words > 0
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       {sql_round_stable('AVG(words_per_sentence)', 4)}
+           AS avg_words_per_sentence,
+       {sql_round_stable('AVG(chars_per_word)', 4)} AS avg_chars_per_word,
+       {sql_round_stable(
+           'AVG(206.835 - 1.015 * words_per_sentence'
+           ' - 84.6 * (chars_per_word / 3.0))', 4)} AS flesch_proxy
+FROM per_doc
+GROUP BY source
+ORDER BY source
+""",
+    doc="readability report per source: words-per-sentence and "
+    "chars-per-word (the two Flesch inputs; syllables proxied as "
+    "chars/3 — the standard syllable-free approximation) plus the "
+    "resulting Flesch-style score.  Sources drifting toward long "
+    "sentences or long words are accumulating legalese/boilerplate; "
+    "paired with perplexity and quality_scores this completes the "
+    "text-quality triad.  Pure column expressions — pushdown-friendly, "
+    "one grouped aggregate",
+    defer=True,
+)
+def doc_readability_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myrecommendsystem_spark.functions import text as TXT
+
+    docs = _t(spark, sf_dir, "documents")
+    n_words = F.when(
+        F.length(F.trim(F.col("text"))) == 0, F.lit(0)
+    ).otherwise(F.size(TXT.tokens(F.col("text"))))
+    n_sent = F.length(F.regexp_replace("text", r"[^.!?]", ""))
+    n_chars = F.length(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", "")
+    )
+    per_doc = docs.select(
+        "source",
+        n_words.alias("n_words"),
+        (n_words * 1.0 / F.greatest(n_sent, F.lit(1))).alias(
+            "words_per_sentence"
+        ),
+        (n_chars * 1.0 / F.greatest(n_words, F.lit(1))).alias(
+            "chars_per_word"
+        ),
+    ).filter(F.col("n_words") > 0)
+    flesch = (
+        206.835
+        - 1.015 * F.col("words_per_sentence")
+        - 84.6 * (F.col("chars_per_word") / 3.0)
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            round_stable(F.avg("words_per_sentence"), 4).alias(
+                "avg_words_per_sentence"
+            ),
+            round_stable(F.avg("chars_per_word"), 4).alias(
+                "avg_chars_per_word"
+            ),
+            round_stable(F.avg(flesch), 4).alias("flesch_proxy"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ABC revenue classification (inventory analytics)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "parts_abc_classification",
+    f"""
+WITH rev AS (
+    SELECT l_partkey,
+           SUM(l_extendedprice * (1 - l_discount)) AS revenue
+    FROM lineitem GROUP BY l_partkey
+),
+ranked AS (
+    SELECT revenue,
+           SUM(revenue) OVER (ORDER BY revenue DESC, l_partkey
+                              ROWS UNBOUNDED PRECEDING) AS cum_rev,
+           SUM(revenue) OVER () AS total_rev
+    FROM rev
+),
+classed AS (
+    SELECT revenue,
+           CASE WHEN cum_rev / total_rev <= 0.8 THEN 'A'
+                WHEN cum_rev / total_rev <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+)
+SELECT abc_class,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       {sql_round_stable('SUM(revenue)', 2)} AS revenue,
+       {sql_round_stable('SUM(revenue) * 100.0 / MIN(total_rev)', 4)}
+           AS revenue_pct
+FROM classed CROSS JOIN (SELECT SUM(revenue) AS total_rev FROM rev)
+GROUP BY abc_class
+ORDER BY abc_class
+""",
+    doc="ABC inventory classification: parts ranked by revenue, classed "
+    "A (first 80% of cumulative revenue) / B (to 95%) / C (tail) via "
+    "one descending cumulative window with a deterministic tie-break — "
+    "the stock-control segmentation warehouses run weekly.  The class "
+    "rollup shows each class's part count and revenue share",
+    defer=True,
+)
+def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        )
+    )
+    w_cum = Window.orderBy(
+        F.col("revenue").desc(), "l_partkey"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    ranked = rev.select(
+        "revenue",
+        F.sum("revenue").over(w_cum).alias("cum_rev"),
+        F.sum("revenue").over(w_all).alias("total_rev"),
+    )
+    share = F.col("cum_rev") / F.col("total_rev")
+    classed = ranked.select(
+        "revenue",
+        "total_rev",
+        F.when(share <= 0.8, "A")
+        .when(share <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            round_stable(F.sum("revenue"), 2).alias("revenue"),
+            round_stable(
+                F.sum("revenue") * 100.0 / F.min("total_rev"), 4
+            ).alias("revenue_pct"),
+        )
+        .orderBy("abc_class")
+    )
