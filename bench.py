@@ -126,6 +126,12 @@ HEADLINE: tuple[str, ...] = (
     "doc_perplexity_report",
     "orders_cohort_ltv",
     "supplier_scorecard",
+    "events_forecast_backtest",
+    "orders_duplicate_suspects",
+    "events_power_users_pareto",
+    "doc_readability_report",
+    "parts_abc_classification",
+    "recsys_als_eval",
 )
 
 

@@ -3771,3 +3771,112 @@ def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+# ---------------------------------------------------------------------------
+# ALS under the same eval harness (rows-only: MLlib float fixpoint)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "recsys_als_eval",
+    None,  # ALS factors are an iterative float fixpoint — no SQL oracle
+    doc="offline evaluation of the ALS recommender under the IDENTICAL "
+    "harness as recsys_popularity_eval / recsys_itemcf_eval: train on "
+    "the same 80% md5 hold-out split (rank=8, the smoke config), "
+    "recommendForAllUsers(20), train-seen filtered, precision/recall/"
+    "NDCG@20 vs the held-out ratings.  Completes the three-model "
+    "comparison (popularity baseline -> neighborhood CF -> matrix "
+    "factorization) a recommender team actually runs; rows-only "
+    "because MLlib's blocked least-squares is a float fixpoint no SQL "
+    "engine reproduces bit-for-bit",
+    defer=True,
+)
+def recsys_als_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myrecommendsystem_spark.ml.als import train_als, user_recs_flat
+    from myrecommendsystem_spark.operators.sampling import hash_key
+
+    ratings = readers.events_as_ratings(spark, sf_dir)
+    coord = F.conv(
+        hash_key(
+            F.concat(
+                F.col("userId").cast("string"),
+                F.lit(":"),
+                F.col("productId").cast("string"),
+            ),
+            "eval",
+        ),
+        16,
+        10,
+    ).cast("double") / F.lit(float(1 << 32))
+    split = ratings.withColumn("is_test", coord < 0.2)
+    train = (
+        split.filter(~F.col("is_test"))
+        .select("userId", "productId", "score")
+        .localCheckpoint(eager=True)
+    )
+    test = (
+        split.filter("is_test").select("userId", "productId").distinct()
+    )
+    model = train_als(train, rank=8)
+    flat = user_recs_flat(model, k=40)  # over-fetch, then drop train-seen
+    unseen = flat.join(
+        train.select("userId", "productId"),
+        ["userId", "productId"],
+        "left_anti",
+    )
+    w = Window.partitionBy("userId").orderBy("rnk")
+    recs = (
+        unseen.withColumn("rnk2", F.row_number().over(w))
+        .filter(F.col("rnk2") <= 20)
+        .select(
+            "userId",
+            F.col("productId").alias("candidateId"),
+            F.col("rnk2").alias("rnk"),
+        )
+    )
+    user_test = test.groupBy("userId").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test")
+    )
+    hits = test.join(
+        recs,
+        (test.productId == recs.candidateId)
+        & (test.userId == recs.userId),
+    ).select(test.userId.alias("userId"), "rnk")
+    per_hit = hits.groupBy("userId").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+        F.sum(1.0 / F.log2(F.col("rnk") + 1.0)).alias("dcg"),
+    )
+    sizes = user_test.select("n_test").distinct()
+    ideal = (
+        sizes.select(
+            "n_test",
+            F.explode(
+                F.sequence(F.lit(1), F.least(F.col("n_test"), F.lit(20)))
+            ).alias("i"),
+        )
+        .groupBy("n_test")
+        .agg(F.sum(1.0 / F.log2(F.col("i") + 1.0)).alias("idcg"))
+    )
+    per_user = (
+        user_test.join(per_hit, "userId", "left")
+        .join(F.broadcast(ideal), "n_test")
+        .select(
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            "n_test",
+            F.coalesce(F.col("dcg"), F.lit(0.0)).alias("dcg"),
+            "idcg",
+        )
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        round_stable(F.avg(F.col("n_hits") / 20.0), 4).alias(
+            "precision_at_20"
+        ),
+        round_stable(
+            F.avg(F.col("n_hits") * 1.0 / F.col("n_test")), 4
+        ).alias("recall_at_20"),
+        round_stable(F.avg(F.col("dcg") / F.col("idcg")), 4).alias(
+            "ndcg_at_20"
+        ),
+    )
