@@ -3880,3 +3880,163 @@ def recsys_als_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ndcg_at_20"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix (classifier evaluation)
+# ---------------------------------------------------------------------------
+
+from myrecommendsystem_spark.plans.text_queries import _LEX_VALUES  # noqa: E402
+
+
+@register(
+    "doc_langid_confusion",
+    rf"""
+WITH lex(lang, tok) AS (VALUES {_LEX_VALUES}),
+toks AS (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+    FROM documents
+),
+hits AS (
+    SELECT doc_id, lang, COUNT(*) AS cnt
+    FROM toks JOIN lex USING (tok)
+    GROUP BY doc_id, lang
+),
+best AS (
+    SELECT doc_id, lang,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY cnt DESC, lang) AS r
+    FROM hits
+),
+pred AS (
+    SELECT d.doc_id, d.lang AS actual_lang,
+           COALESCE(b.lang, 'und') AS predicted_lang
+    FROM documents d
+    LEFT JOIN (SELECT doc_id, lang FROM best WHERE r = 1) b
+        USING (doc_id)
+),
+cells AS (
+    SELECT actual_lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred GROUP BY actual_lang, predicted_lang
+),
+tot AS (
+    SELECT actual_lang, SUM(n) AS class_n FROM cells GROUP BY actual_lang
+)
+SELECT c.actual_lang, c.predicted_lang, c.n,
+       {sql_round_stable('c.n * 100.0 / t.class_n', 4)} AS class_recall_pct
+FROM cells c JOIN tot t ON c.actual_lang = t.actual_lang
+ORDER BY c.actual_lang, c.predicted_lang
+""",
+    doc="language-ID confusion matrix: the heuristic classifier "
+    "(functions/text.language_id_table, stopword-hit argmax) scored "
+    "against the labeled lang column — per-(actual, predicted) counts "
+    "with within-class recall.  The classifier-evaluation shape for "
+    "any labeled heuristic: where F1 would hide WHICH languages "
+    "confuse, the matrix shows it.  Reuses doc_lang_id's exact "
+    "lexicon (shared _LEX_VALUES) so predictions match the gated "
+    "classifier query bit-for-bit",
+    defer=True,
+)
+def doc_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myrecommendsystem_spark.functions import text as TXT
+
+    docs = _t(spark, sf_dir, "documents")
+    pred = TXT.language_id_table(docs).join(
+        docs.select("doc_id", F.col("lang").alias("actual_lang")),
+        "doc_id",
+    )
+    cells = pred.groupBy(
+        "actual_lang", F.col("predicted_lang")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = cells.groupBy("actual_lang").agg(
+        F.sum("n").alias("class_n")
+    )
+    return (
+        cells.join(F.broadcast(tot), "actual_lang")
+        .select(
+            "actual_lang",
+            "predicted_lang",
+            "n",
+            round_stable(
+                F.col("n") * 100.0 / F.col("class_n"), 4
+            ).alias("class_recall_pct"),
+        )
+        .orderBy("actual_lang", "predicted_lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bot / automation detection heuristic (abuse screening)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "users_bot_signals",
+    f"""
+WITH gaps AS (
+    SELECT user_id,
+           (epoch_ms(ts) - epoch_ms(lag(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ))) / 1000.0 AS gap_s
+    FROM events
+),
+per_user AS (
+    SELECT user_id,
+           CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
+           AVG(gap_s) AS mean_gap_s,
+           stddev_samp(gap_s) AS sd_gap_s
+    FROM gaps WHERE gap_s IS NOT NULL
+    GROUP BY user_id
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       n_gaps,
+       {sql_round_stable('mean_gap_s', 4)} AS mean_gap_s,
+       {sql_round_stable('COALESCE(sd_gap_s, 0.0)', 4)} AS sd_gap_s,
+       CAST(CASE WHEN n_gaps >= 20
+                  AND COALESCE(sd_gap_s, 0.0) < 0.2 * mean_gap_s
+                 THEN 1 ELSE 0 END AS INTEGER) AS bot_suspect
+FROM per_user
+WHERE n_gaps >= 5
+ORDER BY user_id
+""",
+    doc="automation screening: per-user inter-event gap regularity — "
+    "human traffic is bursty (high gap variance), scripted traffic is "
+    "metronomic (sd << mean).  One LAG window for gaps + one grouped "
+    "moment aggregate; the suspect rule (>=20 gaps, sd < 20% of mean) "
+    "is the classic coefficient-of-variation screen an abuse queue "
+    "triages from.  Complements events_value_mad_outliers (value "
+    "anomalies) with timing anomalies",
+    defer=True,
+)
+def users_bot_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id", ((ms - F.lag(ms).over(w)) / 1000.0).alias("gap_s")
+    ).filter(F.col("gap_s").isNotNull())
+    per_user = gaps.groupBy("user_id").agg(
+        F.count("gap_s").cast("bigint").alias("n_gaps"),
+        F.avg("gap_s").alias("mean_gap_s"),
+        F.stddev_samp("gap_s").alias("sd_gap_s"),
+    )
+    sd = F.coalesce(F.col("sd_gap_s"), F.lit(0.0))
+    return (
+        per_user.filter(F.col("n_gaps") >= 5)
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            "n_gaps",
+            round_stable(F.col("mean_gap_s"), 4).alias("mean_gap_s"),
+            round_stable(sd, 4).alias("sd_gap_s"),
+            F.when(
+                (F.col("n_gaps") >= 20)
+                & (sd < 0.2 * F.col("mean_gap_s")),
+                1,
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("bot_suspect"),
+        )
+        .orderBy("user_id")
+    )
