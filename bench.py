@@ -132,6 +132,9 @@ HEADLINE: tuple[str, ...] = (
     "doc_readability_report",
     "parts_abc_classification",
     "recsys_als_eval",
+    "doc_langid_confusion",
+    "users_bot_signals",
+    "customer_segment_migration",
 )
 
 

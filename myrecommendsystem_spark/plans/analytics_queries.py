@@ -4040,3 +4040,85 @@ def users_bot_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Customer segment migration (lifecycle flow matrix)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_segment_migration",
+    f"""
+WITH monthly AS (
+    SELECT o_custkey,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m') AS mon,
+           SUM(o_totalprice) AS spend
+    FROM orders
+    GROUP BY o_custkey, mon
+),
+seg AS (
+    SELECT o_custkey, mon,
+           NTILE(4) OVER (PARTITION BY mon
+                          ORDER BY spend DESC, o_custkey) AS segment
+    FROM monthly
+),
+flow AS (
+    SELECT a.segment AS seg_from, b.segment AS seg_to
+    FROM seg a JOIN seg b
+      ON a.o_custkey = b.o_custkey
+     AND b.mon = strftime(date_trunc('month',
+            CAST(a.mon || '-01' AS DATE) + INTERVAL 1 MONTH), '%Y-%m')
+)
+SELECT CAST(seg_from AS INTEGER) AS seg_from,
+       CAST(seg_to AS INTEGER) AS seg_to,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM flow
+GROUP BY seg_from, seg_to
+ORDER BY seg_from, seg_to
+""",
+    doc="customer segment migration: monthly spend quartiles (NTILE "
+    "within month, deterministic tie-break) self-joined on the "
+    "consecutive-month key — the 4x4 lifecycle flow matrix (who moved "
+    "up, who churned down) a CRM reads monthly.  Two windowed passes "
+    "plus one equi self-join on (customer, next-month); quartiles "
+    "recompute per month so the matrix measures relative movement, "
+    "not absolute spend drift",
+    defer=True,
+)
+def customer_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        "o_custkey",
+        F.date_format(F.trunc("o_orderdate", "month"), "yyyy-MM").alias(
+            "mon"
+        ),
+    ).agg(F.sum("o_totalprice").alias("spend"))
+    w = Window.partitionBy("mon").orderBy(
+        F.col("spend").desc(), "o_custkey"
+    )
+    seg = monthly.select(
+        "o_custkey", "mon", F.ntile(4).over(w).alias("segment")
+    )
+    next_mon = F.date_format(
+        F.add_months(F.to_date(F.concat(F.col("a.mon"), F.lit("-01"))), 1),
+        "yyyy-MM",
+    )
+    a = seg.alias("a")
+    b = seg.alias("b")
+    flow = a.join(
+        b,
+        (F.col("a.o_custkey") == F.col("b.o_custkey"))
+        & (F.col("b.mon") == next_mon),
+    ).select(
+        F.col("a.segment").alias("seg_from"),
+        F.col("b.segment").alias("seg_to"),
+    )
+    return (
+        flow.groupBy(
+            F.col("seg_from").cast("int").alias("seg_from"),
+            F.col("seg_to").cast("int").alias("seg_to"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+        .orderBy("seg_from", "seg_to")
+    )
