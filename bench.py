@@ -135,6 +135,7 @@ HEADLINE: tuple[str, ...] = (
     "doc_langid_confusion",
     "users_bot_signals",
     "customer_segment_migration",
+    "users_growth_accounting",
 )
 
 

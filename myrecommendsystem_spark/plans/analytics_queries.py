@@ -4122,3 +4122,98 @@ def customer_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
         .orderBy("seg_from", "seg_to")
     )
+
+
+# ---------------------------------------------------------------------------
+# Growth accounting (new / retained / resurrected / churned)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "users_growth_accounting",
+    """
+WITH activity AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+firsts AS (
+    SELECT user_id, MIN(day) AS first_day FROM activity GROUP BY user_id
+),
+classified AS (
+    SELECT a.day,
+           CASE WHEN a.day = f.first_day THEN 'new'
+                WHEN y.user_id IS NOT NULL THEN 'retained'
+                ELSE 'resurrected' END AS status
+    FROM activity a
+    JOIN firsts f ON a.user_id = f.user_id
+    LEFT JOIN activity y
+      ON y.user_id = a.user_id AND y.day = a.day - 1
+),
+churn AS (
+    SELECT y.day + 1 AS day, 'churned' AS status
+    FROM activity y
+    LEFT JOIN activity t
+      ON t.user_id = y.user_id AND t.day = y.day + 1
+    WHERE t.user_id IS NULL
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, status,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM (SELECT day, status FROM classified
+      UNION ALL SELECT day, status FROM churn)
+GROUP BY day, status
+ORDER BY day, status
+""",
+    doc="daily growth accounting: every active user classified new "
+    "(first-ever day), retained (also active yesterday), or "
+    "resurrected (returning after a gap), plus churned (active "
+    "yesterday, absent today, attributed to today) — the DAU "
+    "decomposition growth teams steer by, where raw DAU hides whether "
+    "growth is acquisition or resurrection.  One distinct-activity "
+    "relation reused four ways: a first-seen aggregate and two "
+    "self-equi-joins on the (user, day±1) key — no windows, no spine "
+    "join, every join key-local",
+    defer=True,
+)
+def users_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    activity = (
+        ev.select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+        .localCheckpoint(eager=True)  # reused by 4 plan branches
+    )
+    firsts = activity.groupBy("user_id").agg(
+        F.min("day").alias("first_day")
+    )
+    y = activity.select(
+        "user_id", F.date_add("day", 1).alias("day"), F.lit(1).alias("yest")
+    )
+    classified = (
+        activity.join(firsts, "user_id")
+        .join(y, ["user_id", "day"], "left")
+        .select(
+            "day",
+            F.when(F.col("day") == F.col("first_day"), "new")
+            .when(F.col("yest").isNotNull(), "retained")
+            .otherwise("resurrected")
+            .alias("status"),
+        )
+    )
+    t = activity.select(
+        "user_id", F.col("day").alias("next_day"), F.lit(1).alias("act")
+    )
+    churn = (
+        activity.select(
+            "user_id", F.date_add("day", 1).alias("next_day")
+        )
+        .join(t, ["user_id", "next_day"], "left_anti")
+        .select(
+            F.col("next_day").alias("day"), F.lit("churned").alias("status")
+        )
+    )
+    return (
+        classified.unionByName(churn)
+        .groupBy(
+            F.date_format("day", "yyyy-MM-dd").alias("day"), "status"
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy("day", "status")
+    )
