@@ -136,6 +136,7 @@ HEADLINE: tuple[str, ...] = (
     "users_bot_signals",
     "customer_segment_migration",
     "users_growth_accounting",
+    "embedding_outlier_scores",
 )
 
 

@@ -4217,3 +4217,76 @@ def users_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
         .orderBy("day", "status")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding outlier detection (corpus QA for the vector column)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_outlier_scores",
+    f"""
+WITH dims AS (
+    SELECT vec_id, unnest(embedding) AS v,
+           generate_subscripts(embedding, 1) AS pos
+    FROM embeddings
+),
+centroid AS (
+    SELECT pos, AVG(v) AS c FROM dims GROUP BY pos
+),
+dist AS (
+    SELECT d.vec_id, SQRT(SUM((d.v - c.c) * (d.v - c.c))) AS dist
+    FROM dims d JOIN centroid c ON d.pos = c.pos
+    GROUP BY d.vec_id
+),
+moments AS (
+    SELECT AVG(dist) AS mu, stddev_samp(dist) AS sd FROM dist
+)
+SELECT CAST(d.vec_id AS BIGINT) AS vec_id,
+       {sql_round_stable('d.dist', 4)} AS dist,
+       {sql_round_stable('(d.dist - m.mu) / m.sd', 4)} AS z
+FROM dist d CROSS JOIN moments m
+WHERE (d.dist - m.mu) / m.sd > 2.0
+ORDER BY z DESC, vec_id
+""",
+    doc="embedding outlier detection: euclidean distance of every "
+    "vector to the GLOBAL centroid, z-scored, reporting vectors more "
+    "than 2 sigma out — the corpus-QA pass that catches corrupted, "
+    "zero-padded, or wrong-model vectors before they poison an ANN "
+    "index or a training run.  Fully relational on (vec_id, pos, v) "
+    "scalars: centroid is a 64-row aggregate on a broadcast, distance "
+    "is one dim-keyed join + grouped sum — no vector ever assembles "
+    "on one node (the 100 TB form, same discipline as "
+    "embedding_label_centroids)",
+    defer=True,
+)
+def embedding_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id", F.posexplode("embedding").alias("p", "v")
+    ).select("vec_id", (F.col("p") + 1).alias("pos"), "v")
+    centroid = dims.groupBy("pos").agg(F.avg("v").alias("c"))
+    dist = (
+        dims.join(F.broadcast(centroid), "pos")
+        .groupBy("vec_id")
+        .agg(
+            F.sqrt(
+                F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c")))
+            ).alias("dist")
+        )
+    )
+    moments = dist.agg(
+        F.avg("dist").alias("mu"), F.stddev_samp("dist").alias("sd")
+    )
+    z = (F.col("dist") - F.col("mu")) / F.col("sd")
+    return (
+        dist.crossJoin(F.broadcast(moments))
+        .filter(z > 2.0)
+        .select(
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            round_stable(F.col("dist"), 4).alias("dist"),
+            round_stable(z, 4).alias("z"),
+        )
+        .orderBy(F.col("z").desc(), "vec_id")
+    )
