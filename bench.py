@@ -137,6 +137,7 @@ HEADLINE: tuple[str, ...] = (
     "customer_segment_migration",
     "users_growth_accounting",
     "embedding_outlier_scores",
+    "doc_duplication_profile",
 )
 
 

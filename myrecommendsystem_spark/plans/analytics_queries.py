@@ -4290,3 +4290,68 @@ def embedding_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("z").desc(), "vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup health report (per-source duplication profile)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_duplication_profile",
+    rf"""
+WITH fp AS (
+    SELECT source,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+    FROM documents
+),
+groups AS (
+    SELECT source, f, CAST(COUNT(*) AS BIGINT) AS n
+    FROM fp GROUP BY source, f
+)
+SELECT source,
+       CAST(SUM(n) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_redundant,
+       {sql_round_stable(
+           '(SUM(n) - COUNT(*)) * 100.0 / SUM(n)', 4)} AS dup_pct,
+       CAST(MAX(n) AS BIGINT) AS largest_group
+FROM groups
+GROUP BY source
+ORDER BY source
+""",
+    doc="dedup health report: per-source duplication profile off the "
+    "exact-fingerprint groups (same normalized-md5 as "
+    "dedup_exact_groups) — doc count, distinct count, redundant rows, "
+    "duplication %, and the largest clone group.  The ingestion-health "
+    "number a crawl pipeline alerts on: a source whose dup_pct climbs "
+    "is recrawling itself.  Two grouped aggregates, nothing but "
+    "hashes moves",
+    defer=True,
+)
+def doc_duplication_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    fp = docs.select(
+        "source",
+        F.md5(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+        ).alias("f"),
+    )
+    groups = fp.groupBy("source", "f").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return (
+        groups.groupBy("source")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            (F.sum("n") - F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("n_redundant"),
+            round_stable(
+                (F.sum("n") - F.count(F.lit(1))) * 100.0 / F.sum("n"), 4
+            ).alias("dup_pct"),
+            F.max("n").cast("bigint").alias("largest_group"),
+        )
+        .orderBy("source")
+    )

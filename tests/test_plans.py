@@ -531,3 +531,23 @@ def test_cdc_final_state_single_window_pass(spark):
     plan = _executed(spark, "events_cdc_final_state")
     assert plan.count("RunningWindowFunction") + plan.count("Window") >= 1
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_embedding_outliers_broadcast_model(spark):
+    """embedding_outlier_scores: the 64-row centroid and the 1-row
+    moments must ride broadcasts — shuffling the dim stream against a
+    64-row table would exchange the whole corpus on `pos`."""
+    plan = _executed(spark, "embedding_outlier_scores")
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 2, plan[:2000]
+
+
+def test_growth_accounting_reuses_checkpointed_activity(spark):
+    """users_growth_accounting: the distinct-activity relation feeds 4
+    branches via localCheckpoint scans — no branch may recompute the
+    events scan+distinct (plan shows checkpointed RDD scans, and the
+    raw parquet appears at most once)."""
+    plan = _executed(spark, "users_growth_accounting")
+    assert plan.count("Scan ExistingRDD") >= 3, plan[:2000]
+    assert plan.count("FileScan parquet") <= 1
