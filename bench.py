@@ -138,6 +138,7 @@ HEADLINE: tuple[str, ...] = (
     "users_growth_accounting",
     "embedding_outlier_scores",
     "doc_duplication_profile",
+    "events_error_pchart",
 )
 
 

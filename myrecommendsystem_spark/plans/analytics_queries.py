@@ -4355,3 +4355,79 @@ def doc_duplication_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistical process control (p-chart error monitoring)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_error_pchart",
+    f"""
+WITH hourly AS (
+    SELECT date_trunc('hour', ts) AS hr,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_err
+    FROM events GROUP BY hr
+),
+center AS (
+    SELECT SUM(n_err) * 1.0 / SUM(n) AS p_bar FROM hourly
+)
+SELECT strftime(h.hr, '%Y-%m-%d %H:00') AS hour,
+       h.n, h.n_err,
+       {sql_round_stable('h.n_err * 1.0 / h.n', 4)} AS err_rate,
+       {sql_round_stable('c.p_bar', 4)} AS center_line,
+       {sql_round_stable(
+           'c.p_bar + 3.0 * SQRT(c.p_bar * (1.0 - c.p_bar) / h.n)', 4)}
+           AS ucl,
+       CAST(CASE WHEN h.n_err * 1.0 / h.n >
+                 c.p_bar + 3.0 * SQRT(c.p_bar * (1.0 - c.p_bar) / h.n)
+            THEN 1 ELSE 0 END AS INTEGER) AS out_of_control
+FROM hourly h CROSS JOIN center c
+ORDER BY h.hr
+""",
+    doc="statistical process control: the p-chart over hourly error "
+    "rates — center line = pooled error share, per-hour 3-sigma upper "
+    "control limit sized by that hour's sample (UCL tightens as "
+    "volume grows), out-of-control hours flagged.  The monitoring "
+    "query an SRE dashboard alerts from, distinguishing real "
+    "incidents from binomial noise.  One hourly aggregate + a 1-row "
+    "broadcast center line",
+    defer=True,
+)
+def events_error_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hr")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_err"),
+    )
+    center = hourly.agg(
+        (F.sum("n_err") * 1.0 / F.sum("n")).alias("p_bar")
+    )
+    rate = F.col("n_err") * 1.0 / F.col("n")
+    ucl = F.col("p_bar") + 3.0 * F.sqrt(
+        F.col("p_bar") * (1.0 - F.col("p_bar")) / F.col("n")
+    )
+    return (
+        hourly.crossJoin(F.broadcast(center))
+        .select(
+            F.date_format("hr", "yyyy-MM-dd HH:00").alias("hour"),
+            "n",
+            "n_err",
+            round_stable(rate, 4).alias("err_rate"),
+            round_stable(F.col("p_bar"), 4).alias("center_line"),
+            round_stable(ucl, 4).alias("ucl"),
+            F.when(rate > ucl, 1).otherwise(0).cast("int").alias(
+                "out_of_control"
+            ),
+        )
+        .orderBy("hour")
+    )
