@@ -934,3 +934,128 @@ def ivfpq_search(
         corpus, queries, shortlist, k, id_col, vec_col,
         q_cache=(q_ids, q_mat),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA (covariance accumulation + driver-side eigh)
+# ---------------------------------------------------------------------------
+
+
+def pca_covariance(
+    df: DataFrame, vec_col: str = "embedding"
+) -> tuple[int, np.ndarray, np.ndarray]:
+    """(n, mean, covariance) of a vector column, one distributed pass.
+
+    The classic tall-skinny decomposition: executors accumulate Arrow
+    partials ``(count, sum, sum-of-outer-products)`` per batch — each
+    partial is O(d^2) floats regardless of batch size — then the
+    partials reduce through one grouped sum keyed on the flattened
+    (i, j) position.  Driver traffic is exactly d^2 + d + 1 scalars,
+    independent of corpus size; no vector row ever leaves its executor.
+    Covariance is the unbiased (n-1) estimator: (SS - n·μμᵀ)/(n-1).
+    """
+    first = df.select(vec_col).first()
+    if first is None:
+        raise ValueError("pca_covariance: empty input")
+    d = len(first[0])
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            ss = mat.T @ mat  # d×d
+            yield pd.DataFrame(
+                {
+                    "n": [int(len(mat))],
+                    "s": [mat.sum(axis=0).tolist()],
+                    "ss": [ss.reshape(-1).tolist()],
+                }
+            )
+
+    part = df.select(vec_col).mapInPandas(
+        partials, "n long, s array<double>, ss array<double>"
+    )
+    # Reduce the partials relationally: one grouped sum on (pos) for each
+    # of the two arrays, one global sum for n.  The exploded relation is
+    # (#partitions × d^2) rows — bounded by cluster width, not data.
+    agg = part.agg(
+        F.sum("n").alias("n"),
+        F.array(
+            *[F.sum(F.element_at("s", i + 1)) for i in range(d)]
+        ).alias("s"),
+    ).collect()[0]
+    n, s = int(agg["n"]), np.asarray(agg["s"], dtype=np.float64)
+    ss_rows = (
+        part.select(F.posexplode("ss").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.sum("v").alias("v"))
+        .collect()
+    )
+    ss = np.zeros(d * d)
+    for r in ss_rows:
+        ss[r["pos"]] = r["v"]
+    ss = ss.reshape(d, d)
+    mean = s / n
+    cov = (ss - n * np.outer(mean, mean)) / max(n - 1, 1)
+    return n, mean, cov
+
+
+def pca_spectrum(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Eigen-spectrum of the embedding covariance: one row per principal
+    component — eigenvalue, explained-variance ratio, cumulative ratio,
+    and the dimension with the largest |loading| (sign-free, so the
+    eigenvector sign ambiguity cannot leak into the output).
+
+    The eigendecomposition runs on the driver over the d×d covariance —
+    O(d^3) with d=64, O(1) in corpus size — exactly how Spark MLlib's
+    own ``RowMatrix.computePrincipalComponents`` does it.
+    """
+    spark = df.sparkSession
+    n, _mean, cov = pca_covariance(df, vec_col)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1]
+    evals = np.clip(evals[order], 0.0, None)
+    evecs = evecs[:, order]
+    total = float(evals.sum()) or 1.0
+    cum = 0.0
+    rows = []
+    for i, lam in enumerate(evals):
+        cum += float(lam) / total
+        rows.append(
+            (
+                i + 1,
+                round(float(lam), 6),
+                round(float(lam) / total, 6),
+                round(cum, 6),
+                int(np.argmax(np.abs(evecs[:, i]))),
+                round(float(np.max(np.abs(evecs[:, i]))), 6),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "component int, eigenvalue double, explained_var double, "
+        "cum_explained double, top_dim int, top_loading_abs double",
+    )
+
+
+def pca_project(
+    df: DataFrame,
+    components: np.ndarray,
+    mean: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project vectors onto principal components (k×d matrix broadcast
+    inside an Arrow kernel — the whitening/reduction step before an ANN
+    index build or a clustering pass)."""
+    comp = np.asarray(components, dtype=np.float64)
+    mu = np.asarray(mean, dtype=np.float64)
+
+    @pandas_udf("array<double>")
+    def proj(vs: pd.Series) -> pd.Series:
+        mat = np.asarray(list(vs), dtype=np.float64) - mu
+        out = mat @ comp.T
+        return pd.Series(out.tolist())
+
+    return df.withColumn(out_col, proj(F.col(vec_col)))

@@ -15,3 +15,4 @@ from myrecommendsystem_spark.plans import text_queries  # noqa: E402,F401
 from myrecommendsystem_spark.plans import streaming_queries  # noqa: E402,F401
 from myrecommendsystem_spark.plans import multimodal_queries  # noqa: E402,F401
 from myrecommendsystem_spark.plans import analytics_queries  # noqa: E402,F401
+from myrecommendsystem_spark.plans import tokenizer_queries  # noqa: E402,F401

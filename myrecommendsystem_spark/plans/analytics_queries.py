@@ -4431,3 +4431,232 @@ def events_error_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour")
     )
+
+
+# ---------------------------------------------------------------------------
+# Skyline (pareto-dominance frontier) — multi-criteria optimization
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "parts_skyline",
+    f"""
+WITH pts AS (
+    SELECT DISTINCT p_retailprice AS price, p_size AS size FROM part
+)
+SELECT {sql_round_stable('p.price', 2)} AS price,
+       CAST(p.size AS INTEGER) AS size
+FROM pts p
+WHERE NOT EXISTS (
+    SELECT 1 FROM pts d
+    WHERE d.price <= p.price AND d.size >= p.size
+      AND (d.price < p.price OR d.size > p.size)
+)
+ORDER BY price, size
+""",
+    doc="SKYLINE operator (Borzsony 2001 pareto frontier): parts not "
+    "dominated on (minimize retailprice, maximize size).  The oracle's "
+    "NOT EXISTS is O(n^2); the Spark plan is the distributed two-phase "
+    "skyline with ZERO quadratic work and zero Python: range-bucket on "
+    "price (bounds from a broadcast 1-row agg), local frontier per "
+    "bucket via a running-max window over (price ASC, size DESC), "
+    "cross-bucket dominance via the strictly-prior-bucket prefix max "
+    "(a 32-row broadcast).  Each point is kept iff its size strictly "
+    "exceeds every cheaper point's running max — two window passes, "
+    "one tiny broadcast join, fully codegen",
+    defer=True,
+)
+def parts_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_bkt = 32
+    pts = (
+        _t(spark, sf_dir, "part")
+        .select(
+            F.col("p_retailprice").alias("price"),
+            F.col("p_size").cast("int").alias("size"),
+        )
+        .distinct()
+    )
+    bounds = pts.agg(
+        F.min("price").alias("mn"), F.max("price").alias("mx")
+    )
+    span = F.col("mx") - F.col("mn")
+    with_bkt = pts.crossJoin(F.broadcast(bounds)).select(
+        "price",
+        "size",
+        F.least(
+            F.lit(n_bkt - 1),
+            F.floor(
+                (F.col("price") - F.col("mn"))
+                / (span / n_bkt + F.lit(1e-12))
+            ),
+        )
+        .cast("int")
+        .alias("bkt"),
+    )
+    w_loc = (
+        Window.partitionBy("bkt")
+        .orderBy(F.col("price").asc(), F.col("size").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = with_bkt.withColumn("prev_max", F.max("size").over(w_loc))
+    bmax = with_bkt.groupBy("bkt").agg(F.max("size").alias("bsize"))
+    w_bkt = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    prior = bmax.select(
+        "bkt", F.max("bsize").over(w_bkt).alias("prior_max")
+    )
+    return (
+        local.join(F.broadcast(prior), "bkt")
+        .filter(
+            (F.col("prev_max").isNull() | (F.col("size") > F.col("prev_max")))
+            & (
+                F.col("prior_max").isNull()
+                | (F.col("size") > F.col("prior_max"))
+            )
+        )
+        .select(
+            round_stable(F.col("price"), 2).alias("price"),
+            F.col("size"),
+        )
+        .orderBy("price", "size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Audience overlap (set-ops on distinct users across event types)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_audience_overlap",
+    f"""
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+tot AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM ut GROUP BY event_type
+),
+inter AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(COUNT(*) AS BIGINT) AS n_common
+    FROM ut a JOIN ut b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY type_a, type_b
+)
+SELECT i.type_a, i.type_b, ta.n AS n_a, tb.n AS n_b, i.n_common,
+       {sql_round_stable(
+           'i.n_common * 1.0 / (ta.n + tb.n - i.n_common)', 4)} AS jaccard
+FROM inter i
+JOIN tot ta ON ta.event_type = i.type_a
+JOIN tot tb ON tb.event_type = i.type_b
+ORDER BY type_a, type_b
+""",
+    doc="audience-overlap matrix: pairwise distinct-user intersection "
+    "and Jaccard between event types.  The scale shape: distinct "
+    "(user, type) FIRST (collapses the event volume to at most "
+    "users x types rows), the self-join runs on that reduced relation "
+    "keyed on user, and the per-type totals ride a broadcast.  The "
+    "audience-sizing query every ads/engagement stack runs; the "
+    "sketch twin (HLL inclusion-exclusion, see "
+    "events_audience_overlap_hll) answers it without the self-join "
+    "when estimates suffice",
+    defer=True,
+)
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ut = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    tot = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    a = ut.alias("a")
+    b = ut.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    ta = tot.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("n_a")
+    )
+    tb = tot.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("n_b")
+    )
+    jac = F.col("n_common") * 1.0 / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return (
+        inter.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            round_stable(jac, 4).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+@register(
+    "events_audience_overlap_hll",
+    None,  # approx_count_distinct's HLL++ estimates are engine-specific
+    # — rows-only at the driver; estimate-vs-exact error is bounded by
+    # tests/test_analytics_round4d.py
+    doc="sketch twin of events_audience_overlap: per-type and unioned "
+    "distinct-user HLL estimates, intersection by inclusion-exclusion "
+    "(|A|+|B|-|AuB|).  No self-join at all — two grouped sketch "
+    "aggregates over (type) and (pair-union) — the shape that answers "
+    "overlap on 100 TB in one pass when ~2% error is acceptable",
+    defer=True,
+)
+def events_audience_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    tot = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("n_est")
+    )
+    types = [r["event_type"] for r in tot.select("event_type").collect()]
+    pairs = [(x, y) for x in types for y in types if x < y]
+    pair_df = ev.sparkSession.createDataFrame(
+        pairs, "type_a string, type_b string"
+    )
+    union_est = (
+        pair_df.join(
+            ev,
+            (F.col("event_type") == F.col("type_a"))
+            | (F.col("event_type") == F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("n_union_est"))
+    )
+    ta = tot.select(
+        F.col("event_type").alias("type_a"), F.col("n_est").alias("n_a_est")
+    )
+    tb = tot.select(
+        F.col("event_type").alias("type_b"), F.col("n_est").alias("n_b_est")
+    )
+    inter = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.col("n_a_est") + F.col("n_b_est") - F.col("n_union_est"),
+    )
+    return (
+        union_est.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a_est",
+            "n_b_est",
+            inter.alias("n_common_est"),
+        )
+        .orderBy("type_a", "type_b")
+    )

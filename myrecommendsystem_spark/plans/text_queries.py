@@ -1278,3 +1278,22 @@ def corpus_drift_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("pn") - F.col("pr")).desc(), "term")
         .limit(20)
     )
+
+
+@register(
+    "embedding_pca_spectrum",
+    None,  # eigendecomposition — not SQL-expressible; numerics pinned
+    # against numpy full-matrix PCA in tests/test_analytics_round4d.py
+    doc="distributed PCA spectrum of the embedding covariance "
+    "(operators/similarity.pca_spectrum): executors emit O(d^2) Arrow "
+    "partials (count, sum, sum-of-outer-products) per partition, one "
+    "grouped sum reduces them, the driver eigendecomposes the d x d "
+    "covariance — O(1) driver work in corpus size, the RowMatrix./"
+    "tall-skinny shape.  Output per component: eigenvalue, explained "
+    "variance, cumulative, argmax-|loading| dim (sign-free).  The "
+    "corpus-QA pass that detects collapsed/anisotropic embedding "
+    "spaces before an ANN index or clustering run",
+    defer=True,
+)
+def embedding_pca_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.pca_spectrum(_emb(spark, sf_dir))

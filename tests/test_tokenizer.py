@@ -1,0 +1,96 @@
+"""BPE merge learning — semantics pinned against a pure-python trainer.
+
+The registry's ``bpe_pair_counts`` is oracle-gated (DuckDB); the
+iterative ``bpe_learned_merges`` is rows-only at the driver, so the
+merge-sequence semantics are pinned here by exact equality with an
+independent in-memory implementation of Sennrich-2016 greedy BPE.
+"""
+
+from __future__ import annotations
+
+import collections
+import re
+
+from myrecommendsystem_spark.ml import bpe
+
+_WORD_RE = re.compile(r"^[a-z]+$")
+
+
+def _reference_bpe(texts, n_merges):
+    """Independent driver-side BPE: word counts -> greedy merges."""
+    vocab = collections.Counter()
+    for t in texts:
+        for w in t.lower().strip().split():
+            if 2 <= len(w) <= 20 and _WORD_RE.match(w):
+                vocab[w] += 1
+    syms = {w: list(w) for w in vocab}
+    merges = []
+    for _ in range(n_merges):
+        pairs = collections.Counter()
+        for w, s in syms.items():
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += vocab[w]
+        if not pairs:
+            break
+        (a, b), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if cnt < 2:
+            break
+        merges.append((a, b, cnt))
+        for w, s in syms.items():
+            res, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(s[i])
+                    i += 1
+            syms[w] = res
+    return merges
+
+
+TEXTS = [
+    "the cat sat on the mat and the cat ate",
+    "low lower lowest newer newest wide wider widest",
+    "banana bandana ananas banal canal",
+    "aaa aaaa aaaaa bb bbb",  # overlap case: merging (a,a) must not chain
+    "the newer cat sat lower on a wider mat",
+]
+
+
+def test_merge_sequence_matches_reference(spark):
+    docs = spark.createDataFrame([(t,) for t in TEXTS], "text string")
+    got = bpe.train_bpe_merges(docs, n_merges=12, max_vocab=None)
+    want = _reference_bpe(TEXTS, 12)
+    assert got == want
+
+
+def test_merge_overlap_is_left_to_right():
+    # Merging ('a','a') in 'aaaaa' -> ['aa','aa','a'], never ['aa','aaa'].
+    assert bpe.segment_word("aaaaa", [("a", "a", 99)]) == ["aa", "aa", "a"]
+    assert bpe.segment_word(
+        "aaaaa", [("a", "a", 99), ("aa", "aa", 98)]
+    ) == ["aaaa", "a"]
+
+
+def test_segmenter_applies_merges_in_rank_order(spark):
+    docs = spark.createDataFrame([(t,) for t in TEXTS], "text string")
+    merges = bpe.train_bpe_merges(docs, n_merges=12, max_vocab=None)
+    # Every learned merge token reassembles its pair.
+    for a, b, _ in merges:
+        assert (a + b) == "".join(bpe.segment_word(a + b, merges)[:])[
+            : len(a + b)
+        ]
+    # Segmentation of a word is a partition of its characters.
+    for w in ["lowest", "banana", "thecat"]:
+        assert "".join(bpe.segment_word(w, merges)) == w
+
+
+def test_vocab_cap_is_frequency_ranked(spark):
+    docs = spark.createDataFrame(
+        [("zz zz zz yy yy xx",)], "text string"
+    )
+    top2 = {r["w"] for r in bpe.word_vocab(docs, max_vocab=2).collect()}
+    assert top2 == {"zz", "yy"}
