@@ -139,6 +139,17 @@ HEADLINE: tuple[str, ...] = (
     "embedding_outlier_scores",
     "doc_duplication_profile",
     "events_error_pchart",
+    # round-4d: tokenizer training / skyline / set-ops / PCA
+    "bpe_pair_counts",
+    "parts_skyline",
+    "events_audience_overlap",
+    "embedding_pca_spectrum",
+    "orders_chi2_status_priority",
+    "events_cusum_alarms",
+    # doc_quality_model_scores intentionally NOT in the headline: the
+    # L-BFGS fit is iteration-overhead-bound at bench scale (~4 s
+    # regardless of sf) and the MLlib-fit family is already represented
+    # by als_user_recs; the registry sweep still covers it.
 )
 
 

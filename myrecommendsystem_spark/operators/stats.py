@@ -80,3 +80,75 @@ def average_products(ratings: DataFrame, ndigits: int = 4) -> DataFrame:
         .agg(round_stable(F.avg("score"), ndigits).alias("avg_score"))
         .orderBy("productId")
     )
+
+
+def cusum_alarms(
+    daily: DataFrame,
+    group_col: str = "event_type",
+    day_col: str = "day",
+    value_col: str = "avg_value",
+    k: float = 0.5,
+    h: float = 4.0,
+) -> DataFrame:
+    """Two-sided CUSUM mean-shift detection per group (Page 1954).
+
+    Input is an already-aggregated series (one row per group × day —
+    bounded by calendar × group cardinality, NOT event volume).  Each
+    group's series is standardized by its own mean/std (broadcast join
+    of per-group moments), then the recursions
+
+        s+_t = max(0, s+_{t-1} + z_t - k)
+        s-_t = max(0, s-_{t-1} - z_t - k)
+
+    flag days where either side exceeds ``h``.  The recursion is a
+    sequential scan with no relational equivalent (a nonlinear prefix
+    op), so it runs as an Arrow kernel via ``applyInPandas`` keyed on
+    the group — each group's series fits trivially in one batch, and
+    groups parallelize across executors.  Output: (group, day, value,
+    z, s_hi, s_lo, alarm).
+    """
+    import pandas as pd
+
+    moments = daily.groupBy(group_col).agg(
+        F.avg(value_col).alias("_mu"),
+        F.stddev_samp(value_col).alias("_sd"),
+    )
+    std = daily.join(F.broadcast(moments), group_col).withColumn(
+        "_z",
+        F.when(
+            F.col("_sd").isNull() | (F.col("_sd") == 0.0), F.lit(0.0)
+        ).otherwise((F.col(value_col) - F.col("_mu")) / F.col("_sd")),
+    )
+
+    out_schema = (
+        f"{group_col} string, {day_col} string, {value_col} double, "
+        "z double, s_hi double, s_lo double, alarm int"
+    )
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(day_col)
+        s_hi = s_lo = 0.0
+        hi, lo, alarms = [], [], []
+        for z in pdf["_z"]:
+            s_hi = max(0.0, s_hi + z - k)
+            s_lo = max(0.0, s_lo - z - k)
+            hi.append(round(s_hi, 4))
+            lo.append(round(s_lo, 4))
+            alarms.append(int(s_hi > h or s_lo > h))
+        return pd.DataFrame(
+            {
+                group_col: pdf[group_col],
+                day_col: pdf[day_col].astype(str),
+                value_col: pdf[value_col],
+                "z": [round(z, 4) for z in pdf["_z"]],
+                "s_hi": hi,
+                "s_lo": lo,
+                "alarm": alarms,
+            }
+        )
+
+    return (
+        std.groupBy(group_col)
+        .applyInPandas(scan, schema=out_schema)
+        .orderBy(group_col, day_col)
+    )

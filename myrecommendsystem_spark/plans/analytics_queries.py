@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from myrecommendsystem_spark.functions.compat import round_stable, sql_round_stable
 from myrecommendsystem_spark.io import readers
+from myrecommendsystem_spark.operators import stats
 from myrecommendsystem_spark.plans.registry import register
 
 
@@ -4660,3 +4661,97 @@ def events_audience_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence test (categorical association audit)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_chi2_status_priority",
+    f"""
+WITH obs AS (
+    SELECT o_orderstatus AS flag, o_orderpriority AS mode,
+           CAST(COUNT(*) AS BIGINT) AS o
+    FROM orders GROUP BY flag, mode
+),
+rowt AS (SELECT flag, SUM(o) AS rt FROM obs GROUP BY flag),
+colt AS (SELECT mode, SUM(o) AS ct FROM obs GROUP BY mode),
+n AS (SELECT SUM(o) AS n FROM obs)
+SELECT obs.flag AS flag, obs.mode AS mode, obs.o AS o,
+       {sql_round_stable('rowt.rt * colt.ct * 1.0 / n.n', 4)} AS expected,
+       {sql_round_stable(
+           'POWER(obs.o - rowt.rt * colt.ct * 1.0 / n.n, 2)'
+           ' / (rowt.rt * colt.ct * 1.0 / n.n)', 4)} AS contrib
+FROM obs
+JOIN rowt ON obs.flag = rowt.flag
+JOIN colt ON obs.mode = colt.mode
+CROSS JOIN n
+ORDER BY obs.flag, obs.mode
+""",
+    doc="chi-square test of independence between order status and "
+    "order priority: observed vs expected contingency cells and each cell's "
+    "statistic contribution (their sum is the chi2 statistic, dof = "
+    "(R-1)(C-1)).  The categorical-association audit behind feature "
+    "selection and drift alarms.  One grouped count over the fact "
+    "table; margins and the grand total are tiny broadcast aggregates "
+    "— the fact table shuffles once, everything downstream is "
+    "cell-cardinality work",
+    defer=True,
+)
+def orders_chi2_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    obs = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderstatus").alias("flag"),
+            F.col("o_orderpriority").alias("mode"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    )
+    rowt = obs.groupBy("flag").agg(F.sum("o").alias("rt"))
+    colt = obs.groupBy("mode").agg(F.sum("o").alias("ct"))
+    n = obs.agg(F.sum("o").alias("n"))
+    expected = F.col("rt") * F.col("ct") * 1.0 / F.col("n")
+    contrib = F.pow(F.col("o") - expected, 2) / expected
+    return (
+        obs.join(F.broadcast(rowt), "flag")
+        .join(F.broadcast(colt), "mode")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "flag",
+            "mode",
+            "o",
+            round_stable(expected, 4).alias("expected"),
+            round_stable(contrib, 4).alias("contrib"),
+        )
+        .orderBy("flag", "mode")
+    )
+
+
+@register(
+    "events_cusum_alarms",
+    None,  # Page's CUSUM recursion s_t = max(0, s_{t-1} + z_t - k) is a
+    # nonlinear prefix scan — no SQL equivalent; semantics pinned by an
+    # independent-implementation parity test + step-injection property
+    # test in tests/test_analytics_round4d.py
+    doc="change-point monitoring: two-sided CUSUM (Page 1954) on the "
+    "daily mean event value per event type (operators/stats.py::"
+    "cusum_alarms).  The input series is the calendar x type aggregate "
+    "(bounded rows), standardization moments ride a broadcast, and the "
+    "recursion runs as an Arrow kernel per type via applyInPandas — "
+    "groups parallelize, each series is one batch.  Complements the "
+    "Shewhart p-chart (events_error_pchart): CUSUM accumulates small "
+    "persistent shifts the per-point control limits miss",
+    defer=True,
+)
+def events_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        )
+        .agg(F.avg("value").alias("avg_value"))
+    )
+    return stats.cusum_alarms(daily)

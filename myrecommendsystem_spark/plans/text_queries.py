@@ -1297,3 +1297,24 @@ def corpus_drift_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_pca_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pca_spectrum(_emb(spark, sf_dir))
+
+
+@register(
+    "doc_quality_model_scores",
+    None,  # L-BFGS-fit logistic weights are engine-specific — rows-only;
+    # discrimination vs the TRUE lang column (never seen in training)
+    # is asserted in tests/test_analytics_round4d.py (AUC bound)
+    doc="model-based corpus filter (ml/quality.py): logistic regression "
+    "on hashed char-bigram features, trained on WEAK labels from the "
+    "heuristic language-ID, scoring every document with a calibrated "
+    "P(target).  The fastText-classifier deployment shape (GPT-3 "
+    "quality filtering, CCNet): featurization is codegen char-grams + "
+    "MLlib HashingTF (no vocabulary state), the fit is distributed "
+    "L-BFGS, scoring broadcasts the model and never shuffles the "
+    "corpus.  At 100 TB: fit on a bounded sample, score everything",
+    defer=True,
+)
+def doc_quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myrecommendsystem_spark.ml import quality
+
+    return quality.score_documents(readers.load_table(spark, sf_dir, "documents"))

@@ -148,3 +148,116 @@ def test_pca_project_reduces_and_centers(spark):
     np.testing.assert_allclose(got, want, atol=1e-9)
     assert got.shape == (200, 2)
     np.testing.assert_allclose(got.mean(axis=0), 0.0, atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection
+# ---------------------------------------------------------------------------
+
+
+def _ref_cusum(zs, k=0.5, h=4.0):
+    s_hi = s_lo = 0.0
+    out = []
+    for z in zs:
+        s_hi = max(0.0, s_hi + z - k)
+        s_lo = max(0.0, s_lo - z - k)
+        out.append((round(s_hi, 4), round(s_lo, 4), int(s_hi > h or s_lo > h)))
+    return out
+
+
+def test_cusum_matches_reference_scan(spark):
+    from myrecommendsystem_spark.operators.stats import cusum_alarms
+
+    vals = [10.0, 10.2, 9.9, 10.1, 10.0, 13.0, 13.1, 13.2, 13.0, 13.1]
+    rows = [("a", f"2026-01-{d+1:02d}", v) for d, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "event_type string, day string, avg_value double"
+    )
+    got = cusum_alarms(df).orderBy("day").collect()
+    mu = float(np.mean(vals))
+    sd = float(np.std(vals, ddof=1))
+    want = _ref_cusum([(v - mu) / sd for v in vals])
+    assert [(r["s_hi"], r["s_lo"], r["alarm"]) for r in got] == want
+
+
+def test_cusum_step_shift_alarms_and_constant_does_not(spark):
+    from myrecommendsystem_spark.operators.stats import cusum_alarms
+
+    # constant series: z = 0 everywhere -> never alarms
+    const = [("c", f"2026-02-{d+1:02d}", 5.0) for d in range(20)]
+    # step shift at day 16: the long stable prefix keeps the low-side
+    # sum under h while the sustained post-shift deviation (+1.69 sd,
+    # +1.19/day after the k allowance) crosses h within four days
+    shift = [
+        ("s", f"2026-02-{d+1:02d}", 10.0 + (4.0 if d >= 15 else 0.0))
+        for d in range(20)
+    ]
+    df = spark.createDataFrame(
+        const + shift, "event_type string, day string, avg_value double"
+    )
+    res = cusum_alarms(df).collect()
+    assert all(r["alarm"] == 0 for r in res if r["event_type"] == "c")
+    s_alarms = [r["alarm"] for r in sorted(
+        (r for r in res if r["event_type"] == "s"),
+        key=lambda r: r["day"],
+    )]
+    assert sum(s_alarms) > 0 and all(a == 0 for a in s_alarms[:15])
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality/language filter
+# ---------------------------------------------------------------------------
+
+
+def _auc(pos, neg):
+    import bisect
+
+    pos, neg = sorted(pos), sorted(neg)
+    wins = sum(
+        bisect.bisect_left(neg, p) + 0.5 * (
+            bisect.bisect_right(neg, p) - bisect.bisect_left(neg, p)
+        )
+        for p in pos
+    )
+    return wins / (len(pos) * len(neg))
+
+
+def test_quality_model_separates_constructed_corpus(spark):
+    # Two token distributions whose weak labels (heuristic langid) are
+    # correct by construction: English stopword-rich vs French
+    # stopword-rich.  The model sees only the weak labels; ground truth
+    # here is the generating class.
+    rng = np.random.default_rng(23)
+    en_vocab = "the of and to in is that it for was on are".split()
+    fr_vocab = "le la de et que en un une les des est pas".split()
+    rows = []
+    for i in range(300):
+        vocab = en_vocab if i % 2 == 0 else fr_vocab
+        words = rng.choice(vocab, size=15)
+        rows.append((i, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from myrecommendsystem_spark.ml import quality
+
+    scored = {r["doc_id"]: r["p_target"] for r in quality.score_documents(docs).collect()}
+    pos = [scored[i] for i in range(0, 300, 2)]
+    neg = [scored[i] for i in range(1, 300, 2)]
+    auc = _auc(pos, neg)
+    assert auc >= 0.95, f"AUC {auc:.3f}"
+
+
+def test_quality_model_generalizes_weak_labels_on_testdata(spark, sf_dir):
+    # The synthetic documents' text is uncorrelated with the `lang`
+    # metadata column (all sources draw the same token distribution),
+    # so the real-data check is the fastText-pattern one: the model's
+    # scores must reproduce the weak labeler's decisions it was
+    # trained on (en vs und here).
+    from myrecommendsystem_spark.io import readers
+    from myrecommendsystem_spark.ml import quality
+
+    docs = readers.load_table(spark, sf_dir, "documents")
+    rows = quality.score_documents(docs).collect()
+    pos = [r["p_target"] for r in rows if r["weak_label"] == 1]
+    neg = [r["p_target"] for r in rows if r["weak_label"] == 0]
+    assert pos and neg
+    auc = _auc(pos, neg)
+    assert auc >= 0.9, f"AUC {auc:.3f}"
