@@ -146,6 +146,10 @@ HEADLINE: tuple[str, ...] = (
     "embedding_pca_spectrum",
     "orders_chi2_status_priority",
     "events_cusum_alarms",
+    "doc_collocations_pmi",
+    "product_graph_components",
+    "events_time_to_convert",
+    "events_late_arrivals",
     # doc_quality_model_scores intentionally NOT in the headline: the
     # L-BFGS fit is iteration-overhead-bound at bench scale (~4 s
     # regardless of sf) and the MLlib-fit family is already represented

@@ -4755,3 +4755,264 @@ def events_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.avg("value").alias("avg_value"))
     )
     return stats.cusum_alarms(daily)
+
+
+# ---------------------------------------------------------------------------
+# Connected components (iterative min-label vs recursive-CTE oracle)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "product_graph_components",
+    f"""
+WITH RECURSIVE ratings AS (
+    SELECT CAST(user_id AS INTEGER) AS userId,
+           CAST(regexp_extract(props, '[0-9]+', 0) AS INTEGER) AS productId,
+           value AS score,
+           ts
+    FROM events
+),
+capped AS (
+    SELECT userId, productId, score FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY userId
+            ORDER BY ts DESC, productId DESC, score DESC
+        ) AS rn FROM ratings
+    ) WHERE rn <= 20
+),
+r AS (
+    SELECT userId, productId, AVG(score) AS score
+    FROM capped GROUP BY userId, productId
+),
+norms AS (
+    SELECT productId, SQRT(SUM(score * score)) AS nrm
+    FROM r GROUP BY productId
+),
+dots AS (
+    SELECT a.productId AS pid, b.productId AS other_pid,
+           SUM(a.score * b.score) AS dot
+    FROM r a JOIN r b ON a.userId = b.userId AND a.productId <> b.productId
+    GROUP BY pid, other_pid
+),
+sims AS (
+    SELECT pid, other_pid,
+           {sql_round_stable('dot / (na.nrm * nb.nrm)', 4)} AS sim
+    FROM dots
+    JOIN norms na ON dots.pid = na.productId
+    JOIN norms nb ON dots.other_pid = nb.productId
+),
+knn AS (
+    SELECT CAST(pid AS BIGINT) AS src, CAST(other_pid AS BIGINT) AS dst
+    FROM (
+        SELECT pid, other_pid, ROW_NUMBER() OVER (
+            PARTITION BY pid ORDER BY sim DESC, other_pid
+        ) AS rn
+        FROM sims WHERE sim > 0.3
+    ) WHERE rn <= 3
+),
+edges AS (
+    SELECT src, dst FROM knn UNION SELECT dst, src FROM knn
+),
+reach AS (
+        SELECT src AS a, src AS b FROM edges
+    UNION
+        SELECT src, dst FROM edges
+    UNION
+        SELECT r2.a, e.dst FROM reach r2 JOIN edges e ON e.src = r2.b
+)
+SELECT a AS id, CAST(MIN(b) AS BIGINT) AS component
+FROM reach
+GROUP BY a
+ORDER BY id
+""",
+    doc="connected components of the sparse kNN similarity graph "
+    "(sim > 0.3, k=3): Spark runs the iterative min-label propagation "
+    "(operators/dedup.connected_components — O(diameter) rounds, "
+    "checkpoint-truncated); the oracle computes the same labeling as "
+    "a DuckDB RECURSIVE reachability closure with MIN aggregation.  "
+    "Same iterative-vs-declarative parity discipline as "
+    "product_graph_distances, but for the fixed-point (unbounded-"
+    "depth) case.  The graph-segmentation pass behind catalog "
+    "taxonomy discovery and near-dup cluster audits",
+    defer=True,
+)
+def product_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myrecommendsystem_spark.ml.itemcf import corating_similarities
+    from myrecommendsystem_spark.operators.dedup import connected_components
+    from myrecommendsystem_spark.operators.relational import top_k_per_group
+
+    ratings = readers.events_as_ratings(spark, sf_dir)
+    sims = corating_similarities(ratings, threshold=0.0).filter(
+        F.col("sim") > 0.3
+    )
+    knn = top_k_per_group(
+        sims, ["pid"], [F.col("sim").desc(), F.col("other_pid")], 3
+    ).select(
+        F.col("pid").cast("long").alias("id_a"),
+        F.col("other_pid").cast("long").alias("id_b"),
+    )
+    comp = connected_components(knn)
+    return (
+        comp.select(
+            F.col("id").cast("bigint"),
+            F.col("comp").cast("bigint").alias("component"),
+        )
+        .orderBy("id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conversion latency distribution (view -> first purchase)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_time_to_convert",
+    f"""
+WITH deltas AS (
+    SELECT v.event_id,
+           MIN(date_diff('microsecond', v.ts, p.ts) / 1000000.0) AS delta_s
+    FROM events v
+    JOIN events p
+      ON p.user_id = v.user_id
+     AND p.event_type = 'purchase'
+     AND p.ts >= v.ts
+     AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    WHERE v.event_type = 'view'
+    GROUP BY v.event_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+       {sql_round_stable('AVG(delta_s)', 2)} AS avg_s,
+       {sql_round_stable('quantile_cont(delta_s, 0.25)', 2)} AS p25_s,
+       {sql_round_stable('quantile_cont(delta_s, 0.50)', 2)} AS p50_s,
+       {sql_round_stable('quantile_cont(delta_s, 0.75)', 2)} AS p75_s
+FROM deltas
+""",
+    doc="conversion-latency distribution: per view, seconds to the "
+    "FIRST purchase by the same user within 30 minutes, summarized as "
+    "exact continuous quantiles (Spark percentile == DuckDB "
+    "quantile_cont interpolation).  The interval join is the "
+    "watermark-evictable attribution shape (streaming/joins.py); the "
+    "min-per-view collapses in the same grouped pass.  The latency "
+    "read-out product teams put on dashboards next to the funnel",
+    defer=True,
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", F.col("ts").alias("view_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    deltas = (
+        views.join(
+            purchases,
+            (views.user_id == purchases.user_id)
+            & (F.col("p_ts") >= F.col("view_ts"))
+            & (F.col("p_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .groupBy("event_id")
+        .agg(
+            F.min(
+                F.expr("timestampdiff(MICROSECOND, view_ts, p_ts)") / 1e6
+            ).alias("delta_s")
+        )
+    )
+    return deltas.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        round_stable(F.avg("delta_s"), 2).alias("avg_s"),
+        round_stable(F.percentile("delta_s", F.lit(0.25)), 2).alias("p25_s"),
+        round_stable(F.percentile("delta_s", F.lit(0.50)), 2).alias("p50_s"),
+        round_stable(F.percentile("delta_s", F.lit(0.75)), 2).alias("p75_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Watermark late-arrival audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_late_arrivals",
+    """
+WITH wm AS (
+    SELECT event_type, ts,
+           MAX(ts) OVER (ORDER BY event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               - INTERVAL 10 MINUTE AS watermark
+    FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN ts < watermark THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_late,
+       ROUND(SUM(CASE WHEN ts < watermark THEN 1 ELSE 0 END) * 100.0
+             / COUNT(*) + 1e-9, 4) AS late_pct
+FROM wm
+GROUP BY event_type
+ORDER BY event_type
+""",
+    doc="watermark audit: events that a 10-minute watermark would drop, "
+    "per type — arrival order proxied by event_id, watermark = running "
+    "max event time over strictly-prior arrivals minus the delay.  The "
+    "pre-deployment answer to 'what loss does this watermark buy'.  "
+    "The oracle's global running max is a single-partition window; the "
+    "Spark plan is the two-phase form (same discipline as the skyline "
+    "and global_row_numbers): range-bucket on event_id, running max "
+    "within bucket, strictly-prior-bucket prefix max via a 32-row "
+    "broadcast — no global single-partition exchange anywhere",
+    defer=True,
+)
+def events_late_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_bkt = 32
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "ts")
+    bounds = ev.agg(
+        F.min("event_id").alias("mn"), F.max("event_id").alias("mx")
+    )
+    span = (F.col("mx") - F.col("mn") + 1).cast("double")
+    with_bkt = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.least(
+            F.lit(n_bkt - 1),
+            F.floor((F.col("event_id") - F.col("mn")) * n_bkt / span),
+        )
+        .cast("int")
+        .alias("bkt"),
+    )
+    w_loc = (
+        Window.partitionBy("bkt")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = with_bkt.withColumn("loc_max", F.max("ts").over(w_loc))
+    bmax = with_bkt.groupBy("bkt").agg(F.max("ts").alias("bts"))
+    w_bkt = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    prior = bmax.select(
+        "bkt", F.max("bts").over(w_bkt).alias("prior_max")
+    )
+    wm = (
+        local.join(F.broadcast(prior), "bkt")
+        .withColumn(
+            "watermark",
+            F.greatest(
+                F.coalesce(F.col("loc_max"), F.col("prior_max")),
+                F.coalesce(F.col("prior_max"), F.col("loc_max")),
+            )
+            - F.expr("INTERVAL 10 MINUTES"),
+        )
+    )
+    late = F.when(F.col("ts") < F.col("watermark"), 1).otherwise(0)
+    return (
+        wm.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(late).cast("bigint").alias("n_late"),
+            F.round(
+                F.sum(late) * 100.0 / F.count(F.lit(1)) + F.lit(1e-9), 4
+            ).alias("late_pct"),
+        )
+        .orderBy("event_type")
+    )

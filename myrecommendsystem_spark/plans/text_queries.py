@@ -1318,3 +1318,121 @@ def doc_quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from myrecommendsystem_spark.ml import quality
 
     return quality.score_documents(readers.load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_collocations_pmi",
+    rf"""
+WITH arrs AS (
+    SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+    FROM documents
+),
+words AS (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+    FROM (SELECT unnest(ws) AS w FROM arrs)
+    WHERE regexp_matches(w, '^[a-z]+$')
+    GROUP BY w
+),
+bis AS (
+    SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab
+    FROM (
+        SELECT ws[CAST(i.i AS INTEGER)] AS a,
+               ws[CAST(i.i AS INTEGER) + 1] AS b
+        FROM arrs, unnest(range(1, len(ws))) AS i(i)
+    )
+    WHERE regexp_matches(a, '^[a-z]+$') AND regexp_matches(b, '^[a-z]+$')
+    GROUP BY a, b
+),
+tot AS (
+    SELECT (SELECT SUM(c) FROM words) AS n_uni,
+           (SELECT SUM(c_ab) FROM bis) AS n_bi
+)
+SELECT bis.a AS a, bis.b AS b, bis.c_ab AS c_ab,
+       {sql_round_stable(
+           'log2( (bis.c_ab * 1.0 / tot.n_bi)'
+           ' / ((wa.c * 1.0 / tot.n_uni) * (wb.c * 1.0 / tot.n_uni)) )',
+           4)} AS pmi
+FROM bis
+JOIN words wa ON bis.a = wa.w
+JOIN words wb ON bis.b = wb.w
+CROSS JOIN tot
+WHERE bis.c_ab >= 5
+ORDER BY pmi DESC, a, b
+LIMIT 20
+""",
+    doc="collocation extraction: top-20 adjacent word bigrams by "
+    "pointwise mutual information (min count 5) — the phrase-mining "
+    "pass (word2vec phrase pass, NLTK collocations) that finds "
+    "multi-word units a tokenizer should keep together.  Bigram "
+    "construction is the same JVM transform-over-indices used by the "
+    "BPE pair counter; unigram/bigram totals ride broadcasts; the "
+    "final top-k is TakeOrderedAndProject.  Distinct from "
+    "product_cooccurrence_pmi (basket co-occurrence): this is "
+    "sequence-adjacency PMI over text",
+    defer=True,
+)
+def doc_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = readers.load_table(spark, sf_dir, "documents")
+    arrs = docs.select(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("ws")
+    )
+    ok = lambda c: c.rlike("^[a-z]+$")  # noqa: E731
+    words = (
+        arrs.select(F.explode("ws").alias("w"))
+        .filter(ok(F.col("w")))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size("ws") - 2),
+        lambda i: F.struct(
+            F.element_at("ws", i + 1).alias("a"),
+            F.element_at("ws", i + 2).alias("b"),
+        ),
+    )
+    # one explode pass: group first, then derive BOTH the total and the
+    # min-count filter from the grouped relation (never re-scan the corpus)
+    bis_all = (
+        arrs.filter(F.size("ws") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .filter(ok(F.col("a")) & ok(F.col("b")))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+    )
+    # words feeds three consumers (wa, wb, n_uni) and bis_all two (the
+    # filtered pairs + the global total) — persist both so the corpus is
+    # exploded exactly once per relation, release on materialize
+    words = words.persist()
+    bis_all = bis_all.persist()
+    bis = bis_all.filter(F.col("c_ab") >= 5)
+    n_uni = words.agg(F.sum("c").alias("n_uni"))
+    n_bi_all = bis_all.agg(F.sum("c_ab").alias("n_bi"))
+    wa = words.select(F.col("w").alias("a"), F.col("c").alias("c_a"))
+    wb = words.select(F.col("w").alias("b"), F.col("c").alias("c_b"))
+    pmi = F.log2(
+        (F.col("c_ab") * 1.0 / F.col("n_bi"))
+        / (
+            (F.col("c_a") * 1.0 / F.col("n_uni"))
+            * (F.col("c_b") * 1.0 / F.col("n_uni"))
+        )
+    )
+    from myrecommendsystem_spark.functions.caching import eager_release
+
+    result = (
+        bis.join(F.broadcast(wa), "a")
+        .join(F.broadcast(wb), "b")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi_all))
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            round_stable(pmi, 4).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "a", "b")
+        .limit(20)
+    )
+    return eager_release(result, words, bis_all).orderBy(
+        F.col("pmi").desc(), "a", "b"
+    )

@@ -551,3 +551,53 @@ def test_growth_accounting_reuses_checkpointed_activity(spark):
     plan = _executed(spark, "users_growth_accounting")
     assert plan.count("Scan ExistingRDD") >= 3, plan[:2000]
     assert plan.count("FileScan parquet") <= 1
+
+
+def test_skyline_two_phase_no_global_window(spark):
+    """The distributed skyline must keep both window passes partitioned:
+    the only SinglePartition exchanges allowed are the 32-row bucket-max
+    relation and the final broadcast/sort — never the data side."""
+    plan = _executed(spark, "parts_skyline")
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+    # the data-side window is partitioned by bkt
+    assert "partitionBy=[bkt" in plan or "hashpartitioning(bkt" in plan
+
+
+def test_late_arrivals_two_phase_no_global_window(spark):
+    """Watermark audit: running max must be bucket-local; the global
+    prefix comes from the 32-row bucket-max side only."""
+    plan = _executed(spark, "events_late_arrivals")
+    assert "Python" not in plan
+    assert "hashpartitioning(bkt" in plan
+    # no window over an un-bucketed global ordering of the data side:
+    # every Window node in the plan mentions the bucket key or runs on
+    # the 32-row side (which shows as SinglePartition above an agg)
+    data_windows = [
+        l for l in plan.splitlines()
+        if "Window [" in l and "bkt" not in l
+    ]
+    assert len(data_windows) <= 1  # only the 32-row prefix-max window
+
+
+def test_collocations_materializes_then_releases(spark):
+    """PMI collocation mining: the heavy exploded relations are persisted,
+    consumed by every branch, then released via eager_release — the plan
+    handed back is a bounded sort over the 20-row checkpoint, and no
+    cached relation outlives the call."""
+    sc = spark.sparkContext
+    before = sc._jsc.sc().getPersistentRDDs().size()
+    plan = _executed(spark, "doc_collocations_pmi")
+    after = sc._jsc.sc().getPersistentRDDs().size()
+    assert "Python" not in plan
+    assert "Generate explode" not in plan  # heavy work already materialized
+    assert "ExistingRDD" in plan
+    # only the 20-row result checkpoint may remain (released on GC);
+    # the two corpus-sized caches must be gone
+    assert after - before <= 1
+
+
+def test_time_to_convert_no_cartesian(spark):
+    plan = _executed(spark, "events_time_to_convert")
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
