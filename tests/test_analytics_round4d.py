@@ -261,3 +261,54 @@ def test_quality_model_generalizes_weak_labels_on_testdata(spark, sf_dir):
     assert pos and neg
     auc = _auc(pos, neg)
     assert auc >= 0.9, f"AUC {auc:.3f}"
+
+
+# ---------------------------------------------------------------------------
+# Hybrid search + RAG ingest composition
+# ---------------------------------------------------------------------------
+
+
+def test_hashing_embedding_properties(spark):
+    from myrecommendsystem_spark.functions.text import hashing_embedding
+
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (3, "zzz qqq xxx www completely different content yyy"),
+        (4, ""),  # empty text must not crash; zero vector allowed
+    ]
+    df = spark.createDataFrame(texts, "id long, text string")
+    out1 = {
+        r["id"]: np.array(r["e"])
+        for r in df.select("id", hashing_embedding(F.col("text")).alias("e")).collect()
+    }
+    out2 = {
+        r["id"]: np.array(r["e"])
+        for r in df.select("id", hashing_embedding(F.col("text")).alias("e")).collect()
+    }
+    for i in out1:  # deterministic across runs
+        np.testing.assert_array_equal(out1[i], out2[i])
+    for i in (1, 2, 3):  # unit norm
+        assert abs(np.linalg.norm(out1[i]) - 1.0) < 1e-5
+    cos_near = float(out1[1] @ out1[2])
+    cos_far = float(out1[1] @ out1[3])
+    assert cos_near > 0.8 > cos_far  # locality: shared n-grams dominate
+    assert np.linalg.norm(out1[4]) == 0.0
+
+
+def test_rag_ingest_covers_every_chunk(spark, sf_dir):
+    from myrecommendsystem_spark.functions import text as TXT
+    from myrecommendsystem_spark.io import readers
+    from myrecommendsystem_spark.plans.text_queries import rag_ingest_pipeline
+
+    docs = readers.load_table(spark, sf_dir, "documents")
+    n_chunks = TXT.content_defined_chunks(docs).count()
+    total_bytes = (
+        TXT.content_defined_chunks(docs)
+        .agg(F.sum("n_bytes").alias("b"))
+        .collect()[0]["b"]
+    )
+    report = rag_ingest_pipeline(spark, sf_dir).collect()
+    assert sum(r["n_chunks"] for r in report) == n_chunks
+    assert sum(r["bytes"] for r in report) == total_bytes
+    assert all(0 <= r["cell_id"] < 8 for r in report)
