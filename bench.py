@@ -149,6 +149,8 @@ HEADLINE: tuple[str, ...] = (
     "doc_collocations_pmi",
     "product_graph_components",
     "doc_hybrid_search_rrf",
+    "parts_entity_resolution",
+    "users_cumulative_reach",
     # rag_ingest_pipeline / doc_quality_model_scores intentionally NOT in
     # the headline: both are build/fit-dominated (index build ~7 s, LR
     # fit ~6 s at any sf — amortized once in production); their families

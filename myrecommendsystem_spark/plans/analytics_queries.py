@@ -5016,3 +5016,135 @@ def events_late_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution (fuzzy match -> cluster -> golden record)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "parts_entity_resolution",
+    """
+WITH RECURSIVE names AS (
+    SELECT p_name AS val, CAST(MIN(p_partkey) AS BIGINT) AS nid
+    FROM part WHERE p_name IS NOT NULL GROUP BY p_name
+),
+pairs AS (
+    SELECT a.nid AS ia, b.nid AS ib
+    FROM names a JOIN names b
+      ON a.val < b.val AND levenshtein(a.val, b.val) <= 1
+),
+edges AS (SELECT ia AS src, ib AS dst FROM pairs
+          UNION SELECT ib, ia FROM pairs),
+reach AS (
+        SELECT src AS a, src AS b FROM edges
+    UNION
+        SELECT src, dst FROM edges
+    UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+),
+comp AS (SELECT a AS id, MIN(b) AS comp FROM reach GROUP BY a),
+assigned AS (
+    SELECT n.nid, n.val, COALESCE(c.comp, n.nid) AS cluster_id
+    FROM names n LEFT JOIN comp c ON n.nid = c.id
+)
+SELECT a.cluster_id AS cluster_id,
+       cn.val AS canonical,
+       CAST(COUNT(*) AS BIGINT) AS n_variants
+FROM assigned a
+JOIN names cn ON cn.nid = a.cluster_id
+GROUP BY a.cluster_id, cn.val
+ORDER BY cluster_id
+""",
+    doc="entity resolution end-to-end: SymSpell-blocked fuzzy pairs "
+    "(edit distance <= 1) -> connected-component clustering -> golden "
+    "record (canonical = the min-key member's spelling, survivorship "
+    "by deterministic rule).  Composes three verified operators "
+    "(edit_distance_pairs, dedup.connected_components) into the "
+    "master-data pipeline shape; singletons keep themselves as "
+    "cluster.  Oracle: brute-force Levenshtein pairs + RECURSIVE "
+    "closure — the declarative twin of both iterative stages at once",
+    defer=True,
+)
+def parts_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myrecommendsystem_spark.operators.dedup import (
+        connected_components,
+        edit_distance_pairs,
+    )
+
+    part = _t(spark, sf_dir, "part")
+    names = (
+        part.filter(F.col("p_name").isNotNull())
+        .groupBy(F.col("p_name").alias("val"))
+        .agg(F.min("p_partkey").cast("bigint").alias("nid"))
+    )
+    pairs = edit_distance_pairs(part, "p_name")
+    na = names.select(F.col("val").alias("val_a"), F.col("nid").alias("id_a"))
+    nb = names.select(F.col("val").alias("val_b"), F.col("nid").alias("id_b"))
+    idp = (
+        pairs.join(F.broadcast(na), "val_a")
+        .join(F.broadcast(nb), "val_b")
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(idp)
+    assigned = names.join(
+        comp.select(F.col("id").alias("nid"), "comp"), "nid", "left"
+    ).select(
+        "nid", "val", F.coalesce("comp", "nid").alias("cluster_id")
+    )
+    canon = names.select(
+        F.col("nid").alias("cluster_id"), F.col("val").alias("canonical")
+    )
+    return (
+        assigned.join(F.broadcast(canon), "cluster_id")
+        .groupBy("cluster_id", "canonical")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_variants"))
+        .orderBy("cluster_id")
+    )
+
+
+@register(
+    "users_cumulative_reach",
+    """
+WITH first_seen AS (
+    SELECT user_id, MIN(CAST(ts AS DATE)) AS day
+    FROM events GROUP BY user_id
+),
+daily AS (
+    SELECT day, CAST(COUNT(*) AS BIGINT) AS n_new
+    FROM first_seen GROUP BY day
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, n_new,
+       CAST(SUM(n_new) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cumulative_reach
+FROM daily
+ORDER BY day
+""",
+    doc="cumulative reach curve: running count of DISTINCT users ever "
+    "seen, by day.  The naive form (COUNT(DISTINCT) OVER a growing "
+    "frame) re-scans every prefix — O(days x events); the decomposed "
+    "form maps each user to their FIRST day (one grouped min), counts "
+    "new users per day, and prefix-sums the (calendar-sized) daily "
+    "relation.  The growth curve every launch dashboard shows, in one "
+    "aggregate + one tiny window",
+    defer=True,
+)
+def users_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("day")
+    )
+    daily = first_seen.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_new",
+            F.sum("n_new").over(w).cast("bigint").alias("cumulative_reach"),
+        )
+        .orderBy("day")
+    )

@@ -87,11 +87,14 @@ def register(
 # round-5 front; until then tests/test_registry_oracle.py replays them
 # at driver scale locally.
 #
-# NOTE for the round-5 rotation: round 4 registered ~59 defer=True
-# queries — MORE than one 50-entry window.  Front the oracle-gated
-# ones (registration order) in _DRIVER_WINDOW_R5 and leave the
-# overflow + rows-only for the round-6 front; full driver coverage of
-# the round-4 additions takes two windows by arithmetic, not neglect.
+# NOTE for the round-5 rotation: round 4 registered ~77 defer=True
+# queries (151 deferred total, 134 carried from the r4 window plan +
+# the round-4d additions) — MORE than one 50-entry window.  Front the
+# oracle-gated ones (registration order) in _DRIVER_WINDOW_R5 and
+# leave the overflow + rows-only for the round-6 front; full driver
+# coverage of the round-4 additions takes two-plus windows by
+# arithmetic, not neglect.  tests/test_registry_oracle.py replays
+# every deferred query at driver scale each round in the meantime.
 _DRIVER_WINDOW_R4 = [
     # -- never driver-verified (r01..r03): oracle-gated round-3 additions --
     "product_category_counts",
