@@ -151,6 +151,7 @@ HEADLINE: tuple[str, ...] = (
     "doc_hybrid_search_rrf",
     "parts_entity_resolution",
     "users_cumulative_reach",
+    "events_cms_user_counts",
     # rag_ingest_pipeline / doc_quality_model_scores intentionally NOT in
     # the headline: both are build/fit-dominated (index build ~7 s, LR
     # fit ~6 s at any sf — amortized once in production); their families

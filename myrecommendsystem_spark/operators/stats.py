@@ -152,3 +152,79 @@ def cusum_alarms(
         .applyInPandas(scan, schema=out_schema)
         .orderBy(group_col, day_col)
     )
+
+
+def _cms_idx_cols(key, depth: int, width: int):
+    """One index column per sketch row: ``pmod(xxhash64(key, row), width)``
+    — the SAME JVM expression feeds the build kernel and the estimate
+    lookup, so the two paths are bit-identical by construction (no
+    cross-language hash reimplementation to drift)."""
+    return [
+        F.pmod(F.xxhash64(key, F.lit(d_i)), F.lit(width)).cast("int")
+        for d_i in range(depth)
+    ]
+
+
+def count_min_sketch(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 5,
+    width: int = 256,
+):
+    """Mergeable count-min sketch of a key column (Cormode 2005) —
+    returns the depth x width numpy grid (merge = cell-wise addition).
+
+    Executors emit one grid per Arrow batch over JVM-prehashed row
+    indexes (seeded ``xxhash64`` + ``pmod`` — no per-row Python, no
+    cross-language hashing); grids reduce through a grouped sum keyed
+    on the flattened cell position — the same partial ->
+    relational-merge shape as the PCA covariance and the HLL merge.
+    The 100 TB property: per-slice sketches (per day, per source)
+    merge by addition, so a year of daily sketches answers
+    point-frequency queries over any date range without re-reading
+    events.  Driver traffic is depth x width ints, O(1) in data
+    volume; estimates stay distributed via :func:`cms_estimate_col`.
+    """
+    import numpy as np
+    import pandas as pd
+
+    idx_cols = [
+        c.alias(f"i{d_i}")
+        for d_i, c in enumerate(_cms_idx_cols(F.col(key_col), depth, width))
+    ]
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            grid = np.zeros((depth, width), dtype=np.int64)
+            for d_i in range(depth):
+                np.add.at(
+                    grid[d_i], pdf[f"i{d_i}"].to_numpy(dtype=np.int64), 1
+                )
+            yield pd.DataFrame({"cells": [grid.reshape(-1).tolist()]})
+
+    part = df.select(*idx_cols).mapInPandas(partials, "cells array<long>")
+    rows = (
+        part.select(F.posexplode("cells").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.sum("v").alias("v"))
+        .collect()
+    )
+    grid = np.zeros(depth * width, dtype=np.int64)
+    for r in rows:
+        grid[r["pos"]] = r["v"]
+    return grid.reshape(depth, width)
+
+
+def cms_estimate_col(grid, key, depth: int = 5, width: int = 256):
+    """JVM column expression estimating the frequency of ``key`` (a
+    Column) from a count-min grid: min over rows of the seeded-hash
+    cell lookup.  The grid travels as an array literal (depth*width
+    longs, ~1-2 KB) — estimation is fully distributed, no driver
+    round-trip per key."""
+    lookups = []
+    for d_i, idx in enumerate(_cms_idx_cols(key, depth, width)):
+        row_lit = F.array(*[F.lit(int(v)) for v in grid[d_i]])
+        lookups.append(F.element_at(row_lit, idx + 1))
+    return F.least(*lookups)

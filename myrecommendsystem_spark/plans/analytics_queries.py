@@ -5148,3 +5148,38 @@ def users_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "events_cms_user_counts",
+    None,  # xxhash64-seeded sketch — engine-specific; rows-only at the
+    # driver.  Overestimate-only + additive-merge + error-bound laws
+    # pinned in tests/test_analytics_round4d.py
+    doc="count-min sketch point-frequency readout: build one mergeable "
+    "depth=5 x width=256 sketch over event user_ids (operators/stats."
+    "count_min_sketch — Arrow grid partials reduced by a grouped sum, "
+    "driver sees O(1) cells), then estimate the 20 heaviest users' "
+    "frequencies JVM-side (cms_estimate_col compiles the min-over-rows "
+    "lookup into a column expression; the grid rides the plan as a "
+    "~1 KB literal).  Output (user_id, true_cnt, est_cnt) — the "
+    "validation readout; production uses the sketch alone.  Third "
+    "member of the mergeable-sketch family (HLL distinct, exact "
+    "heavy-hitters' sketch twin)",
+    defer=True,
+)
+def events_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    grid = stats.count_min_sketch(ev, "user_id")
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), "user_id")
+        .limit(20)
+    )
+    return top.select(
+        "user_id",
+        "true_cnt",
+        stats.cms_estimate_col(grid, F.col("user_id"))
+        .cast("bigint")
+        .alias("est_cnt"),
+    ).orderBy(F.col("true_cnt").desc(), "user_id")

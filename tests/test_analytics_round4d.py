@@ -312,3 +312,48 @@ def test_rag_ingest_covers_every_chunk(spark, sf_dir):
     assert sum(r["n_chunks"] for r in report) == n_chunks
     assert sum(r["bytes"] for r in report) == total_bytes
     assert all(0 <= r["cell_id"] < 8 for r in report)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch laws
+# ---------------------------------------------------------------------------
+
+
+def test_cms_overestimates_within_bound_and_merges(spark):
+    from myrecommendsystem_spark.operators import stats as ST
+
+    rows = [(f"k{i % 37}",) for i in range(2000)] + [("hot",)] * 500
+    df = spark.createDataFrame(rows, "k string").repartition(8)
+    grid = ST.count_min_sketch(df, "k", depth=5, width=256)
+    n_total = 2500
+    truth = {"hot": 500, "k0": 55}
+    est_df = spark.createDataFrame(
+        [(k,) for k in truth], "k string"
+    ).select("k", ST.cms_estimate_col(grid, F.col("k")).alias("est"))
+    est = {r["k"]: r["est"] for r in est_df.collect()}
+    for k, true in truth.items():
+        assert est[k] >= true  # CMS never underestimates
+        assert est[k] <= true + 2 * n_total / 256 * 5  # loose union bound
+    # additive merge == sketch of the union (bit-exact)
+    half_a = spark.createDataFrame(rows[:1200], "k string")
+    half_b = spark.createDataFrame(rows[1200:], "k string")
+    ga = ST.count_min_sketch(half_a, "k", depth=5, width=256)
+    gb = ST.count_min_sketch(half_b, "k", depth=5, width=256)
+    np.testing.assert_array_equal(ga + gb, grid)
+
+
+def test_cms_estimate_matches_numpy_indexing(spark):
+    """The JVM column lookup must hit the SAME cells as the numpy build
+    path (Java long wraparound == uint64 wraparound)."""
+    from myrecommendsystem_spark.operators import stats as ST
+
+    df = spark.createDataFrame([("x",), ("x",), ("y",)], "k string")
+    grid = ST.count_min_sketch(df, "k", depth=5, width=256)
+    est = {
+        r["k"]: r["est"]
+        for r in spark.createDataFrame([("x",), ("y",), ("zz",)], "k string")
+        .select("k", ST.cms_estimate_col(grid, F.col("k")).alias("est"))
+        .collect()
+    }
+    assert est["x"] == 2 and est["y"] == 1
+    assert est["zz"] <= 2  # unseen key can only collide, never underflow
