@@ -152,16 +152,15 @@ HEADLINE: tuple[str, ...] = (
     "parts_entity_resolution",
     "users_cumulative_reach",
     "events_cms_user_counts",
+    "events_time_to_convert",
+    "events_late_arrivals",
+    "media_dedup_exact",
+    "parts_price_band_join",
     # rag_ingest_pipeline / doc_quality_model_scores intentionally NOT in
     # the headline: both are build/fit-dominated (index build ~7 s, LR
     # fit ~6 s at any sf — amortized once in production); their families
     # are represented by ann_topk_ivfpq(+_search) and als_user_recs.
-    "events_time_to_convert",
-    "events_late_arrivals",
-    # doc_quality_model_scores intentionally NOT in the headline: the
-    # L-BFGS fit is iteration-overhead-bound at bench scale (~4 s
-    # regardless of sf) and the MLlib-fit family is already represented
-    # by als_user_recs; the registry sweep still covers it.
+    # The registry sweep still covers both.
 )
 
 

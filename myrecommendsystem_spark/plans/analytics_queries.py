@@ -5183,3 +5183,76 @@ def events_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("est_cnt"),
     ).orderBy(F.col("true_cnt").desc(), "user_id")
+
+
+# ---------------------------------------------------------------------------
+# Band join (numeric-distance self-join via bucket expansion)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "parts_price_band_join",
+    f"""
+WITH p AS (SELECT p_partkey AS k, p_retailprice AS price FROM part)
+SELECT a.k AS partkey,
+       CAST(COUNT(b.k) AS BIGINT) AS n_within_band,
+       {sql_round_stable('COALESCE(AVG(ABS(a.price - b.price)), 0.0)', 4)}
+           AS avg_gap
+FROM p a
+LEFT JOIN p b
+  ON b.k <> a.k AND ABS(a.price - b.price) <= 5.0
+GROUP BY a.k
+ORDER BY partkey
+""",
+    doc="BAND JOIN (|price_a - price_b| <= 5) as a bucketed equi join: "
+    "probes explode to their 3 adjacent width-5 buckets, the build "
+    "side keys on its OWN bucket, so every qualifying pair meets on "
+    "exactly one equi key and the band predicate is a cheap residual.  "
+    "The oracle is the O(n^2) inequality join Spark would otherwise "
+    "nested-loop; the bucketed plan shuffles each side once on the "
+    "bucket key — the standard scale rewrite for distance/band "
+    "predicates (same family as the blocked SymSpell join).  Output: "
+    "per part, how many others price within the band + mean gap "
+    "(LEFT: zero-neighbor parts kept)",
+    defer=True,
+)
+def parts_price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    width = 5.0
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("k"), F.col("p_retailprice").alias("price")
+    )
+    probe = p.select(
+        "k",
+        "price",
+        F.explode(
+            F.array(
+                F.floor(F.col("price") / width) - 1,
+                F.floor(F.col("price") / width),
+                F.floor(F.col("price") / width) + 1,
+            )
+        ).alias("bkt"),
+    )
+    build = p.select(
+        F.col("k").alias("bk"),
+        F.col("price").alias("bprice"),
+        F.floor(F.col("price") / width).alias("bkt"),
+    )
+    pairs = probe.join(build, "bkt").filter(
+        (F.col("bk") != F.col("k"))
+        & (F.abs(F.col("price") - F.col("bprice")) <= width)
+    )
+    counts = pairs.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_within_band"),
+        F.avg(F.abs(F.col("price") - F.col("bprice"))).alias("gap"),
+    )
+    return (
+        p.join(counts, "k", "left")
+        .select(
+            F.col("k").alias("partkey"),
+            F.coalesce("n_within_band", F.lit(0).cast("bigint")).alias(
+                "n_within_band"
+            ),
+            round_stable(F.coalesce("gap", F.lit(0.0)), 4).alias("avg_gap"),
+        )
+        .orderBy("partkey")
+    )

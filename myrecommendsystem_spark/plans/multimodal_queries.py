@@ -84,3 +84,37 @@ def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(_media(spark, sf_dir), every_k=2)
+
+
+@register(
+    "media_dedup_exact",
+    """
+SELECT md5(text) AS fp,  -- payload IS the utf-8 text bytes; VARCHAR md5 hashes the same bytes
+       CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS dup_cnt,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
+FROM documents
+GROUP BY fp
+ORDER BY fp
+""",
+    doc="binary-payload exact dedup: md5 over the raw media BYTES "
+    "(never a decode) grouped to clone sets — keep_id = min media_id "
+    "survivor, plus the reclaimable byte volume per group.  The same "
+    "one-hash-groupBy discipline as dedup_exact_groups applied to the "
+    "multimodal column: at 100 TB only 16-byte digests shuffle, the "
+    "payloads never move",
+    defer=True,
+)
+def media_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = _media(spark, sf_dir)
+    return (
+        media.groupBy(F.md5("payload").alias("fp"))
+        .agg(
+            F.min("media_id").cast("bigint").alias("keep_id"),
+            F.count(F.lit(1)).cast("bigint").alias("dup_cnt"),
+            F.sum(F.octet_length("payload")).cast("bigint").alias(
+                "total_bytes"
+            ),
+        )
+        .orderBy("fp")
+    )

@@ -601,3 +601,14 @@ def test_time_to_convert_no_cartesian(spark):
     plan = _executed(spark, "events_time_to_convert")
     assert "CartesianProduct" not in plan
     assert "Python" not in plan
+
+
+def test_band_join_is_equi_on_bucket_never_nested_loop(spark):
+    """The |Δprice|<=5 band predicate must ride as a residual on a
+    bucket equi join — an inequality-only join would fall back to
+    BroadcastNestedLoopJoin (O(n^2) probes at scale)."""
+    plan = _executed(spark, "parts_price_band_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "bkt" in plan  # the synthetic equi key is in the join
+    assert "Python" not in plan
