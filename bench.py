@@ -156,6 +156,8 @@ HEADLINE: tuple[str, ...] = (
     "events_late_arrivals",
     "media_dedup_exact",
     "parts_price_band_join",
+    "events_rollup_two_level",
+    "events_value_quantiles_sketch",
     # rag_ingest_pipeline / doc_quality_model_scores intentionally NOT in
     # the headline: both are build/fit-dominated (index build ~7 s, LR
     # fit ~6 s at any sf — amortized once in production); their families

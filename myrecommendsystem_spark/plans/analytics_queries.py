@@ -5256,3 +5256,96 @@ def parts_price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("partkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hypertable-style multi-grain rollup (continuous-aggregate chain)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_rollup_two_level",
+    f"""
+WITH minute AS (
+    SELECT event_type,
+           date_trunc('minute', ts) AS m,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(value) AS sv
+    FROM events GROUP BY event_type, m
+)
+SELECT event_type,
+       strftime(date_trunc('hour', m), '%Y-%m-%d %H:00') AS hour,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_minutes_active,
+       {sql_round_stable('SUM(sv)', 4)} AS sum_value,
+       {sql_round_stable('SUM(sv) / SUM(n)', 4)} AS avg_value
+FROM minute
+GROUP BY event_type, hour
+ORDER BY event_type, hour
+""",
+    doc="hypertable-style continuous-aggregate chain: the hour grain is "
+    "derived FROM the minute grain, never from raw events — the "
+    "TimescaleDB/Druid rollup discipline that makes multi-resolution "
+    "dashboards O(finer-grain rows), not O(events), and the reason "
+    "every aggregate here is algebraic (count/sum re-aggregate; avg is "
+    "derived sum/count at read time, never averaged-of-averages).  "
+    "n_minutes_active (a COUNT over the minute relation) is the "
+    "signal only the chain can produce cheaply.  One raw scan total; "
+    "the hour pass reads minute-cardinality rows",
+    defer=True,
+)
+def events_rollup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    minute = ev.groupBy(
+        "event_type", F.date_trunc("minute", "ts").alias("m")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("value").alias("sv"),
+    )
+    return (
+        minute.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("hour", "m"), "yyyy-MM-dd HH:00").alias(
+                "hour"
+            ),
+        )
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.count(F.lit(1)).cast("bigint").alias("n_minutes_active"),
+            round_stable(F.sum("sv"), 4).alias("sum_value"),
+            round_stable(F.sum("sv") / F.sum("n"), 4).alias("avg_value"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+@register(
+    "events_value_quantiles_sketch",
+    None,  # approx_percentile's KLL-style sketch is engine-specific —
+    # rows-only; rank-error vs the exact quantiles is bounded in
+    # tests/test_analytics_round4d.py
+    doc="mergeable quantile sketch readout: per-type approx_percentile "
+    "(Spark's GK/KLL-family sketch, relativeError 0.01) for "
+    "p25/p50/p75/p99 — the one-pass mergeable path that answers "
+    "quantiles over any slice union at 100 TB, where the exact twin "
+    "(events_value_quantiles_by_type) needs a full sort per group.  "
+    "Sketch partials merge map-side like any aggregate",
+    defer=True,
+)
+def events_value_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    qs = F.percentile_approx(
+        "value", F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75, 0.99)]), 10_000
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(qs.alias("q"))
+        .select(
+            "event_type",
+            F.round(F.element_at("q", 1), 4).alias("p25"),
+            F.round(F.element_at("q", 2), 4).alias("p50"),
+            F.round(F.element_at("q", 3), 4).alias("p75"),
+            F.round(F.element_at("q", 4), 4).alias("p99"),
+        )
+        .orderBy("event_type")
+    )

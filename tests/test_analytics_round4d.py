@@ -357,3 +357,32 @@ def test_cms_estimate_matches_numpy_indexing(spark):
     }
     assert est["x"] == 2 and est["y"] == 1
     assert est["zz"] <= 2  # unseen key can only collide, never underflow
+
+
+def test_quantile_sketch_tracks_exact(spark, sf_dir):
+    from myrecommendsystem_spark.plans.analytics_queries import (
+        events_value_quantiles_sketch,
+    )
+    from myrecommendsystem_spark.io import readers
+
+    est = {
+        r["event_type"]: (r["p25"], r["p50"], r["p75"])
+        for r in events_value_quantiles_sketch(spark, sf_dir).collect()
+    }
+    ev = readers.load_table(spark, sf_dir, "events").select(
+        "event_type", "value"
+    )
+    import numpy as np
+
+    for t, (e25, e50, e75) in est.items():
+        vals = np.sort(
+            np.array(
+                [r["value"] for r in ev.filter(F.col("event_type") == t).collect()]
+            )
+        )
+        for q, e in ((0.25, e25), (0.5, e50), (0.75, e75)):
+            # rank error <= 1% of n (the sketch accuracy parameter),
+            # plus one position of discreteness slack
+            lo = vals[max(0, int((q - 0.02) * len(vals)) - 1)]
+            hi = vals[min(len(vals) - 1, int((q + 0.02) * len(vals)) + 1)]
+            assert lo <= e <= hi, (t, q, e, lo, hi)

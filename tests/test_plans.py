@@ -612,3 +612,12 @@ def test_band_join_is_equi_on_bucket_never_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "bkt" in plan  # the synthetic equi key is in the join
     assert "Python" not in plan
+
+
+def test_rollup_chain_single_raw_scan(spark):
+    """The hour grain must re-aggregate the MINUTE relation, not rescan
+    events: one FileScan, two partial/final aggregate pairs."""
+    plan = _executed(spark, "events_rollup_two_level")
+    assert plan.count("FileScan") == 1
+    assert plan.count("HashAggregate") >= 4
+    assert "Python" not in plan
