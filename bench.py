@@ -158,6 +158,7 @@ HEADLINE: tuple[str, ...] = (
     "parts_price_band_join",
     "events_rollup_two_level",
     "events_value_quantiles_sketch",
+    "ratings_negative_samples",
     # rag_ingest_pipeline / doc_quality_model_scores intentionally NOT in
     # the headline: both are build/fit-dominated (index build ~7 s, LR
     # fit ~6 s at any sf — amortized once in production); their families

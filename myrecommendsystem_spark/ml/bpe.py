@@ -217,3 +217,71 @@ def segment_word(word: str, merges: list[tuple[str, str, int]]) -> list[str]:
                 i += 1
         syms = res
     return syms
+
+
+def segment_corpus_stats(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a learned merge list to every document: per-doc token
+    statistics (n_words, n_chars, n_tokens, chars_per_token).
+
+    The deployment half of BPE: the merge table (a few hundred pairs)
+    broadcasts inside an Arrow kernel; each word segments by one
+    sequential pass per merge rank.  The corpus never shuffles —
+    segmentation is map-only.
+    """
+    import pandas as pd
+
+    ordered = [(a, b) for a, b, _ in merges]
+
+    def seg(batches):
+        for pdf in batches:
+            rows = []
+            for did, t in zip(pdf[id_col], pdf[text_col]):
+                words = [
+                    w
+                    for w in (t or "").lower().strip().split()
+                    if 2 <= len(w) <= 20 and w.isalpha()
+                ]
+                n_chars = sum(len(w) for w in words)
+                n_tokens = 0
+                for w in words:
+                    syms = list(w)
+                    for a, b in ordered:
+                        res, i = [], 0
+                        while i < len(syms):
+                            if (
+                                i + 1 < len(syms)
+                                and syms[i] == a
+                                and syms[i + 1] == b
+                            ):
+                                res.append(a + b)
+                                i += 2
+                            else:
+                                res.append(syms[i])
+                                i += 1
+                        syms = res
+                    n_tokens += len(syms)
+                rows.append((int(did), len(words), n_chars, n_tokens))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "n_words", "n_chars", "n_tokens"]
+            )
+
+    out_schema = f"{id_col} long, n_words int, n_chars int, n_tokens int"
+    return (
+        docs.select(id_col, text_col)
+        .mapInPandas(seg, schema=out_schema)
+        .withColumn(
+            "chars_per_token",
+            F.round(
+                F.when(
+                    F.col("n_tokens") > 0,
+                    F.col("n_chars") * 1.0 / F.col("n_tokens"),
+                ).otherwise(0.0),
+                4,
+            ),
+        )
+    )

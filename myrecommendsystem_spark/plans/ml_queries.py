@@ -274,3 +274,78 @@ def ratings_session_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_next_item_examples(
         readers.events_as_ratings(spark, sf_dir), history_k=5, gap_minutes=30
     )
+
+
+@register(
+    "ratings_negative_samples",
+    f"""
+WITH {RATINGS_CTE},
+pop AS (
+    SELECT productId, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM ratings GROUP BY productId
+    ORDER BY cnt DESC, productId LIMIT 50
+),
+users AS (SELECT DISTINCT userId FROM ratings),
+seen AS (SELECT DISTINCT userId, productId FROM ratings),
+cand AS (
+    SELECT u.userId, p.productId
+    FROM users u CROSS JOIN pop p
+    LEFT JOIN seen s
+      ON s.userId = u.userId AND s.productId = p.productId
+    WHERE s.userId IS NULL
+),
+ranked AS (
+    SELECT userId, productId,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY userId
+               ORDER BY md5(CAST(userId AS VARCHAR) || ':' ||
+                            CAST(productId AS VARCHAR)), productId
+           ) AS INTEGER) AS neg_rank
+    FROM cand
+)
+SELECT userId, productId, neg_rank
+FROM ranked WHERE neg_rank <= 5
+ORDER BY userId, neg_rank
+""",
+    doc="negative sampling for implicit-feedback training: 5 unseen "
+    "items per user from the top-50 popularity candidate pool, "
+    "selected by DETERMINISTIC hash ranking (md5 of user:item — "
+    "engine-independent, reproducible across runs and executors, the "
+    "same content-cut discipline as operators/sampling).  The "
+    "candidate pool is a broadcast (bounded, not catalog-sized), "
+    "seen-set removal is the anti-join shape, ranking is one keyed "
+    "window.  Popularity-biased negatives are the standard hard-ish "
+    "negative scheme for ALS/BPR-style training (uniform negatives "
+    "are trivially easy; true hard negatives come from the ANN path)",
+    defer=True,
+)
+def ratings_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ratings = readers.events_as_ratings(spark, sf_dir)
+    pop = (
+        ratings.groupBy("productId")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "productId")
+        .limit(50)
+        .select("productId")
+    )
+    users = ratings.select("userId").distinct()
+    seen = ratings.select("userId", "productId").distinct()
+    cand = users.crossJoin(F.broadcast(pop)).join(
+        seen, ["userId", "productId"], "left_anti"
+    )
+    key = F.md5(
+        F.concat(
+            F.col("userId").cast("string"),
+            F.lit(":"),
+            F.col("productId").cast("string"),
+        )
+    )
+    w = W.partitionBy("userId").orderBy(key, "productId")
+    return (
+        cand.withColumn("neg_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("neg_rank") <= 5)
+        .select("userId", "productId", "neg_rank")
+        .orderBy("userId", "neg_rank")
+    )

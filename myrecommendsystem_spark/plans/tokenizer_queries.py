@@ -93,3 +93,22 @@ def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.learned_merges_df(
         spark, _docs(spark, sf_dir), n_merges=20
     )
+
+
+@register(
+    "doc_bpe_segment_stats",
+    None,  # segmentation applies the learned (iterative) merge list —
+    # rows-only; per-word reassembly and compression-monotonicity laws
+    # in tests/test_tokenizer.py
+    doc="BPE deployment half: segment every document with the 20 "
+    "learned merges (broadcast merge table, map-only Arrow kernel — "
+    "the corpus never shuffles) and report per-doc compression "
+    "(words, chars, tokens, chars/token).  chars/token is the "
+    "fertility metric tokenizer teams track; it must strictly "
+    "improve over the 1.0 char baseline wherever any merge applies",
+    defer=True,
+)
+def doc_bpe_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    merges = bpe.train_bpe_merges(docs, n_merges=20)
+    return bpe.segment_corpus_stats(docs, merges).orderBy("doc_id")

@@ -94,3 +94,29 @@ def test_vocab_cap_is_frequency_ranked(spark):
     )
     top2 = {r["w"] for r in bpe.word_vocab(docs, max_vocab=2).collect()}
     assert top2 == {"zz", "yy"}
+
+
+def test_segment_corpus_stats_laws(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+    merges = bpe.train_bpe_merges(docs, n_merges=12, max_vocab=None)
+    stats = {
+        r["doc_id"]: r
+        for r in bpe.segment_corpus_stats(docs, merges).collect()
+    }
+    assert set(stats) == set(range(len(TEXTS)))
+    for i, t in enumerate(TEXTS):
+        words = [
+            w for w in t.lower().split() if 2 <= len(w) <= 20 and w.isalpha()
+        ]
+        r = stats[i]
+        assert r["n_words"] == len(words)
+        assert r["n_chars"] == sum(len(w) for w in words)
+        # tokens count must equal independently-segmented total
+        want = sum(len(bpe.segment_word(w, merges)) for w in words)
+        assert r["n_tokens"] == want
+        # merges only ever reduce token count below the char baseline
+        assert r["n_tokens"] <= r["n_chars"]
+        if r["n_tokens"]:
+            assert r["chars_per_token"] >= 1.0
