@@ -5349,3 +5349,64 @@ def events_value_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private release (Laplace mechanism, deterministic noise)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_dp_type_counts",
+    f"""
+WITH c AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS true_cnt
+    FROM events GROUP BY event_type
+),
+seeded AS (
+    SELECT event_type, true_cnt,
+           ROW_NUMBER() OVER (ORDER BY event_type) AS i
+    FROM c
+),
+noise AS (
+    SELECT event_type, true_cnt,
+           ((i * 2654435761) % 2147483647) / 2147483647.0 AS u
+    FROM seeded
+)
+SELECT event_type, true_cnt,
+       {sql_round_stable(
+           'true_cnt - SIGN(u - 0.5) * LN(1.0 - 2.0 * ABS(u - 0.5))', 4
+       )} AS dp_cnt
+FROM noise
+ORDER BY event_type
+""",
+    doc="differentially-private count release (Laplace mechanism, "
+    "epsilon=1, sensitivity 1 => scale b=1): per-type counts plus "
+    "Laplace noise drawn by inverse-CDF from a DETERMINISTIC "
+    "Knuth-hash uniform keyed on the output row — reproducible across "
+    "engines (hash-matched!) and runs, which is what makes a DP "
+    "release auditable and idempotent under retries (fresh noise per "
+    "re-run would compose privacy budgets).  Completes the privacy "
+    "family with events_k_anonymity; true_cnt appears here only for "
+    "the oracle comparison — a production release drops it.  One "
+    "grouped count; noise is per-output-row arithmetic on a "
+    "group-cardinality relation",
+    defer=True,
+)
+def events_dp_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_cnt")
+    )
+    w = Window.orderBy("event_type")
+    seeded = c.withColumn("i", F.row_number().over(w))
+    u = (F.col("i") * 2654435761) % 2147483647 / 2147483647.0
+    lap = -F.signum(u - 0.5) * F.log(1.0 - 2.0 * F.abs(u - 0.5))
+    return (
+        seeded.select(
+            "event_type",
+            "true_cnt",
+            round_stable(F.col("true_cnt") + lap, 4).alias("dp_cnt"),
+        )
+        .orderBy("event_type")
+    )
