@@ -597,3 +597,56 @@ def test_popularity_fallback_fills_cold_users(spark):
     assert rows[(2, 8)] == ("popularity", 1)
     assert rows[(2, 9)] == ("popularity", 2)
     assert len(rows) == 3
+
+
+def test_dedup_within_watermark_streaming(spark, tmp_path):
+    """Exactly-once-per-key streaming dedup: a duplicate event_id arriving
+    in a later micro-batch (inside the watermark horizon) must be dropped
+    by the state store, not re-emitted."""
+    import json as _json
+
+    from myrecommendsystem_spark.streaming.windows import dedup_within_watermark
+
+    src = tmp_path / "dd_in"
+    src.mkdir()
+    rows1 = [
+        {"event_id": 1, "ts": "2024-01-01 00:00:10", "v": 1.0},
+        {"event_id": 2, "ts": "2024-01-01 00:00:20", "v": 2.0},
+        {"event_id": 1, "ts": "2024-01-01 00:00:10", "v": 1.0},  # in-batch dup
+    ]
+    rows2 = [
+        {"event_id": 2, "ts": "2024-01-01 00:00:20", "v": 2.0},  # cross-batch dup
+        {"event_id": 3, "ts": "2024-01-01 00:00:30", "v": 3.0},
+    ]
+    with open(src / "a.json", "w") as f:
+        for r in rows1:
+            f.write(_json.dumps(r) + "\n")
+    stream = (
+        spark.readStream.schema("event_id long, ts string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    q = (
+        dedup_within_watermark(stream, ["event_id"], watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("dd_t")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    with open(src / "b.json", "w") as f:
+        for r in rows2:
+            f.write(_json.dumps(r) + "\n")
+    q2 = (
+        dedup_within_watermark(stream, ["event_id"], watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("dd_t2")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got = sorted(
+        r.event_id for r in spark.sql("SELECT * FROM dd_t2").collect()
+    )
+    assert got == [1, 2, 3]  # each key exactly once across both batches
