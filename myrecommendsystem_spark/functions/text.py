@@ -828,3 +828,29 @@ def hash_bytes(b: bytes, seed: int = 7) -> int:
         h ^= byte
         h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
     return h
+
+
+def compression_ratio(text_col, level: int = 6):
+    """zlib bytes-out/bytes-in per document — the compressibility quality
+    signal (highly compressible text is boilerplate/templated/repetitive;
+    near-incompressible text is often binary junk or high-entropy spam).
+    Used alongside the Gopher repetition signals: compression catches
+    LONG-range redundancy the n-gram ratios miss.
+
+    Arrow-batched kernel (zlib is C speed; the batch loop is negligible
+    next to deflate itself).  Empty docs -> ratio 0.0.
+    """
+    import zlib
+
+    @pandas_udf("double")
+    def _ratio(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            b = (t or "").encode("utf-8")
+            if not b:
+                out.append(0.0)
+                continue
+            out.append(round(len(zlib.compress(b, level)) / len(b), 4))
+        return pd.Series(out)
+
+    return _ratio(text_col)

@@ -532,3 +532,39 @@ def events_view_conversion_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("view_id")
     )
+
+
+@register(
+    "recsys_mmr_rerank",
+    None,  # greedy sequential selection per user — not SQL-expressible;
+    # relevance/diversity/λ-limit laws pinned in tests/test_rerank.py
+    doc="serving-side MMR diversification (Carbonell 1998) of the "
+    "streaming recommender's top-20 lists: greedy "
+    "λ·relevance − (1−λ)·max-sim-to-picked with λ=0.7, k=10 "
+    "(ml/rerank.py).  The candidate-pair similarity edges are "
+    "materialized relationally first (per-user K² at most), so the "
+    "cogrouped Arrow kernel never touches the full sim matrix; users "
+    "parallelize across executors.  The anti-crowding re-rank every "
+    "production recommender runs between scoring and display",
+    defer=True,
+)
+def recsys_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myrecommendsystem_spark.ml.rerank import mmr_rerank
+
+    ratings = readers.events_as_ratings(spark, sf_dir)
+    sims = corating_similarities(ratings, threshold=_ITEMCF_THRESHOLD).cache()
+    batch = ratings.filter(F.col("userId") % 13 == 0)
+    recent = compact_recent_ratings(ratings)
+    recs = stream_recs_flat(
+        batch, sims, ratings, recent, sim_threshold=_ITEMCF_THRESHOLD
+    ).select(
+        "userId",
+        F.col("candidateId").alias("productId"),
+        F.col("priority").alias("score"),
+    )
+    out = mmr_rerank(recs, sims, k=10, lam=0.7).orderBy(
+        "userId", "mmr_rank"
+    )
+    from myrecommendsystem_spark.functions.caching import eager_release
+
+    return eager_release(out, sims).orderBy("userId", "mmr_rank")

@@ -1575,3 +1575,33 @@ def rag_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from myrecommendsystem_spark.functions.caching import eager_release
 
     return eager_release(report, embedded).orderBy("cell_id")
+
+
+@register(
+    "doc_compression_signal",
+    None,  # zlib deflate is not SQL-expressible; monotonicity laws
+    # (repetitive < natural < random) pinned in tests/test_tokenizer.py
+    doc="compressibility quality signal: per-source distribution of the "
+    "zlib compression ratio (functions/text.compression_ratio) — the "
+    "long-range-redundancy detector that complements the Gopher "
+    "n-gram repetition ratios (doc_repetition_signals catches local "
+    "loops; deflate's 32 KB window catches templated pages whose "
+    "repeats are paragraphs apart).  Map-only Arrow kernel, one "
+    "grouped aggregate; the C4/Gopher-family gate thresholds on the "
+    "tails of exactly this distribution",
+    defer=True,
+)
+def doc_compression_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    ratio = TXT.compression_ratio(F.col("text"))
+    return (
+        docs.select("source", ratio.alias("r"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.avg("r"), 4).alias("avg_ratio"),
+            F.round(F.min("r"), 4).alias("min_ratio"),
+            F.round(F.max("r"), 4).alias("max_ratio"),
+        )
+        .orderBy("source")
+    )

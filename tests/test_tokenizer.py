@@ -120,3 +120,31 @@ def test_segment_corpus_stats_laws(spark):
         assert r["n_tokens"] <= r["n_chars"]
         if r["n_tokens"]:
             assert r["chars_per_token"] >= 1.0
+
+
+def test_compression_ratio_orders_text_classes(spark):
+    from myrecommendsystem_spark.functions.text import compression_ratio
+    import random
+
+    rng = random.Random(5)
+    repetitive = "spam ham " * 200
+    natural = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "astronauts debate the merits of distributed query planning "
+    ) * 10
+    rand = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz0123456789") for _ in range(1600))
+    df = spark.createDataFrame(
+        [(1, repetitive), (2, natural), (3, rand), (4, "")],
+        "id long, text string",
+    )
+    from pyspark.sql import functions as F
+
+    got = {
+        r["id"]: r["r"]
+        for r in df.select(
+            "id", compression_ratio(F.col("text")).alias("r")
+        ).collect()
+    }
+    assert got[1] < got[2] < got[3]  # repetitive < natural < random
+    assert got[4] == 0.0
+    assert 0 < got[1] < 0.2 and got[3] > 0.6
