@@ -162,6 +162,9 @@ HEADLINE: tuple[str, ...] = (
     "events_dp_type_counts",
     "doc_compression_signal",
     "recsys_mmr_rerank",
+    "events_anomalous_sequences",
+    "events_multitouch_attribution",
+    "orders_repurchase_survival",
     # rag_ingest_pipeline / doc_quality_model_scores intentionally NOT in
     # the headline: both are build/fit-dominated (index build ~7 s, LR
     # fit ~6 s at any sf — amortized once in production); their families

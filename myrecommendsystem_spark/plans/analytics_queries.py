@@ -5410,3 +5410,292 @@ def events_dp_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Behavioral anomaly: improbable event sequences
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_anomalous_sequences",
+    f"""
+WITH seq AS (
+    SELECT user_id, event_type AS cur,
+           LEAD(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS nxt
+    FROM events
+),
+trans AS (
+    SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+),
+model AS (
+    SELECT cur, nxt, n * 1.0 / SUM(n) OVER (PARTITION BY cur) AS p
+    FROM trans
+),
+scored AS (
+    SELECT s.user_id, LN(m.p) AS lp
+    FROM seq s JOIN model m ON s.cur = m.cur AND s.nxt = m.nxt
+),
+per_user AS (
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions,
+           AVG(lp) AS avg_lp
+    FROM scored GROUP BY user_id
+),
+cut AS (SELECT quantile_cont(avg_lp, 0.05) AS c FROM per_user)
+SELECT CAST(user_id AS BIGINT) AS user_id, n_transitions,
+       {sql_round_stable('avg_lp', 4)} AS avg_log_prob
+FROM per_user CROSS JOIN cut
+WHERE avg_lp <= cut.c
+ORDER BY avg_log_prob, user_id
+""",
+    doc="behavioral anomaly via sequence likelihood: fit the first-order "
+    "transition model from the corpus itself (events_type_transitions' "
+    "matrix as probabilities), score every user's journey by mean "
+    "transition log-probability, flag the bottom 5% tail.  Users whose "
+    "paths the population model finds improbable — the complement of "
+    "users_bot_signals' TIMING screen (this one catches scripted "
+    "ORDER, not scripted cadence).  Transition model is type^2 rows "
+    "on a broadcast; one LEAD window + two grouped aggregates",
+    defer=True,
+)
+def events_anomalous_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    trans = seq.groupBy("cur", "nxt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wm = Window.partitionBy("cur")
+    model = trans.select(
+        "cur", "nxt", (F.col("n") * 1.0 / F.sum("n").over(wm)).alias("p")
+    )
+    scored = seq.join(F.broadcast(model), ["cur", "nxt"]).select(
+        "user_id", F.log(F.col("p")).alias("lp")
+    )
+    per_user = scored.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+        F.avg("lp").alias("avg_lp"),
+    )
+    cut = per_user.agg(
+        F.percentile(F.col("avg_lp"), F.lit(0.05)).alias("c")
+    )
+    return (
+        per_user.crossJoin(F.broadcast(cut))
+        .filter(F.col("avg_lp") <= F.col("c"))
+        .select(
+            F.col("user_id").cast("bigint"),
+            "n_transitions",
+            round_stable(F.col("avg_lp"), 4).alias("avg_log_prob"),
+        )
+        .orderBy("avg_log_prob", "user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch attribution (last-touch vs linear credit)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_multitouch_attribution",
+    f"""
+WITH touches AS (
+    SELECT p.event_id AS purchase_id, p.value AS revenue,
+           v.event_id AS view_id, v.ts AS view_ts,
+           ROW_NUMBER() OVER (PARTITION BY p.event_id
+                              ORDER BY v.ts DESC, v.event_id DESC) AS recency,
+           CAST(COUNT(*) OVER (PARTITION BY p.event_id) AS BIGINT) AS n_touch
+    FROM events p
+    JOIN events v
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view'
+     AND v.ts <= p.ts
+     AND v.ts >= p.ts - INTERVAL 30 MINUTE
+    WHERE p.event_type = 'purchase'
+)
+SELECT CAST(view_id AS BIGINT) AS view_id,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases_touched,
+       {sql_round_stable(
+           'SUM(CASE WHEN recency = 1 THEN revenue ELSE 0 END)', 4
+       )} AS last_touch_credit,
+       {sql_round_stable('SUM(revenue / n_touch)', 4)} AS linear_credit
+FROM touches
+GROUP BY view_id
+ORDER BY view_id
+""",
+    doc="multi-touch attribution over the 30-minute pre-purchase "
+    "window: every purchase credits its touching views under BOTH "
+    "models — last-touch (full revenue to the most recent view) and "
+    "linear (equal split across the journey) — in one pass.  The "
+    "interval join is the watermark-evictable shape; both credit "
+    "models derive from the same two windows over the joined "
+    "relation, so comparing attribution models costs one query, not "
+    "two pipelines.  Complements events_view_purchase_attrib "
+    "(forward-looking conversion) with the backward-looking credit "
+    "assignment marketing actually bills on",
+    defer=True,
+)
+def events_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("revenue"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+    )
+    joined = p.join(
+        v,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("view_ts") <= F.col("p_ts"))
+        & (F.col("view_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
+    )
+    wp = Window.partitionBy("purchase_id")
+    wr = wp.orderBy(F.col("view_ts").desc(), F.col("view_id").desc())
+    touches = joined.select(
+        "purchase_id",
+        "revenue",
+        "view_id",
+        F.row_number().over(wr).alias("recency"),
+        F.count(F.lit(1)).over(wp).cast("bigint").alias("n_touch"),
+    )
+    return (
+        touches.groupBy(F.col("view_id").cast("bigint").alias("view_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases_touched"),
+            round_stable(
+                F.sum(
+                    F.when(F.col("recency") == 1, F.col("revenue")).otherwise(
+                        0.0
+                    )
+                ),
+                4,
+            ).alias("last_touch_credit"),
+            round_stable(
+                F.sum(F.col("revenue") / F.col("n_touch")), 4
+            ).alias("linear_credit"),
+        )
+        .orderBy("view_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Survival analysis: Kaplan-Meier repurchase curve
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_repurchase_survival",
+    f"""
+WITH seq AS (
+    SELECT o_custkey,
+           date_diff('day',
+                     LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                            ORDER BY o_orderdate, o_orderkey),
+                     o_orderdate) AS gap,
+           o_orderdate
+    FROM orders
+),
+observed AS (SELECT gap FROM seq WHERE gap IS NOT NULL),
+last_order AS (
+    SELECT o_custkey, MAX(o_orderdate) AS last_d FROM orders GROUP BY o_custkey
+),
+horizon AS (SELECT MAX(o_orderdate) AS h FROM orders),
+censored AS (
+    SELECT date_diff('day', last_d, horizon.h) AS gap
+    FROM last_order CROSS JOIN horizon
+),
+gaps AS (
+    SELECT gap, 1 AS observed FROM observed
+    UNION ALL
+    SELECT gap, 0 AS observed FROM censored
+),
+times AS (SELECT DISTINCT gap AS t FROM observed),
+km AS (
+    SELECT t.t,
+           CAST(SUM(CASE WHEN g.gap = t.t AND g.observed = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS d,
+           CAST(SUM(CASE WHEN g.gap >= t.t THEN 1 ELSE 0 END) AS BIGINT) AS n
+    FROM times t JOIN gaps g ON g.gap >= t.t
+    GROUP BY t.t
+)
+SELECT CAST(t AS INTEGER) AS t_days, n AS n_at_risk, d AS n_events,
+       {sql_round_stable(
+           'EXP(SUM(LN(GREATEST(1.0 - d * 1.0 / n, 1e-12)))'
+           ' OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING'
+           ' AND CURRENT ROW))', 4)} AS survival
+FROM km
+ORDER BY t_days
+""",
+    doc="Kaplan-Meier repurchase curve: S(t) = P(next order takes more "
+    "than t days), with the open gap from each customer's LAST order "
+    "to the data horizon entering as a CENSORED observation — the "
+    "estimator marketing/retention teams need because naive gap "
+    "averages are biased by exactly those open intervals.  The "
+    "product-limit is exp(running sum of ln(1 - d/n)) — a window over "
+    "the DISTINCT-gap-times relation (calendar-bounded), with the "
+    "at-risk counts from one times x gaps band join (times is a "
+    "broadcast).  Survival-analysis family opener",
+    defer=True,
+)
+def orders_repurchase_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", F.col("o_orderdate").cast("date").alias("d")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    observed = (
+        o.select(F.datediff(F.col("d"), F.lag("d").over(w)).alias("gap"))
+        .filter(F.col("gap").isNotNull())
+        .withColumn("observed", F.lit(1))
+    )
+    horizon = o.agg(F.max("d").alias("h"))
+    censored = (
+        o.groupBy("o_custkey")
+        .agg(F.max("d").alias("last_d"))
+        .crossJoin(F.broadcast(horizon))
+        .select(F.datediff("h", "last_d").alias("gap"))
+        .withColumn("observed", F.lit(0))
+    )
+    gaps = observed.unionByName(censored)
+    times = observed.select(F.col("gap").alias("t")).distinct()
+    km = (
+        F.broadcast(times)
+        .join(gaps, F.col("gap") >= F.col("t"))
+        .groupBy("t")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("gap") == F.col("t")) & (F.col("observed") == 1), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("d"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    wk = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    surv = F.exp(
+        F.sum(
+            F.log(F.greatest(1.0 - F.col("d") * 1.0 / F.col("n"), F.lit(1e-12)))
+        ).over(wk)
+    )
+    return (
+        km.select(
+            F.col("t").cast("int").alias("t_days"),
+            F.col("n").alias("n_at_risk"),
+            F.col("d").alias("n_events"),
+            round_stable(surv, 4).alias("survival"),
+        )
+        .orderBy("t_days")
+    )
