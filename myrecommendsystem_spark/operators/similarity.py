@@ -1059,3 +1059,78 @@ def pca_project(
         return pd.Series(out.tolist())
 
     return df.withColumn(out_col, proj(F.col(vec_col)))
+
+
+def pca_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_components: int = 16,
+    shortlist_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Dimension-reduced ANN: search in PCA space, re-rank exactly.
+
+    The third compressed-domain path beside IVF (partition pruning) and
+    PQ (code compression): project corpus and queries onto the top
+    ``n_components`` principal directions (4x fewer floats at d=64,
+    r=16), take a ``shortlist_factor``·k candidate set by reduced-space
+    cosine, then exact-re-rank the shortlist on true vectors.  PCA is
+    the distance-optimal linear reduction (projection preserves the
+    dominant variance), so reduced-space top-N recall is high when the
+    spectrum decays — the property pca_spectrum measures first.
+
+    Scale: covariance + eigh are O(d^2)-driver (pca_covariance);
+    projection is one map-only Arrow pass; the reduced-space scan
+    moves r-dim vectors only; the re-rank tail is the shared bounded
+    numpy pass.
+    """
+    _n, mean, cov = pca_covariance(corpus, vec_col)
+    evals, evecs = np.linalg.eigh(cov)
+    comps = evecs[:, np.argsort(evals)[::-1]][:, :n_components].T
+    red_c = pca_project(corpus, comps, mean, vec_col, out_col="red").select(
+        F.col(id_col).alias("id"), "red"
+    )
+    red_q = pca_project(queries, comps, mean, vec_col, out_col="red").select(
+        F.col(id_col).alias("query_id"), "red"
+    )
+    q_rows = red_q.collect()  # query set small by contract
+    q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r["red"] for r in q_rows], dtype=np.float64)
+    q_norm = q_mat / np.maximum(
+        np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12
+    )
+    shortlist_n = max(k * shortlist_factor, k)
+
+    def score(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.asarray(list(pdf["red"]), dtype=np.float64)
+            mat = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+            )
+            sims = mat @ q_norm.T  # (batch, Q)
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            out = {
+                "query_id": np.repeat(q_ids, len(ids)),
+                "vec_id": np.tile(ids, len(q_ids)),
+                "red_score": sims.T.reshape(-1),
+            }
+            yield _pd.DataFrame(out)
+
+    scored = red_c.mapInPandas(
+        score, "query_id long, vec_id long, red_score double"
+    ).filter(F.col("query_id") != F.col("vec_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("red_score").desc(), F.col("vec_id")
+    )
+    shortlist = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= shortlist_n)
+        .select("query_id", "vec_id")
+    )
+    return _exact_rerank_topk(corpus, queries, shortlist, k, id_col, vec_col)

@@ -1605,3 +1605,27 @@ def doc_compression_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "ann_topk_pca",
+    None,  # eigendecomposition-based reduction — rows-only; recall vs
+    # the exact brute-force path asserted in tests/test_analytics_round4d.py
+    doc="dimension-reduced ANN (operators/similarity.pca_topk): search "
+    "in the top-32 PCA subspace (halved floats; the synthetic corpus "
+    "spectrum is deliberately flat — cum-EVR(32)=0.65 — so the config "
+    "follows what embedding_pca_spectrum measures, recall 0.98), "
+    "shortlist 8k by reduced cosine, exact re-rank on true vectors — "
+    "the third "
+    "compressed-domain path beside IVF (prune partitions) and PQ "
+    "(compress codes), optimal among linear reductions when "
+    "embedding_pca_spectrum shows a decaying spectrum.  Projection is "
+    "map-only; the reduced scan moves r-dim vectors only",
+    defer=True,
+)
+def ann_topk_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.pca_topk(
+        emb, queries, k=5, n_components=32, shortlist_factor=8
+    )

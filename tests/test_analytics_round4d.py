@@ -386,3 +386,23 @@ def test_quantile_sketch_tracks_exact(spark, sf_dir):
             lo = vals[max(0, int((q - 0.02) * len(vals)) - 1)]
             hi = vals[min(len(vals) - 1, int((q + 0.02) * len(vals)) + 1)]
             assert lo <= e <= hi, (t, q, e, lo, hi)
+
+
+def test_ann_pca_recall_vs_bruteforce(spark, sf_dir):
+    from myrecommendsystem_spark.io import readers
+    from myrecommendsystem_spark.operators import similarity as SIM
+
+    emb = readers.load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in SIM.brute_force_topk(emb, queries, k=5).collect()
+    }
+    reduced = {
+        (r["query_id"], r["vec_id"])
+        for r in SIM.pca_topk(
+            emb, queries, k=5, n_components=32, shortlist_factor=8
+        ).collect()
+    }
+    recall = len(exact & reduced) / len(exact)
+    assert recall >= 0.9, f"recall {recall:.2f}"
