@@ -166,6 +166,8 @@ HEADLINE: tuple[str, ...] = (
     "events_multitouch_attribution",
     "orders_repurchase_survival",
     "ann_topk_pca",
+    "events_twap_daily",
+    "events_burst_scores",
     # rag_ingest_pipeline / doc_quality_model_scores intentionally NOT in
     # the headline: both are build/fit-dominated (index build ~7 s, LR
     # fit ~6 s at any sf — amortized once in production); their families

@@ -5699,3 +5699,118 @@ def orders_repurchase_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t_days")
     )
+
+
+@register(
+    "events_twap_daily",
+    f"""
+WITH seq AS (
+    SELECT event_type, value, ts,
+           CAST(ts AS DATE) AS day,
+           LEAD(ts) OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                          ORDER BY ts, event_id) AS nxt
+    FROM events
+),
+weighted AS (
+    SELECT event_type, day, value,
+           date_diff('microsecond', ts, COALESCE(nxt,
+               CAST(day + INTERVAL 1 DAY AS TIMESTAMP))) / 1e6 AS w
+    FROM seq
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {sql_round_stable('SUM(value * w) / SUM(w)', 4)} AS twap,
+       {sql_round_stable('AVG(value)', 4)} AS plain_avg
+FROM weighted
+GROUP BY event_type, day
+ORDER BY event_type, day
+""",
+    doc="time-weighted average (TWAP) per type x day: each observation "
+    "weighted by how long it remained the latest value (LEAD gap; the "
+    "last of the day holds until midnight).  The correct aggregate "
+    "for irregularly-sampled series — plain AVG over-weights bursts; "
+    "the query emits both so the bias is visible.  One LEAD window "
+    "sharing the (type, day) exchange with the final aggregate",
+    defer=True,
+)
+def events_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.col("ts").cast("date")
+    )
+    w = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    seq = ev.withColumn("nxt", F.lead("ts").over(w))
+    end_of_day = F.date_add("day", 1).cast("timestamp")
+    weight = (
+        F.expr("timestampdiff(MICROSECOND, ts, coalesce(nxt, cast(date_add(day, 1) as timestamp)))")
+        / 1e6
+    )
+    weighted = seq.withColumn("w", weight)
+    return (
+        weighted.groupBy(
+            "event_type", F.date_format("day", "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            round_stable(
+                F.sum(F.col("value") * F.col("w")) / F.sum("w"), 4
+            ).alias("twap"),
+            round_stable(F.avg("value"), 4).alias("plain_avg"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@register(
+    "events_burst_scores",
+    f"""
+WITH hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS hr,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type, hr
+),
+scored AS (
+    SELECT event_type, hr, n,
+           AVG(n) OVER (PARTITION BY event_type ORDER BY hr
+                        ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+               AS trail_avg
+    FROM hourly
+)
+SELECT event_type, strftime(hr, '%Y-%m-%d %H:00') AS hour, n,
+       {sql_round_stable('trail_avg', 4)} AS trailing_avg,
+       {sql_round_stable('n / trail_avg', 4)} AS burst_ratio
+FROM scored
+WHERE trail_avg IS NOT NULL AND n / trail_avg >= 2.0
+ORDER BY event_type, hour
+""",
+    doc="burst detection: hours whose event count is >= 2x the "
+    "trailing-24h hourly mean, per type (the ACTIVE-hours mean — "
+    "gapless hours don't produce rows, matching the windowed-frame "
+    "semantics on both engines).  One grouped count + one trailing "
+    "frame sharing the same type-keyed exchange — the ops-alerting "
+    "complement of the seasonality profile (expected shape) and the "
+    "p-chart (error рейт): this one flags VOLUME anomalies",
+    defer=True,
+)
+def events_burst_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(-24, -1)
+    )
+    scored = hourly.withColumn("trailing", F.avg("n").over(w))
+    ratio = F.col("n") / F.col("trailing")
+    return (
+        scored.filter(F.col("trailing").isNotNull() & (ratio >= 2.0))
+        .select(
+            "event_type",
+            F.date_format("hr", "yyyy-MM-dd HH:00").alias("hour"),
+            "n",
+            round_stable(F.col("trailing"), 4).alias("trailing_avg"),
+            round_stable(ratio, 4).alias("burst_ratio"),
+        )
+        .orderBy("event_type", "hour")
+    )
