@@ -3495,21 +3495,27 @@ SELECT CAST(a.o_orderkey AS BIGINT) AS orderkey_a,
        CAST(b.o_orderkey AS BIGINT) AS orderkey_b,
        CAST(a.o_custkey AS BIGINT) AS custkey,
        CAST(ABS(date_diff('day', a.o_orderdate, b.o_orderdate))
-            AS INTEGER) AS day_gap
+            AS INTEGER) AS day_gap,
+       ROUND(ABS(a.o_totalprice - b.o_totalprice) * 100.0
+             / LEAST(a.o_totalprice, b.o_totalprice) + 1e-9, 4)
+           AS rel_diff_pct
 FROM orders a JOIN orders b
   ON a.o_custkey = b.o_custkey
- AND a.o_totalprice = b.o_totalprice
  AND a.o_orderkey < b.o_orderkey
-WHERE ABS(date_diff('day', a.o_orderdate, b.o_orderdate)) <= 1
+WHERE ABS(date_diff('day', a.o_orderdate, b.o_orderdate)) <= 2
+  AND ABS(a.o_totalprice - b.o_totalprice)
+      <= 0.05 * LEAST(a.o_totalprice, b.o_totalprice)
 ORDER BY orderkey_a, orderkey_b
 """,
-    doc="duplicate-transaction screening: pairs of orders from the same "
-    "customer with the IDENTICAL total price within one day — the "
-    "double-charge / replayed-submission suspects a payments review "
-    "queue starts from.  The join is equi on (customer, exact amount) "
-    "— high-selectivity keys that block the pair space the way the "
-    "SymSpell variants do for strings — with the day-gap filter as "
-    "the cheap post-join verify",
+    doc="duplicate-transaction screening: same-customer order pairs "
+    "within 2 days whose amounts differ by <=5% — the double-charge / "
+    "resubmitted-cart suspects a payments review queue starts from "
+    "(exact-amount equality never occurs in the continuous synthetic "
+    "prices, which made the original check vacuous; near-equality is "
+    "also what real screeners use — retries mutate totals by shipping "
+    "or FX cents).  Blocking is the customer equi key (per-customer "
+    "order counts are bounded), amount band + day gap verify as "
+    "residuals",
     defer=True,
 )
 def orders_duplicate_suspects(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3521,19 +3527,23 @@ def orders_duplicate_suspects(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap = F.abs(
         F.datediff(F.col("a.o_orderdate"), F.col("b.o_orderdate"))
     )
+    lo = F.least(F.col("a.o_totalprice"), F.col("b.o_totalprice"))
+    diff = F.abs(F.col("a.o_totalprice") - F.col("b.o_totalprice"))
     return (
         a.join(
             b,
             (F.col("a.o_custkey") == F.col("b.o_custkey"))
-            & (F.col("a.o_totalprice") == F.col("b.o_totalprice"))
             & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
         )
-        .filter(gap <= 1)
+        .filter((gap <= 2) & (diff <= 0.05 * lo))
         .select(
             F.col("a.o_orderkey").cast("bigint").alias("orderkey_a"),
             F.col("b.o_orderkey").cast("bigint").alias("orderkey_b"),
             F.col("a.o_custkey").cast("bigint").alias("custkey"),
             gap.cast("int").alias("day_gap"),
+            F.round(diff * 100.0 / lo + F.lit(1e-9), 4).alias(
+                "rel_diff_pct"
+            ),
         )
         .orderBy("orderkey_a", "orderkey_b")
     )

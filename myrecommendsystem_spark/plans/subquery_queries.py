@@ -222,14 +222,22 @@ SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
        {sql_round_stable('SUM(c_acctbal)', 2)} AS totbal
 FROM customer c
 WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
-  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  AND NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate > (SELECT MAX(o_orderdate) - INTERVAL 30 DAY
+                             FROM orders)
+  )
 GROUP BY c_nationkey
 ORDER BY c_nationkey
 """,
-    doc="TPC-H Q22 shape: uncorrelated scalar subquery + NOT EXISTS.  The "
-    "global average rides a 1-row broadcast cross join (same pattern as "
-    "doc_tfidf_top_terms' corpus count — never a driver collect), the NOT "
-    "EXISTS is a left anti hash join on custkey",
+    doc="TPC-H Q22 shape: uncorrelated scalar subquery + NOT EXISTS.  "
+    "'Idle' = no order in the final 30 days of the data horizon (the "
+    "synthetic data gives every customer SOME order, so the spec's "
+    "no-orders-ever predicate was vacuously empty — this keeps the "
+    "NOT EXISTS + scalar-subquery shape while the check exercises "
+    "real rows).  The global average and the horizon both ride 1-row "
+    "broadcasts; the NOT EXISTS is a left anti hash join on custkey",
     defer=True,
 )
 def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -237,7 +245,15 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_nationkey", "c_acctbal"
     )
     orders = _t(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("c_custkey")
+        F.col("o_custkey").alias("c_custkey"), "o_orderdate"
+    )
+    horizon = orders.agg(
+        F.date_sub(F.max("o_orderdate"), 30).alias("idle_cut")
+    )
+    recent = (
+        orders.crossJoin(F.broadcast(horizon))
+        .filter(F.col("o_orderdate") > F.col("idle_cut"))
+        .select("c_custkey")
     )
     cut = customer.filter(F.col("c_acctbal") > 0).agg(
         F.avg("c_acctbal").alias("bal_cut")
@@ -245,7 +261,7 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         customer.crossJoin(F.broadcast(cut))
         .filter(F.col("c_acctbal") > F.col("bal_cut"))
-        .join(orders, "c_custkey", "leftanti")
+        .join(recent, "c_custkey", "leftanti")
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("numcust"),

@@ -342,17 +342,27 @@ WITH val AS (
     FROM lineitem l
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
     JOIN nation n ON n.n_nationkey = s.s_nationkey
-    WHERE n.n_name = 'NATION_5'
+    WHERE n.n_name = (
+        SELECT n2.n_name
+        FROM supplier s2 JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+        GROUP BY n2.n_name
+        ORDER BY COUNT(*) DESC, n2.n_name
+        LIMIT 1
+    )
     GROUP BY l.l_partkey
 )
 SELECT partkey, {sql_round_stable('v', 2)} AS part_value
 FROM val
-WHERE v > (SELECT SUM(v) * 0.005 FROM val)
+WHERE v > (SELECT SUM(v) * 0.001 FROM val)
 ORDER BY part_value DESC, partkey
 """,
     doc="TPC-H Q11 adapted: no partsupp → per-part 'stock value' proxied "
     "by one-nation lineitem revenue (shape preserved: grouped agg "
     "compared against an uncorrelated scalar fraction of ITS OWN total). "
+    "The nation is data-driven (most suppliers, name tie-break) and the "
+    "share cut is 0.1%: the synthetic supplier->nation assignment is "
+    "sparse and near-uniform, so the spec's literal nation + 0.5% cut "
+    "selected zero rows at every sf — the check was vacuous. "
     "Spark plan: the val aggregate computes once and is reused for both "
     "the global sum (1-row broadcast cross join) and the filter — a "
     "cached self-referential CTE, never two scans of the fact",
@@ -363,9 +373,16 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
     supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation_all = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     nation = (
-        _t(spark, sf_dir, "nation")
-        .filter(F.col("n_name") == "NATION_5")
+        supplier.join(
+            F.broadcast(nation_all),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_nationkey", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_sup"))
+        .orderBy(F.col("n_sup").desc(), "n_name")
+        .limit(1)
         .select("n_nationkey")
     )
     val = (
@@ -376,7 +393,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("v")
         )
     ).persist()  # consumed twice: global-sum side and filter side
-    cut = val.agg((F.sum("v") * F.lit(0.005)).alias("cut"))
+    cut = val.agg((F.sum("v") * F.lit(0.001)).alias("cut"))
     return (
         val.crossJoin(F.broadcast(cut))
         .filter(F.col("v") > F.col("cut"))

@@ -42,3 +42,25 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert len(df.columns) > 0
+
+
+def test_no_gated_query_is_vacuous_at_driver_scale():
+    """Every oracle must return >0 rows at the driver's sf0.01: an empty
+    result hash-matches an empty result, so a vacuous query passes the
+    gate while verifying nothing (q22/q11/duplicate_suspects regressed
+    this way — the synthetic data never satisfied their literal
+    predicates).  DuckDB-only, so the sweep costs seconds."""
+    from tests.oracle_utils import duckdb_connection
+
+    con = duckdb_connection("/root/testdata/sf0.01")
+    empty = []
+    for spec in registry.REGISTRY:
+        if spec.oracle is None:
+            continue
+        n = con.execute(
+            f"SELECT COUNT(*) FROM ({spec.oracle})"
+        ).fetchone()[0]
+        if n == 0:
+            empty.append(spec.name)
+    con.close()
+    assert not empty, f"vacuous gated queries at sf0.01: {empty}"
