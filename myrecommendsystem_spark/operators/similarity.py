@@ -65,6 +65,13 @@ def as_unit_vectors(
     )
 
 
+def _empty_frame(df, schema: str) -> DataFrame:
+    """Schema-stable empty result for degenerate (empty-corpus) inputs —
+    the search/dedup entry points return this instead of letting the
+    quantizer trainers hit a zero-row numpy matrix."""
+    return df.sparkSession.createDataFrame([], schema)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -223,6 +230,8 @@ def near_duplicate_pairs_ivf(
     exact join is asserted in tests; same output shape as
     :func:`near_duplicate_pairs` so the two are drop-in comparable.
     """
+    if df.isEmpty():
+        return _empty_frame(df, "id_a bigint, id_b bigint, cos double")
     centroids = fit_ivf_centroids(df, n_cells, id_col, vec_col, seed)
     assigned = ivf_assign(df, centroids, id_col, vec_col, nprobe=nprobe)
     eps = 1e-9
@@ -277,6 +286,8 @@ def fit_ivf_centroids(
     DataFrame: the fit is driver-local, a round-trip through
     ``createDataFrame`` + re-collect added two more jobs for nothing.
     """
+    if df.isEmpty():
+        raise ValueError("fit_ivf_centroids: empty input — nothing to quantize")
     raw = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     n = raw.count()
     if n > max_train:
@@ -374,6 +385,10 @@ def ivf_topk(
     (query_id, vec_id, cos, rnk) — same shape as brute_force_topk so the
     two are drop-in comparable (recall measured in tests).
     """
+    if corpus.isEmpty():
+        return _empty_frame(
+            corpus, "query_id bigint, vec_id bigint, cos double, rnk int"
+        )
     centroids = fit_ivf_centroids(corpus, n_cells, id_col, vec_col, seed)
     assigned = ivf_assign(
         corpus, centroids, id_col, vec_col, nprobe=1
@@ -454,6 +469,8 @@ def fit_pq_codebooks(
     deterministic sample, driver-local numpy Lloyd — O(1) in corpus
     size; encoding and search stay fully distributed.
     """
+    if df.isEmpty():
+        raise ValueError("fit_pq_codebooks: empty input — nothing to quantize")
     raw = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     n = raw.count()
     if n > max_train:
@@ -642,6 +659,10 @@ def pq_topk(
     ``rerank=None`` returns the raw compressed-domain ranking.  Recall
     vs brute force asserted in tests (same contract as IVF).
     """
+    if corpus.isEmpty():
+        return _empty_frame(
+            corpus, "query_id bigint, vec_id bigint, score double, rnk int"
+        )
     books = fit_pq_codebooks(
         corpus, m=m, k=k_codes, id_col=id_col, vec_col=vec_col, seed=seed
     )
@@ -723,6 +744,10 @@ def ivf_pq_topk(
     (row, probing query) pair, and only the ≤ Q·rerank shortlist ever
     fetches true vectors.
     """
+    if corpus.isEmpty():
+        return _empty_frame(
+            corpus, "query_id bigint, vec_id bigint, score double, rnk int"
+        )
     index = build_ivfpq_index(
         corpus,
         n_cells=n_cells,
@@ -1011,6 +1036,12 @@ def pca_spectrum(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     O(d^3) with d=64, O(1) in corpus size — exactly how Spark MLlib's
     own ``RowMatrix.computePrincipalComponents`` does it.
     """
+    if df.isEmpty():
+        return _empty_frame(
+            df,
+            "component int, eigenvalue double, explained_var double, "
+            "cum_explained double, top_dim int, top_loading_abs double",
+        )
     spark = df.sparkSession
     n, _mean, cov = pca_covariance(df, vec_col)
     evals, evecs = np.linalg.eigh(cov)
@@ -1086,6 +1117,10 @@ def pca_topk(
     moves r-dim vectors only; the re-rank tail is the shared bounded
     numpy pass.
     """
+    if corpus.isEmpty():
+        return _empty_frame(
+            corpus, "query_id bigint, vec_id bigint, score double, rnk int"
+        )
     _n, mean, cov = pca_covariance(corpus, vec_col)
     evals, evecs = np.linalg.eigh(cov)
     comps = evecs[:, np.argsort(evals)[::-1]][:, :n_components].T

@@ -1270,6 +1270,8 @@ def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from myrecommendsystem_spark.operators import similarity as SIM
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if emb.isEmpty():
+        return spark.createDataFrame([], "cluster_id int, n_vectors bigint")
     centroids = SIM.fit_ivf_centroids(emb, n_cells=8)
     assigned = SIM.ivf_assign(emb, centroids, nprobe=1)
     return (
@@ -2813,6 +2815,12 @@ def recsys_beyond_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from myrecommendsystem_spark.operators.sampling import hash_key
 
     ratings = readers.events_as_ratings(spark, sf_dir)
+    if ratings.isEmpty():
+        return spark.createDataFrame(
+            [],
+            "n_rec_items bigint, catalog_coverage_pct double, "
+            "novelty_bits double, gini_concentration double",
+        )
     coord = F.conv(
         hash_key(
             F.concat(
@@ -3808,6 +3816,12 @@ def recsys_als_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from myrecommendsystem_spark.operators.sampling import hash_key
 
     ratings = readers.events_as_ratings(spark, sf_dir)
+    if ratings.isEmpty():
+        return spark.createDataFrame(
+            [],
+            "n_users bigint, precision_at_20 double, recall_at_20 double, "
+            "ndcg_at_20 double",
+        )
     coord = F.conv(
         hash_key(
             F.concat(

@@ -41,9 +41,12 @@ def _ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
     "groupByKey-top-k pipeline (OfflineRecommender.scala:64-90)",
 )
 def als_user_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    model = als_mod.train_als(
-        _ratings(spark, sf_dir), rank=_QUERY_RANK, max_iter=_QUERY_ITER
-    )
+    r = _ratings(spark, sf_dir)
+    if r.isEmpty():  # ALS is undefined on zero ratings — empty recs out
+        return spark.createDataFrame(
+            [], "userId int, productId int, score double, rnk int"
+        )
+    model = als_mod.train_als(r, rank=_QUERY_RANK, max_iter=_QUERY_ITER)
     return als_mod.user_recs_flat(model, k=10)
 
 
@@ -54,9 +57,12 @@ def als_user_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "self-join, sim > 0.6 (OfflineRecommender.scala:92-109)",
 )
 def als_item_similarities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    model = als_mod.train_als(
-        _ratings(spark, sf_dir), rank=_QUERY_RANK, max_iter=_QUERY_ITER
-    )
+    r = _ratings(spark, sf_dir)
+    if r.isEmpty():
+        return spark.createDataFrame(
+            [], "pid int, other_pid int, sim double"
+        )
+    model = als_mod.train_als(r, rank=_QUERY_RANK, max_iter=_QUERY_ITER)
     factors = als_mod.item_factors_df(model)
     return als_mod.item_similarities(factors, threshold=0.6, method="exact")
 
@@ -68,8 +74,13 @@ def als_item_similarities(spark: SparkSession, sf_dir: str) -> DataFrame:
     "query-sized grid; returns (rank, reg_param, rmse) per grid point",
 )
 def als_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r0 = _ratings(spark, sf_dir)
+    if r0.isEmpty():
+        return spark.createDataFrame(
+            [], "rank bigint, reg_param double, rmse double"
+        )
     _, results = grid_search_als(
-        _ratings(spark, sf_dir),
+        r0,
         ranks=(4, 8),
         regs=(0.1, 0.01),
         max_iter=3,
@@ -122,8 +133,13 @@ def ratings_next_item_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     defer=True,
 )
 def als_implicit_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _ratings(spark, sf_dir)
+    if r.isEmpty():
+        return spark.createDataFrame(
+            [], "userId int, productId int, score double, rnk int"
+        )
     model = als_mod.train_als(
-        _ratings(spark, sf_dir),
+        r,
         rank=_QUERY_RANK,
         max_iter=_QUERY_ITER,
         implicit_prefs=True,

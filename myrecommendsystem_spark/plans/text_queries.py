@@ -1092,6 +1092,10 @@ def ann_topk_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     emb = _emb(spark, sf_dir)
+    if emb.isEmpty():
+        return spark.createDataFrame(
+            [], "query_id bigint, vec_id bigint, score double, rnk int"
+        )
     path = _IVFPQ_INDEX_DIRS.get(sf_dir)
     if path is None:
         path = tempfile.mkdtemp(prefix="mrs_ivfpq_") + "/index"
@@ -1317,7 +1321,12 @@ def embedding_pca_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from myrecommendsystem_spark.ml import quality
 
-    return quality.score_documents(readers.load_table(spark, sf_dir, "documents"))
+    docs = readers.load_table(spark, sf_dir, "documents")
+    if docs.isEmpty():  # nothing to fit a model on — empty scores out
+        return spark.createDataFrame(
+            [], "doc_id bigint, weak_label int, p_target double"
+        )
+    return quality.score_documents(docs)
 
 
 @register(
@@ -1548,7 +1557,12 @@ def doc_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     defer=True,
 )
 def rag_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    chunks = TXT.content_defined_chunks(_docs(spark, sf_dir)).select(
+    docs = _docs(spark, sf_dir)
+    if docs.isEmpty():
+        return spark.createDataFrame(
+            [], "cell_id int, n_chunks bigint, bytes bigint"
+        )
+    chunks = TXT.content_defined_chunks(docs).select(
         (F.col("id") * 10_000 + F.col("chunk_idx")).alias("vec_id"),
         F.col("chunk"),
         F.col("n_bytes"),
