@@ -365,3 +365,66 @@ def ratings_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("userId", "productId", "neg_rank")
         .orderBy("userId", "neg_rank")
     )
+
+
+@register(
+    "product_wilson_ranking",
+    f"""
+WITH {RATINGS_CTE},
+agg AS (
+    SELECT productId,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN score > 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pos
+    FROM ratings GROUP BY productId
+),
+wil AS (
+    SELECT productId, n, n_pos,
+           (n_pos * 1.0 / n) AS p_hat,
+           ((n_pos * 1.0 / n) + 1.9208 / n
+            - 1.96 * SQRT((n_pos * 1.0 / n) * (1 - n_pos * 1.0 / n) / n
+                          + 0.9604 / (n * n)))
+           / (1 + 3.8416 / n) AS lb
+    FROM agg
+)
+SELECT productId, n, n_pos,
+       {sql_round_stable('p_hat', 4)} AS pos_rate,
+       {sql_round_stable('lb', 4)} AS wilson_lb
+FROM wil
+ORDER BY wilson_lb DESC, productId
+""",
+    doc="Wilson-score ranking: products ordered by the 95% lower "
+    "confidence bound of their positive-rating proportion (score > 3, "
+    "the reference's own quality pivot, StreamingRecommender.scala:"
+    "215) — the ranking that does not let a 1-vote/1-positive item "
+    "outrank a 95/100 one, which the raw pos_rate (emitted beside it) "
+    "does.  One grouped aggregate; the bound is closed-form column "
+    "arithmetic.  The statistically-honest twin of "
+    "stats_rate_more_products",
+    defer=True,
+)
+def product_wilson_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = readers.events_as_ratings(spark, sf_dir)
+    agg = r.groupBy("productId").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("score") > 3, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pos"),
+    )
+    p = F.col("n_pos") * 1.0 / F.col("n")
+    n = F.col("n")
+    lb = (
+        p
+        + 1.9208 / n
+        - 1.96 * F.sqrt(p * (1 - p) / n + 0.9604 / (n * n))
+    ) / (1 + 3.8416 / n)
+    return (
+        agg.select(
+            "productId",
+            "n",
+            "n_pos",
+            round_stable(p, 4).alias("pos_rate"),
+            round_stable(lb, 4).alias("wilson_lb"),
+        )
+        .orderBy(F.col("wilson_lb").desc(), "productId")
+    )
