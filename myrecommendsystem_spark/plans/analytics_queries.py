@@ -5838,3 +5838,51 @@ def events_burst_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour")
     )
+
+
+@register(
+    "revenue_by_priority_salted",
+    f"""
+SELECT o.o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       {sql_round_stable(
+           'SUM(l.l_extendedprice * (1 - l.l_discount))', 2)} AS revenue
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY priority
+ORDER BY priority
+""",
+    doc="skew-safe fact-to-fact join through operators/skew.salted_join: "
+    "lineitem (salted 8 ways on a deterministic row hash) joins orders "
+    "(replicated per salt) on orderkey, then revenue per priority.  "
+    "The oracle is the PLAIN join — the gate proves the salted rewrite "
+    "is answer-identical, which is the entire point of salting: spread "
+    "one hot key over salt_factor reducers without changing a row.  "
+    "Deterministic salt (xxhash64 of the row, never rand()) keeps "
+    "retries/speculation consistent.  For dimension-sized right sides "
+    "only — replication multiplies it by the salt factor",
+    defer=True,
+)
+def revenue_by_priority_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myrecommendsystem_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    joined = salted_join(li, orders, on=["o_orderkey"], salt_factor=8)
+    return (
+        joined.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            round_stable(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue"),
+        )
+        .orderBy("priority")
+    )
