@@ -5886,3 +5886,74 @@ def revenue_by_priority_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@register(
+    "revenue_share_of_parent",
+    f"""
+WITH rev AS (
+    SELECT r.r_name AS region, n.n_name AS nation,
+           SUM(l.l_extendedprice * (1 - l.l_discount)) AS v
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY region, nation
+)
+SELECT region, nation,
+       {sql_round_stable('v', 2)} AS revenue,
+       {sql_round_stable(
+           'v * 100.0 / SUM(v) OVER (PARTITION BY region)', 4
+       )} AS pct_of_region,
+       {sql_round_stable(
+           'SUM(v) OVER (PARTITION BY region) * 100.0 / SUM(v) OVER ()', 4
+       )} AS region_pct_of_total
+FROM rev
+ORDER BY region, nation
+""",
+    doc="share-of-parent hierarchy readout: each nation's % of its "
+    "region's revenue and each region's % of the global total, in one "
+    "pass — the ratio-to-parent windows every BI drill-down renders "
+    "beside the rollup.  Both window levels and the base aggregate "
+    "share the supplier-nation-region broadcast join tree; the "
+    "global-total window runs over the nation-cardinality aggregate "
+    "(bounded rows), never the fact table",
+    defer=True,
+)
+def revenue_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "v"
+            )
+        )
+    )
+    w_region = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    return (
+        rev.select(
+            "region",
+            "nation",
+            round_stable(F.col("v"), 2).alias("revenue"),
+            round_stable(
+                F.col("v") * 100.0 / F.sum("v").over(w_region), 4
+            ).alias("pct_of_region"),
+            round_stable(
+                F.sum("v").over(w_region) * 100.0 / F.sum("v").over(w_all),
+                4,
+            ).alias("region_pct_of_total"),
+        )
+        .orderBy("region", "nation")
+    )

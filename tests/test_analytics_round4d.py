@@ -406,3 +406,80 @@ def test_ann_pca_recall_vs_bruteforce(spark, sf_dir):
     }
     recall = len(exact & reduced) / len(exact)
     assert recall >= 0.9, f"recall {recall:.2f}"
+
+
+# ---------------------------------------------------------------------------
+# Adversarial equivalence checks for the two-phase / composed rewrites
+# ---------------------------------------------------------------------------
+
+
+def test_late_arrivals_matches_naive_single_partition(spark):
+    """The bucketed two-phase running max must agree with the naive
+    global-window computation on a dataset small enough to run it."""
+    import datetime as dt
+
+    from myrecommendsystem_spark.plans import analytics_queries as aq
+
+    base = dt.datetime(2026, 3, 1, 12, 0, 0)
+    rows = []
+    # interleave on-time and late arrivals (late = ts far behind the
+    # running max at its arrival position)
+    ts_offsets = [0, 60, 120, -1200, 180, 240, -3600, 300, 30, 360]
+    for i, off in enumerate(ts_offsets):
+        rows.append(
+            (i + 1, base + dt.timedelta(seconds=600 * i + off),
+             "t" + str(i % 2), float(i))
+        )
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    orig = aq._t
+    aq._t = lambda _s, _d, name: df
+    try:
+        got = {
+            (r["event_type"], r["n_events"], r["n_late"])
+            for r in aq.events_late_arrivals(spark, "ignored").collect()
+        }
+    finally:
+        aq._t = orig
+    # naive reference: single pass in python over arrival (event_id) order
+    ordered = sorted(rows, key=lambda r: r[0])
+    run_max = None
+    late = {"t0": 0, "t1": 0}
+    tot = {"t0": 0, "t1": 0}
+    for _eid, ts, typ, _v in ordered:
+        wm = None if run_max is None else run_max - dt.timedelta(minutes=10)
+        tot[typ] += 1
+        if wm is not None and ts < wm:
+            late[typ] += 1
+        run_max = ts if run_max is None else max(run_max, ts)
+    want = {(t, tot[t], late[t]) for t in tot}
+    assert got == want
+    assert sum(late.values()) > 0  # the fixture must actually have late rows
+
+
+def test_entity_resolution_known_clusters(spark):
+    """Hand-built variants: chained distance-1 names must merge into ONE
+    cluster (transitivity), isolated names stay singletons, and the
+    canonical is the min-key member's spelling."""
+    from myrecommendsystem_spark.plans import analytics_queries as aq
+
+    rows = [
+        (1, "widget"),
+        (2, "widgat"),   # 1 edit from widget
+        (3, "widgatx"),  # 1 edit from widgat, 2 from widget -> chain
+        (4, "gizmo"),    # isolated
+        (5, "widget"),   # duplicate spelling collapses into nid=min key
+    ]
+    df = spark.createDataFrame(rows, "p_partkey long, p_name string")
+    orig = aq._t
+    aq._t = lambda _s, _d, name: df
+    try:
+        got = {
+            r["cluster_id"]: (r["canonical"], r["n_variants"])
+            for r in aq.parts_entity_resolution(spark, "ignored").collect()
+        }
+    finally:
+        aq._t = orig
+    # names: widget(nid 1), widgat(2), widgatx(3), gizmo(4)
+    assert got == {1: ("widget", 3), 4: ("gizmo", 1)}
