@@ -5957,3 +5957,74 @@ def revenue_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region", "nation")
     )
+
+
+@register(
+    "users_erasure_audit",
+    """
+WITH del AS (
+    SELECT user_id FROM (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY user_id
+    ) WHERE n <= 2
+),
+ev AS (
+    SELECT 'events' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e JOIN del USING (user_id)
+),
+cu AS (
+    SELECT 'customer' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS n_users
+    FROM customer c JOIN del ON c.c_custkey = del.user_id
+),
+oo AS (
+    SELECT 'orders' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_users
+    FROM orders o JOIN del ON o.o_custkey = del.user_id
+)
+SELECT * FROM ev UNION ALL SELECT * FROM cu UNION ALL SELECT * FROM oo
+ORDER BY tbl
+""",
+    doc="right-to-be-forgotten blast-radius audit: for a deletion "
+    "cohort (here: users with <= 2 events — the synthetic stand-in "
+    "for an erasure request list), the per-table row and subject "
+    "counts an erasure job would touch across every table keyed by "
+    "the subject id.  The pre-delete report a DPO signs off on, and "
+    "the post-delete assertion (re-run, expect zeros).  The deletion "
+    "list rides a broadcast semi-join into each table — one scan per "
+    "table, no fact-to-fact joins.  Third privacy-family member with "
+    "events_k_anonymity and events_dp_type_counts",
+    defer=True,
+)
+def users_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    del_list = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= 2)
+        .select(F.col("user_id").alias("__del_uid"))
+    )
+
+    def audit(df, tbl, key):
+        return (
+            df.join(
+                F.broadcast(del_list),
+                F.col(key) == F.col("__del_uid"),
+            )
+            .agg(
+                F.lit(tbl).alias("tbl"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.countDistinct(key).cast("bigint").alias("n_users"),
+            )
+        )
+
+    return (
+        audit(ev, "events", "user_id")
+        .unionByName(audit(cust, "customer", "c_custkey"))
+        .unionByName(audit(orders, "orders", "o_custkey"))
+        .orderBy("tbl")
+    )
