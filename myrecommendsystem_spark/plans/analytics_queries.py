@@ -6028,3 +6028,153 @@ def users_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(audit(orders, "orders", "o_custkey"))
         .orderBy("tbl")
     )
+
+
+@register(
+    "events_ab_srm_check",
+    f"""
+WITH assign AS (
+    SELECT DISTINCT user_id,
+           CASE WHEN (user_id * 2654435761) % 100 < 50
+                THEN 'A' ELSE 'B' END AS variant
+    FROM events
+),
+counts AS (
+    SELECT CAST(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+           CAST(SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b
+    FROM assign
+)
+SELECT n_a, n_b,
+       {sql_round_stable(
+           'POWER(n_a - (n_a + n_b) / 2.0, 2) / ((n_a + n_b) / 2.0)'
+           ' + POWER(n_b - (n_a + n_b) / 2.0, 2) / ((n_a + n_b) / 2.0)',
+           4)} AS chi2,
+       CAST(CASE WHEN
+           POWER(n_a - (n_a + n_b) / 2.0, 2) / ((n_a + n_b) / 2.0)
+           + POWER(n_b - (n_a + n_b) / 2.0, 2) / ((n_a + n_b) / 2.0)
+           > 3.841 THEN 1 ELSE 0 END AS INTEGER) AS srm_detected
+FROM counts
+""",
+    doc="sample-ratio-mismatch guardrail: chi-square goodness-of-fit of "
+    "the observed A/B assignment counts against the designed 50/50 "
+    "split (df=1, alpha=0.05 critical value 3.841).  SRM is the "
+    "experimentation-platform check that MUST run before reading any "
+    "metric — a biased assignment invalidates "
+    "events_ab_test_zscore's conclusion wholesale.  Same "
+    "deterministic Knuth-hash assignment as the z-test so the pair "
+    "audits the identical experiment; one distinct + one fold",
+    defer=True,
+)
+def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    assign = ev.select(
+        "user_id",
+        F.when(
+            (F.col("user_id") * 2654435761) % 100 < 50, "A"
+        ).otherwise("B").alias("variant"),
+    ).distinct()
+    counts = assign.agg(
+        F.sum(F.when(F.col("variant") == "A", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("variant") == "B", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+    )
+    exp = (F.col("n_a") + F.col("n_b")) / 2.0
+    chi2 = F.pow(F.col("n_a") - exp, 2) / exp + F.pow(
+        F.col("n_b") - exp, 2
+    ) / exp
+    return counts.select(
+        "n_a",
+        "n_b",
+        round_stable(chi2, 4).alias("chi2"),
+        F.when(chi2 > 3.841, 1).otherwise(0).cast("int").alias(
+            "srm_detected"
+        ),
+    )
+
+
+@register(
+    "events_dow_anova",
+    f"""
+WITH obs AS (
+    SELECT CAST(strftime(ts, '%w') AS INTEGER) AS dow, value
+    FROM events
+),
+grp AS (
+    SELECT dow, CAST(COUNT(*) AS BIGINT) AS n, AVG(value) AS m
+    FROM obs GROUP BY dow
+),
+tot AS (
+    SELECT AVG(value) AS gm, CAST(COUNT(*) AS BIGINT) AS n_tot FROM obs
+),
+ss AS (
+    SELECT (SELECT SUM(n * (m - tot.gm) * (m - tot.gm)) FROM grp) AS ssb,
+           (SELECT SUM((o.value - g.m) * (o.value - g.m))
+            FROM obs o JOIN grp g ON o.dow = g.dow) AS ssw,
+           (SELECT COUNT(*) FROM grp) AS k,
+           tot.n_tot AS n
+    FROM tot
+)
+SELECT CAST(k AS INTEGER) AS k_groups,
+       CAST(n AS BIGINT) AS n_obs,
+       {sql_round_stable('ssb / (k - 1)', 4)} AS ms_between,
+       {sql_round_stable('ssw / (n - k)', 4)} AS ms_within,
+       {sql_round_stable('(ssb / (k - 1)) / (ssw / (n - k))', 4)} AS f_stat
+FROM ss
+""",
+    doc="one-way ANOVA: does mean event value differ by day-of-week? "
+    "F = MS_between / MS_within over the 7 dow groups — completing "
+    "the hypothesis-testing trio (two-proportion z, chi-square "
+    "independence, F-test of means).  Group means are a 7-row "
+    "broadcast; the within-group sum of squares is one joined "
+    "aggregate pass — no per-group collect, no second scan beyond "
+    "the SSW join",
+    defer=True,
+)
+def events_dow_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    obs = ev.select(
+        (F.dayofweek("ts") - 1).alias("dow"), "value"
+    )
+    grp = obs.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.avg("value").alias("m"),
+    )
+    tot = obs.agg(
+        F.avg("value").alias("gm"),
+        F.count(F.lit(1)).cast("bigint").alias("n_tot"),
+    )
+    ssb = (
+        grp.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.col("n") * (F.col("m") - F.col("gm")) * (F.col("m") - F.col("gm"))
+            ).alias("ssb"),
+            F.count(F.lit(1)).cast("int").alias("k"),
+            F.max("n_tot").alias("n"),
+        )
+    )
+    ssw = (
+        obs.join(F.broadcast(grp.select("dow", "m")), "dow")
+        .agg(
+            F.sum(
+                (F.col("value") - F.col("m")) * (F.col("value") - F.col("m"))
+            ).alias("ssw")
+        )
+    )
+    msb = F.col("ssb") / (F.col("k") - 1)
+    msw = F.col("ssw") / (F.col("n") - F.col("k"))
+    return (
+        ssb.crossJoin(F.broadcast(ssw))
+        .select(
+            F.col("k").alias("k_groups"),
+            F.col("n").alias("n_obs"),
+            round_stable(msb, 4).alias("ms_between"),
+            round_stable(msw, 4).alias("ms_within"),
+            round_stable(msb / msw, 4).alias("f_stat"),
+        )
+    )
