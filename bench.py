@@ -174,6 +174,7 @@ HEADLINE: tuple[str, ...] = (
     "users_erasure_audit",
     "events_ab_srm_check",
     "events_dow_anova",
+    "revenue_price_volume_mix",
     # rag_ingest_pipeline / doc_quality_model_scores intentionally NOT in
     # the headline: both are build/fit-dominated (index build ~7 s, LR
     # fit ~6 s at any sf — amortized once in production); their families

@@ -6178,3 +6178,85 @@ def events_dow_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_stable(msb / msw, 4).alias("f_stat"),
         )
     )
+
+
+@register(
+    "revenue_price_volume_mix",
+    f"""
+WITH yearly AS (
+    SELECT p.p_type AS ptype,
+           CAST(strftime(l.l_shipdate, '%Y') AS INTEGER) AS yr,
+           SUM(l.l_quantity) AS qty,
+           SUM(l.l_extendedprice * (1 - l.l_discount)) AS rev
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY ptype, yr
+),
+seq AS (
+    SELECT ptype, yr, qty, rev,
+           rev / qty AS price,
+           LAG(qty) OVER (PARTITION BY ptype ORDER BY yr) AS qty_p,
+           LAG(rev) OVER (PARTITION BY ptype ORDER BY yr) AS rev_p,
+           LAG(rev / qty) OVER (PARTITION BY ptype ORDER BY yr) AS price_p
+    FROM yearly
+)
+SELECT ptype, yr,
+       {sql_round_stable('rev - rev_p', 2)} AS delta_rev,
+       {sql_round_stable('(qty - qty_p) * price_p', 2)} AS volume_effect,
+       {sql_round_stable('qty * (price - price_p)', 2)} AS price_effect
+FROM seq
+WHERE rev_p IS NOT NULL
+ORDER BY ptype, yr
+""",
+    doc="price-volume-mix decomposition: year-over-year revenue change "
+    "per part type split EXACTLY into volume effect ((q-q')*p') and "
+    "price effect (q*(p-p')) — the two terms sum to delta_rev by "
+    "construction, the finance-review identity.  One fact aggregate, "
+    "one LAG window over the (type, year) relation (bounded rows); "
+    "the part-type dimension rides the usual broadcast",
+    defer=True,
+)
+def revenue_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    yearly = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.col("p_type").alias("ptype"),
+            F.year("l_shipdate").cast("int").alias("yr"),
+        )
+        .agg(
+            F.sum("l_quantity").alias("qty"),
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("rev"),
+        )
+    )
+    w = Window.partitionBy("ptype").orderBy("yr")
+    price = F.col("rev") / F.col("qty")
+    seq = yearly.select(
+        "ptype",
+        "yr",
+        "qty",
+        "rev",
+        price.alias("price"),
+        F.lag("qty").over(w).alias("qty_p"),
+        F.lag("rev").over(w).alias("rev_p"),
+        F.lag(price).over(w).alias("price_p"),
+    )
+    return (
+        seq.filter(F.col("rev_p").isNotNull())
+        .select(
+            "ptype",
+            "yr",
+            round_stable(F.col("rev") - F.col("rev_p"), 2).alias("delta_rev"),
+            round_stable(
+                (F.col("qty") - F.col("qty_p")) * F.col("price_p"), 2
+            ).alias("volume_effect"),
+            round_stable(
+                F.col("qty") * (F.col("price") - F.col("price_p")), 2
+            ).alias("price_effect"),
+        )
+        .orderBy("ptype", "yr")
+    )
