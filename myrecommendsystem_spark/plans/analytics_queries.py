@@ -6260,3 +6260,83 @@ def revenue_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ptype", "yr")
     )
+
+
+@register(
+    "parts_xyz_classification",
+    f"""
+WITH monthly AS (
+    SELECT l_partkey,
+           strftime(date_trunc('month', l_shipdate), '%Y-%m') AS mo,
+           SUM(l_quantity) AS qty
+    FROM lineitem GROUP BY l_partkey, mo
+),
+per_part AS (
+    SELECT l_partkey,
+           CAST(COUNT(*) AS BIGINT) AS n_months,
+           AVG(qty) AS mq,
+           stddev_samp(qty) AS sq
+    FROM monthly GROUP BY l_partkey
+),
+classed AS (
+    SELECT l_partkey,
+           CASE WHEN sq IS NULL THEN 'Z'
+                WHEN sq / mq < 0.5 THEN 'X'
+                WHEN sq / mq < 1.0 THEN 'Y'
+                ELSE 'Z' END AS xyz,
+           sq / mq AS cv,
+           n_months
+    FROM per_part
+)
+SELECT xyz,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       {sql_round_stable('AVG(cv)', 4)} AS avg_cv,
+       {sql_round_stable('AVG(n_months)', 2)} AS avg_active_months
+FROM classed
+GROUP BY xyz
+ORDER BY xyz
+""",
+    doc="XYZ demand-variability classification: monthly demand "
+    "coefficient-of-variation per part — X steady (cv<0.5), Y "
+    "variable (cv<1), Z erratic/sparse — the second axis of the "
+    "ABC-XYZ inventory grid (parts_abc_classification is the value "
+    "axis; crossing the two is a broadcast join of two bounded "
+    "part-level relations).  Single-month parts have undefined "
+    "stddev -> Z by policy.  Two grouped aggregates, bounded "
+    "relations after the first",
+    defer=True,
+)
+def parts_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_quantity"
+    )
+    monthly = li.groupBy(
+        "l_partkey",
+        F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias(
+            "mo"
+        ),
+    ).agg(F.sum("l_quantity").alias("qty"))
+    per_part = monthly.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_months"),
+        F.avg("qty").alias("mq"),
+        F.stddev_samp("qty").alias("sq"),
+    )
+    cv = F.col("sq") / F.col("mq")
+    classed = per_part.select(
+        F.when(F.col("sq").isNull(), "Z")
+        .when(cv < 0.5, "X")
+        .when(cv < 1.0, "Y")
+        .otherwise("Z")
+        .alias("xyz"),
+        cv.alias("cv"),
+        "n_months",
+    )
+    return (
+        classed.groupBy("xyz")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            round_stable(F.avg("cv"), 4).alias("avg_cv"),
+            round_stable(F.avg("n_months"), 2).alias("avg_active_months"),
+        )
+        .orderBy("xyz")
+    )
