@@ -148,3 +148,14 @@ def test_compression_ratio_orders_text_classes(spark):
     assert got[1] < got[2] < got[3]  # repetitive < natural < random
     assert got[4] == 0.0
     assert 0 < got[1] < 0.2 and got[3] > 0.6
+
+
+def test_distributed_merge_loop_matches_driver_path(spark, monkeypatch):
+    """Forcing the vocab cap to 0 exercises the distributed per-iteration
+    loop; it must learn the identical merge sequence as the driver-side
+    fast path (same algorithm, same tie-breaks)."""
+    docs = spark.createDataFrame([(t,) for t in TEXTS], "text string")
+    fast = bpe.train_bpe_merges(docs, n_merges=8, max_vocab=None)
+    monkeypatch.setattr(bpe, "_DRIVER_VOCAB_CAP", 0)
+    slow = bpe.train_bpe_merges(docs, n_merges=8, max_vocab=None)
+    assert slow == fast
