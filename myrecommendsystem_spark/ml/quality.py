@@ -117,17 +117,40 @@ def score_documents(
 
     ``model=None`` trains on the input itself (the sf-test path); pass a
     pre-fit model to reproduce the 100 TB sample-fit/full-score split.
+    The self-train path featurizes ONCE: the scored frame is persisted
+    and the training sample is carved out of it, instead of running the
+    char-gram + langid expressions a second time.
     """
-    if model is None:
-        model = train_quality_model(docs, text_col, target_lang)
     feat = featurize(docs, text_col).withColumn(
         "weak_label",
         (TXT.predicted_lang(F.col(text_col)) == target_lang).cast("int"),
     )
+    cached = None
+    if model is None:
+        cached = feat.persist()
+        cached.count()
+        # bounded deterministic training sample (same md5-ranked cut as
+        # train_quality_model) — the fit stays O(max_train) even when
+        # scoring the whole corpus
+        labeled = (
+            cached.orderBy(F.md5(F.col(text_col)))
+            .limit(20_000)
+            .select(
+                "features", F.col("weak_label").cast("double").alias("label")
+            )
+        )
+        lr = LogisticRegression(
+            featuresCol="features",
+            labelCol="label",
+            regParam=0.01,
+            maxIter=12,
+        )
+        model = lr.fit(labeled)
+        feat = cached
     from pyspark.ml.functions import vector_to_array
 
     p1 = F.element_at(vector_to_array(F.col("probability")), 2).cast("double")
-    return (
+    out = (
         model.transform(feat)
         .select(
             F.col(id_col).cast("bigint").alias(id_col),
@@ -136,3 +159,8 @@ def score_documents(
         )
         .orderBy(id_col)
     )
+    if cached is not None:
+        from myrecommendsystem_spark.functions.caching import eager_release
+
+        return eager_release(out, cached).orderBy(id_col)
+    return out
