@@ -87,9 +87,10 @@ def register(
 # round-5 front; until then tests/test_registry_oracle.py replays them
 # at driver scale locally.
 #
-# NOTE for the round-5 rotation: round 4 registered ~77 defer=True
-# queries (151 deferred total, 134 carried from the r4 window plan +
-# the round-4d additions) — MORE than one 50-entry window.  Front the
+# NOTE for the round-5 rotation: the registry closes round 4 with 175
+# defer=True queries (the round-2/3 carryover the r4 window does not
+# cover, plus every round-4 addition) — THREE-plus 50-entry windows
+# of never-driver-verified names.  Front the
 # oracle-gated ones (registration order) in _DRIVER_WINDOW_R5 and
 # leave the overflow + rows-only for the round-6 front; full driver
 # coverage of the round-4 additions takes two-plus windows by
