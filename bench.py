@@ -178,6 +178,7 @@ HEADLINE: tuple[str, ...] = (
     "parts_xyz_classification",
     "bpe_learned_merges",
     "doc_bpe_segment_stats",
+    "parts_size_rank_semantics",
     # rag_ingest_pipeline / doc_quality_model_scores intentionally NOT in
     # the headline: both are build/fit-dominated (index build ~7 s, LR
     # fit ~6 s at any sf — amortized once in production); their families

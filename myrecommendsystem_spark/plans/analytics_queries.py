@@ -6340,3 +6340,51 @@ def parts_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("xyz")
     )
+
+
+@register(
+    "parts_size_rank_semantics",
+    """
+WITH r AS (
+    SELECT p_size,
+           CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM part GROUP BY p_size
+)
+SELECT CAST(p_size AS INTEGER) AS p_size, n_parts,
+       CAST(RANK() OVER (ORDER BY n_parts DESC) AS INTEGER)
+           AS rnk,
+       CAST(DENSE_RANK() OVER (ORDER BY n_parts DESC) AS INTEGER)
+           AS dense_rnk,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_parts DESC, p_size) AS INTEGER)
+           AS row_num
+FROM r
+ORDER BY rnk, p_size
+""",
+    doc="ranking-semantics reference: RANK (tied counts share a rank, "
+    "gaps follow), DENSE_RANK (shared rank, no gaps), and ROW_NUMBER "
+    "(ties split deterministically via the explicit p_size tie-break) "
+    "side by side over the part-size popularity table — the three "
+    "functions downstream teams routinely confuse.  RANK/DENSE_RANK "
+    "deliberately omit the tie-break so ties actually occur; the "
+    "values stay engine-deterministic because tied rows get THE SAME "
+    "rank.  Windows run over the size-cardinality aggregate",
+    defer=True,
+)
+def parts_size_rank_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = (
+        _t(spark, sf_dir, "part")
+        .groupBy("p_size")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
+    )
+    w_tie = Window.orderBy(F.col("n_parts").desc(), "p_size")
+    w_notie = Window.orderBy(F.col("n_parts").desc())
+    return (
+        r.select(
+            F.col("p_size").cast("int"),
+            "n_parts",
+            F.rank().over(w_notie).cast("int").alias("rnk"),
+            F.dense_rank().over(w_notie).cast("int").alias("dense_rnk"),
+            F.row_number().over(w_tie).cast("int").alias("row_num"),
+        )
+        .orderBy("rnk", "p_size")
+    )
