@@ -6388,3 +6388,193 @@ def parts_size_rank_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk", "p_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental JOIN view maintenance (delta-join algebra)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "incremental_join_view",
+    """
+SELECT CAST(o_orderkey AS BIGINT) AS orderkey,
+       c_mktsegment AS segment,
+       o_totalprice AS totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+ORDER BY orderkey
+""",
+    doc="incremental JOIN maintenance (operators/incremental.py "
+    "join_delta / maintain_join_view): the Spark side refreshes a stored "
+    "orders x customer join view from insert-only deltas on BOTH sides — "
+    "view' = view UNION ALL (dA JOIN B) UNION ALL (A JOIN dB) UNION ALL "
+    "(dA JOIN dB), the DBSP bilinear-operator delta rule — while the "
+    "oracle joins the full relations from scratch.  Hash equality IS the "
+    "proof the delta algebra reproduces the full recompute; terms are "
+    "disjoint for insert-only deltas so UNION ALL adds no dedup shuffle, "
+    "and per refresh only the deltas probe the base tables (bucketed "
+    "bases shuffle nothing but the sliver).  The A JOIN B term is never "
+    "recomputed — the materialized view absorbs it",
+    defer=True,
+)
+def incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myrecommendsystem_spark.operators import incremental as INC
+
+    cut = F.lit("2000-01-01").cast("timestamp")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderdate",
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    a_old = orders.filter(F.col("o_orderdate") < cut)
+    a_delta = orders.filter(F.col("o_orderdate") >= cut)
+    # dim-side delta: a late-arriving slice of customers (every 10th key)
+    b_old = cust.filter(F.col("custkey") % 10 != 0)
+    b_delta = cust.filter(F.col("custkey") % 10 == 0)
+    # in production view_old is READ BACK from storage; here it is built
+    # once so the whole statement stays a single lazily-planned query
+    view_old = a_old.join(b_old, ["custkey"])
+    refreshed = INC.maintain_join_view(
+        view_old, a_old, a_delta, b_old, b_delta, ["custkey"]
+    )
+    return refreshed.select(
+        F.col("o_orderkey").cast("bigint").alias("orderkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("o_totalprice").alias("totalprice"),
+    ).orderBy("orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter runtime pre-filtering (dynamic-filter join shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bloom_prefilter_join",
+    f"""
+SELECT o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {sql_round_stable('SUM(o_totalprice)', 2)} AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderpriority
+ORDER BY priority
+""",
+    doc="runtime Bloom pre-filter join (operators/runtime_filter.py): "
+    "the selective dim side (BUILDING customers) builds a packed-word "
+    "Bloom filter via distributed xxhash64; the fact side drops "
+    "non-candidate rows with a pure-Catalyst getbit predicate AT THE "
+    "SCAN, before any exchange; the real join then removes false "
+    "positives.  Hash equality against the plain-join oracle IS the "
+    "no-false-negatives proof (build and probe share the same JVM hash "
+    "expression).  This is Spark's own runtimeFilter / Trino dynamic "
+    "filtering made explicit and testable: at 100 TB the exchange "
+    "carries the ~matching sliver of the fact table, not all of it",
+    defer=True,
+)
+def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myrecommendsystem_spark.operators import runtime_filter as RFil
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    dim = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_mktsegment")
+    )
+    joined = RFil.bloom_prefiltered_join(
+        orders, F.broadcast(dim), "o_custkey", "c_custkey"
+    )
+    return (
+        joined.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            round_stable(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Frequent itemsets beyond pairs (Apriori candidate pruning)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_frequent_triples",
+    """
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT CAST(a.l_partkey AS BIGINT) AS pa,
+       CAST(p2.l_partkey AS BIGINT) AS pb,
+       CAST(p3.l_partkey AS BIGINT) AS pc,
+       CAST(COUNT(*) AS BIGINT) AS support
+FROM b a
+JOIN b p2 ON a.l_orderkey = p2.l_orderkey AND a.l_partkey < p2.l_partkey
+JOIN b p3 ON a.l_orderkey = p3.l_orderkey AND p2.l_partkey < p3.l_partkey
+GROUP BY 1, 2, 3
+HAVING COUNT(*) >= 2
+ORDER BY pa, pb, pc
+""",
+    doc="frequent 3-itemsets with Apriori candidate pruning: the Spark "
+    "side first finds frequent items, then frequent pairs, and only "
+    "enumerates order-level triples whose leading pair is already "
+    "frequent (downward-closure monotonicity: a triple can reach "
+    "support s only if every sub-pair does) — the oracle brute-forces "
+    "the three-way self-join.  Hash equality IS the losslessness proof "
+    "for the pruning.  At 100 TB the unpruned triple join is "
+    "O(sum(basket^3)); pruning multiplies in the pair-support "
+    "selectivity first, and the frequent-pair table rides a broadcast "
+    "(it is small BECAUSE it already cleared the support bar)",
+    defer=True,
+)
+def orders_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = 2  # min support (orders containing the itemset)
+    b = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    freq_items = (
+        b.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= s)
+        .select("l_partkey")
+    )
+    bf = b.join(F.broadcast(freq_items), "l_partkey").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = bf.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b2 = bf.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    c = bf.select("l_orderkey", F.col("l_partkey").alias("pc"))
+    pairs = (
+        a.join(b2, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= s)
+        .select("pa", "pb")
+    )
+    # enumerate triples only where the leading (pa, pb) pair is frequent
+    lead = (
+        a.join(b2, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .join(F.broadcast(pairs), ["pa", "pb"])
+    )
+    triples = (
+        lead.join(c, "l_orderkey")
+        .filter(F.col("pb") < F.col("pc"))
+        .groupBy("pa", "pb", "pc")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= s)
+    )
+    return triples.select(
+        F.col("pa").cast("bigint"),
+        F.col("pb").cast("bigint"),
+        F.col("pc").cast("bigint"),
+        F.col("support").cast("bigint"),
+    ).orderBy("pa", "pb", "pc")

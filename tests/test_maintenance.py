@@ -164,3 +164,37 @@ def test_merge_states_property(spark, vals, cut):
         assert full[k].mn == merged[k].mn
         assert full[k].mx == merged[k].mx
         assert abs(full[k].s - merged[k].s) <= 1e-6 * max(1.0, abs(full[k].s))
+
+
+def test_join_delta_law_and_disjointness(spark):
+    """Δ(A⋈B) = (A∪ΔA)⋈(B∪ΔB) − A⋈B, and the three delta terms are
+    pairwise disjoint for insert-only deltas (UNION ALL loses nothing)."""
+    a_old = spark.createDataFrame(
+        [(1, "a1"), (2, "a2"), (3, "a3")], "k int, av string"
+    )
+    a_delta = spark.createDataFrame([(2, "a4"), (4, "a5")], "k int, av string")
+    b_old = spark.createDataFrame([(1, "b1"), (2, "b2")], "k int, bv string")
+    b_delta = spark.createDataFrame(
+        [(2, "b3"), (3, "b4"), (4, "b5")], "k int, bv string"
+    )
+
+    delta = INC.join_delta(a_old, a_delta, b_old, b_delta, ["k"])
+    full = a_old.unionByName(a_delta).join(
+        b_old.unionByName(b_delta), ["k"]
+    )
+    old = a_old.join(b_old, ["k"])
+
+    expected = {tuple(r) for r in full.collect()} - {
+        tuple(r) for r in old.collect()
+    }
+    got = [tuple(r) for r in delta.collect()]
+    assert set(got) == expected
+    assert len(got) == len(set(got))  # disjoint terms → no duplicates
+
+    view = INC.maintain_join_view(
+        old, a_old, a_delta, b_old, b_delta, ["k"]
+    )
+    assert {tuple(r) for r in view.collect()} == {
+        tuple(r) for r in full.collect()
+    }
+    assert view.count() == full.count()
