@@ -179,6 +179,11 @@ HEADLINE: tuple[str, ...] = (
     "bpe_learned_merges",
     "doc_bpe_segment_stats",
     "parts_size_rank_semantics",
+    # round-4e: incremental view maintenance / runtime filters / itemsets
+    "incremental_join_view",
+    "bloom_prefilter_join",
+    "orders_frequent_triples",
+    "events_ks_test",
     # rag_ingest_pipeline / doc_quality_model_scores intentionally NOT in
     # the headline: both are build/fit-dominated (index build ~7 s, LR
     # fit ~6 s at any sf — amortized once in production); their families

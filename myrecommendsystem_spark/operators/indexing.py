@@ -77,3 +77,67 @@ def assign_global_row_numbers(
         .withColumn(out_col, (F.col("_local") + F.col("_offset") + 1).cast("long"))
         .drop("_pid", "_local")
     )
+
+
+def running_sums(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    value_cols: Sequence[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global running totals (``cum_<c>`` per value column) ordered by
+    ``order_cols`` — the distributed twin of
+    ``SUM(c) OVER (ORDER BY key ROWS UNBOUNDED PRECEDING)``.
+
+    The naive global-ORDER-BY window funnels every row through one
+    partition.  Here, as in :func:`assign_global_row_numbers`:
+
+    1. range-partition on the key (partition i holds a contiguous key
+       range, globally ordered end-to-end) and tag rows with
+       ``spark_partition_id``;
+    2. within-partition prefix sums via a window PARTITIONED on the
+       physical pid — each window group is one partition's rows, so the
+       sort is partition-local and spillable;
+    3. per-partition totals → exclusive running offsets (a P-row
+       relation) → broadcast back and add.
+
+    Two bounded shuffles (range + pid clustering), never a
+    single-partition stage.  ``order_cols`` must be a unique total
+    order (same contract as row numbering); prefix sums at ties would
+    otherwise depend on placement.
+    """
+    cols = [F.col(c) for c in order_cols]
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(parts, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()  # offset pass must not replay the range shuffle
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = ranged.select(
+        "*", *[F.sum(c).over(w_local).alias(f"_local_{c}") for c in value_cols]
+    )
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        ranged.groupBy("_pid")
+        .agg(*[F.sum(c).alias(f"_tot_{c}") for c in value_cols])
+        .select(
+            "_pid",
+            *[
+                F.coalesce(F.sum(f"_tot_{c}").over(w_off), F.lit(0)).alias(
+                    f"_off_{c}"
+                )
+                for c in value_cols
+            ],
+        )
+    )
+    out = local.join(F.broadcast(offsets), "_pid")
+    for c in value_cols:
+        out = out.withColumn(
+            f"cum_{c}", F.col(f"_local_{c}") + F.col(f"_off_{c}")
+        ).drop(f"_local_{c}", f"_off_{c}")
+    return out.drop("_pid")

@@ -61,15 +61,13 @@ def build_bloom_words(
     that makes the join broadcastable makes the positions collectable.
     """
     assert n_bits % 64 == 0
-    pos_rows = (
-        keys.select(
-            F.explode(
-                F.array(*_positions(F.col(key_col), n_bits, n_hashes))
-            ).alias("pos")
-        )
-        .distinct()
-        .collect()
-    )
+    # no .distinct(): that would add a full shuffle to dedupe a small
+    # integer list the driver dedupes for free while OR-packing
+    pos_rows = keys.select(
+        F.explode(
+            F.array(*_positions(F.col(key_col), n_bits, n_hashes))
+        ).alias("pos")
+    ).collect()
     words = [0] * (n_bits // 64)
     for r in pos_rows:
         p = r["pos"]
@@ -79,25 +77,34 @@ def build_bloom_words(
 
 
 def bloom_might_contain(
-    words: list[int],
+    words: list[int] | Column,
     key: Column,
     n_bits: int = DEFAULT_N_BITS,
     n_hashes: int = DEFAULT_N_HASHES,
 ) -> Column:
     """Pure-Catalyst membership predicate (codegen, no Python).
 
-    ``getbit(element_at(lit(words), pos/64 + 1), pos%64)`` for each of
-    the ``n_hashes`` positions; all bits set → possible member.  False
+    ``getbit(element_at(words, pos/64 + 1), pos%64)`` for each of the
+    ``n_hashes`` positions; all bits set → possible member.  False
     positives possible (bounded by sizing), false negatives impossible
     (same xxhash64 expression as the build side).
+
+    ``words`` may be the packed list itself (inlined as a literal —
+    fine for tests/small filters) or a Column referencing an
+    array<bigint> attribute (the production path: the probe references
+    ONE broadcast-joined attribute instead of embedding n_hashes copies
+    of the word array in the plan).
     """
-    # explicit cast: small word values (e.g. the all-zero filter of an
-    # empty build side) would infer array<int>, and getbit on int only
-    # addresses bits [0, 32)
-    lit_words = F.lit(words).cast("array<bigint>")
+    if isinstance(words, Column):
+        arr = words
+    else:
+        # explicit cast: small word values (e.g. the all-zero filter of
+        # an empty build side) would infer array<int>, and getbit on int
+        # only addresses bits [0, 32)
+        arr = F.lit(words).cast("array<bigint>")
     pred = F.lit(True)
     for pos in _positions(key, n_bits, n_hashes):
-        word = F.element_at(lit_words, (pos / F.lit(64)).cast("int") + F.lit(1))
+        word = F.element_at(arr, (pos / F.lit(64)).cast("int") + F.lit(1))
         pred = pred & (F.getbit(word, pos % F.lit(64)) == F.lit(1))
     return pred
 
@@ -120,10 +127,22 @@ def bloom_prefiltered_join(
     difference between exchanging the full fact table and exchanging
     the ~selectivity fraction that can match.
     """
-    words = build_bloom_words(
-        dim.select(dim_key).distinct(), dim_key, n_bits, n_hashes
+    # no key-dedup pass: duplicate build keys just OR the same bits again
+    words = build_bloom_words(dim.select(dim_key), dim_key, n_bits, n_hashes)
+    # ship the packed words as a 1-row broadcast relation, not a plan
+    # literal: the n_hashes probe expressions then all reference a single
+    # array attribute (a 16 KiB broadcast) instead of inlining n_hashes
+    # copies of the word array into every task's serialized plan
+    words_df = fact.sparkSession.createDataFrame(
+        [(words,)], "__bloom_words array<bigint>"
     )
-    survivors = fact.filter(
-        bloom_might_contain(words, F.col(fact_key), n_bits, n_hashes)
+    survivors = (
+        fact.crossJoin(F.broadcast(words_df))
+        .filter(
+            bloom_might_contain(
+                F.col("__bloom_words"), F.col(fact_key), n_bits, n_hashes
+            )
+        )
+        .drop("__bloom_words")
     )
     return survivors.join(dim, survivors[fact_key] == dim[dim_key], how)

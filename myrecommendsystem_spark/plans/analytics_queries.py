@@ -6578,3 +6578,102 @@ def orders_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pc").cast("bigint"),
         F.col("support").cast("bigint"),
     ).orderBy("pa", "pb", "pc")
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov test (distribution-shift detection)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_ks_test",
+    f"""
+WITH s AS (
+    SELECT value AS v,
+           CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is1
+    FROM events WHERE event_type IN ('view', 'purchase')
+),
+n AS (
+    SELECT CAST(SUM(is1) AS DOUBLE) AS n1,
+           CAST(SUM(1 - is1) AS DOUBLE) AS n2
+    FROM s
+),
+g AS (
+    SELECT v, SUM(is1) AS c1, SUM(1 - is1) AS c2 FROM s GROUP BY v
+),
+ecdf AS (
+    SELECT SUM(c1) OVER (ORDER BY v) AS cum1,
+           SUM(c2) OVER (ORDER BY v) AS cum2
+    FROM g
+),
+d AS (
+    SELECT MAX(ABS(cum1 / n1 - cum2 / n2)) AS d_stat
+    FROM ecdf CROSS JOIN n
+)
+SELECT CAST(n1 AS BIGINT) AS n1,
+       CAST(n2 AS BIGINT) AS n2,
+       {sql_round_stable('d_stat', 6)} AS d_stat,
+       {sql_round_stable('2 * EXP(-2 * POWER(d_stat * SQRT(n1 * n2 / (n1 + n2)), 2))', 6)}
+           AS p_value,
+       CAST(d_stat > 1.358 * SQRT((n1 + n2) / (n1 * n2)) AS INTEGER)
+           AS reject_05
+FROM d CROSS JOIN n
+""",
+    doc="two-sample Kolmogorov-Smirnov test: are 'view' and 'purchase' "
+    "event values drawn from the same distribution?  D = sup |ECDF1 - "
+    "ECDF2| evaluated at the pooled distinct values — one grouped "
+    "aggregate, then DISTRIBUTED prefix sums (indexing.running_sums: "
+    "range-partition + partition-local windows + broadcast offsets — "
+    "values can be near-continuous, so no single-partition global "
+    "window), counts broadcast.  Asymptotic "
+    "Smirnov p-value and the alpha=0.05 decision computed in closed "
+    "form on both engines.  Completes the statistical-testing family "
+    "(z, chi-square, ANOVA, SRM, CUSUM): KS is the standard "
+    "nonparametric drift gate feature pipelines run between training "
+    "snapshots — PSI's threshold-free sibling",
+    defer=True,
+)
+def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    s = ev.select(
+        F.col("value").alias("v"),
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("is1"),
+    )
+    n = s.agg(
+        F.sum("is1").cast("double").alias("n1"),
+        F.sum(1 - F.col("is1")).cast("double").alias("n2"),
+    )
+    g = s.groupBy("v").agg(
+        F.sum("is1").alias("c1"), F.sum(1 - F.col("is1")).alias("c2")
+    )
+    # distributed ECDF: range-partitioned two-pass prefix sums — never a
+    # single-partition global window (values can be near-continuous, so
+    # the distinct-value relation scales with the data)
+    from myrecommendsystem_spark.operators.indexing import running_sums
+
+    ecdf = running_sums(g, ["v"], ["c1", "c2"]).select(
+        F.col("cum_c1").alias("cum1"), F.col("cum_c2").alias("cum2")
+    )
+    d = ecdf.crossJoin(F.broadcast(n)).agg(
+        F.max(F.abs(F.col("cum1") / F.col("n1") - F.col("cum2") / F.col("n2"))).alias(
+            "d_stat"
+        )
+    )
+    out = d.crossJoin(F.broadcast(n))
+    scale = F.sqrt(F.col("n1") * F.col("n2") / (F.col("n1") + F.col("n2")))
+    return out.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        round_stable(F.col("d_stat"), 6).alias("d_stat"),
+        round_stable(
+            2 * F.exp(-2 * F.pow(F.col("d_stat") * scale, F.lit(2.0))), 6
+        ).alias("p_value"),
+        (
+            F.col("d_stat")
+            > 1.358 * F.sqrt((F.col("n1") + F.col("n2")) / (F.col("n1") * F.col("n2")))
+        )
+        .cast("int")
+        .alias("reject_05"),
+    )

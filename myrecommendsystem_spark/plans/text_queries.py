@@ -604,15 +604,43 @@ def embedding_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_dedup_survivors",
-    None,  # transitive closure over cosine pairs — rows-only (the pair
-    # stage embedding_near_dup_pairs IS oracle-gated; closure semantics
-    # pinned by test_embedding_survivors_transitive)
+    """
+WITH RECURSIVE e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= 0.35
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION SELECT id_b, id_a FROM pairs
+),
+reach AS (
+        SELECT src AS a, src AS b FROM edges
+    UNION
+        SELECT src, dst FROM edges
+    UNION
+        SELECT r2.a, ed.dst FROM reach r2 JOIN edges ed ON ed.src = r2.b
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(label AS INTEGER) AS label
+FROM embeddings
+WHERE vec_id NOT IN (
+    SELECT a FROM reach GROUP BY a HAVING a <> MIN(b)
+)
+ORDER BY vec_id
+""",
     doc="vector-space dedup survivors: cosine near-dup pairs (auto "
     "exact/IVF) → connected components → min-id representative per "
     "cluster + all unpaired rows.  The embedding twin of "
     "dedup_minhash_survivors, completing the dedup family: exact / "
     "MinHash / SimHash / n-gram Jaccard / embedding all end in the same "
-    "survivor contract",
+    "survivor contract.  Upgraded from rows-only to hash-gated: the "
+    "oracle recomputes the pairs with list_cosine_similarity (same "
+    "rounding convention as embedding_near_dup_pairs) and the closure "
+    "as a RECURSIVE reachability + MIN-label aggregation, so the "
+    "iterative Spark component propagation is checked end-to-end",
 )
 def q_embedding_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)

@@ -198,3 +198,23 @@ def test_join_delta_law_and_disjointness(spark):
         tuple(r) for r in full.collect()
     }
     assert view.count() == full.count()
+
+
+def test_running_sums_matches_global_window(spark):
+    from myrecommendsystem_spark.operators.indexing import running_sums
+    from pyspark.sql import Window
+
+    df = spark.range(0, 3000).select(
+        (F.hash("id") % 1000).alias("k"),
+        (F.col("id") % 7).cast("double").alias("x"),
+        (F.col("id") % 3).alias("y"),
+        "id",
+    )
+    got = running_sums(df, ["k", "id"], ["x", "y"])
+    w = Window.orderBy("k", "id").rowsBetween(Window.unboundedPreceding, 0)
+    want = df.select(
+        "id", F.sum("x").over(w).alias("cum_x"), F.sum("y").over(w).alias("cum_y")
+    )
+    a = {r["id"]: (r["cum_x"], r["cum_y"]) for r in got.collect()}
+    b = {r["id"]: (r["cum_x"], r["cum_y"]) for r in want.collect()}
+    assert a == b
