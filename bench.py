@@ -184,6 +184,7 @@ HEADLINE: tuple[str, ...] = (
     "bloom_prefilter_join",
     "orders_frequent_triples",
     "events_ks_test",
+    "revenue_decimal_exact",
     # rag_ingest_pipeline / doc_quality_model_scores intentionally NOT in
     # the headline: both are build/fit-dominated (index build ~7 s, LR
     # fit ~6 s at any sf — amortized once in production); their families

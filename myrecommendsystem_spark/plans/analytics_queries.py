@@ -6677,3 +6677,46 @@ def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("reject_05"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact decimal (money) arithmetic
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "revenue_decimal_exact",
+    """
+SELECT l_returnflag AS flag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem
+GROUP BY flag
+ORDER BY flag
+""",
+    doc="exact decimal money arithmetic: revenue summed in DECIMAL — "
+    "Spark's UnscaledLong/Decimal128 aggregation — is EXACT and "
+    "engine/order-independent, so the two engines agree to the last "
+    "digit with no ROUND smoothing (every float aggregate elsewhere in "
+    "the registry needs round_stable because double summation order "
+    "differs).  The financial-reporting discipline: partial aggregates "
+    "of decimals merge losslessly across any partitioning, which is "
+    "what makes money columns safe under AQE re-planning and "
+    "incremental state merges at 100 TB",
+    defer=True,
+)
+def revenue_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(14,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
+    )
+    return (
+        li.groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+        .orderBy("flag")
+    )
