@@ -185,6 +185,8 @@ HEADLINE: tuple[str, ...] = (
     "orders_frequent_triples",
     "events_ks_test",
     "revenue_decimal_exact",
+    "events_ab_cuped",
+    "doc_phrase_search",
     # rag_ingest_pipeline / doc_quality_model_scores intentionally NOT in
     # the headline: both are build/fit-dominated (index build ~7 s, LR
     # fit ~6 s at any sf — amortized once in production); their families

@@ -1671,3 +1671,65 @@ def ann_topk_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pca_topk(
         emb, queries, k=5, n_components=32, shortlist_factor=8
     )
+
+
+# ---------------------------------------------------------------------------
+# Positional phrase search (exact-phrase retrieval over an inverted index)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_phrase_search",
+    r"""
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+    FROM documents
+),
+hits AS (
+    SELECT doc_id,
+           len([i for i in generate_series(1, len(t)-1)
+                if t[i] = 'hash' and t[i+1] = 'join']) AS n_occ
+    FROM toks
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_occ AS INTEGER) AS n_occ
+FROM hits WHERE n_occ > 0
+ORDER BY n_occ DESC, doc_id LIMIT 20
+""",
+    doc="exact-phrase retrieval ('hash join') over a POSITIONAL "
+    "inverted index: posexplode tokens to (doc, term, pos), keep only "
+    "the phrase's terms (the per-term postings a real index would "
+    "fetch), then adjacency-join postings on (doc, pos+1) — the "
+    "standard positional-intersection phrase algorithm, vs the "
+    "oracle's per-document scan.  Term filters cut the postings "
+    "BEFORE the join (at 100 TB the join touches two terms' postings, "
+    "never the corpus); global top-k is TakeOrderedAndProject.  "
+    "Complements doc_bm25_search (bag-of-words) and "
+    "doc_hybrid_search_rrf with the third retrieval mode engines "
+    "ship: phrase/proximity",
+    defer=True,
+)
+def doc_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("pos", "term"),
+    )
+    t1 = toks.filter(F.col("term") == "hash").select(
+        "doc_id", F.col("pos").alias("p1")
+    )
+    t2 = toks.filter(F.col("term") == "join").select(
+        "doc_id", F.col("pos").alias("p2")
+    )
+    hits = (
+        t1.join(t2, ["doc_id"])
+        .filter(F.col("p2") == F.col("p1") + 1)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_occ"))
+    )
+    return (
+        hits.select(F.col("doc_id").cast("bigint"), "n_occ")
+        .orderBy(F.col("n_occ").desc(), "doc_id")
+        .limit(20)
+    )
