@@ -6825,3 +6825,143 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("variant")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multivariate per-group OLS (closed-form normal equations)
+# ---------------------------------------------------------------------------
+
+# Shared algebra for the 3x3 Cramer solve: the nine sufficient statistics
+# reduce each segment to one row; identical formulas run on both engines.
+_OLS_STATS = """
+    SELECT seg,
+           CAST(COUNT(*) AS DOUBLE) AS n,
+           SUM(x1) AS s1, SUM(x2) AS s2, SUM(y) AS sy,
+           SUM(x1 * x1) AS s11, SUM(x1 * x2) AS s12,
+           SUM(x2 * x2) AS s22,
+           SUM(x1 * y) AS s1y, SUM(x2 * y) AS s2y,
+           SUM(y * y) AS syy
+    FROM feats GROUP BY seg
+"""
+
+
+@register(
+    "orders_ols_by_segment",
+    f"""
+WITH feats AS (
+    SELECT c_mktsegment AS seg,
+           o_totalprice AS y,
+           CAST(COUNT(*) AS DOUBLE) AS x1,
+           SUM(l_quantity) AS x2
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderkey, seg, y
+),
+stats AS ({_OLS_STATS}),
+solve AS (
+    SELECT seg, n, sy, syy,
+           n * (s11 * s22 - s12 * s12)
+         - s1 * (s1 * s22 - s12 * s2)
+         + s2 * (s1 * s12 - s11 * s2) AS det,
+           sy * (s11 * s22 - s12 * s12)
+         - s1 * (s1y * s22 - s12 * s2y)
+         + s2 * (s1y * s12 - s11 * s2y) AS det0,
+           n * (s1y * s22 - s12 * s2y)
+         - sy * (s1 * s22 - s12 * s2)
+         + s2 * (s1 * s2y - s1y * s2) AS det1,
+           n * (s11 * s2y - s1y * s12)
+         - s1 * (s1 * s2y - s1y * s2)
+         + sy * (s1 * s12 - s11 * s2) AS det2,
+           s1, s2, s1y, s2y
+    FROM stats
+)
+SELECT seg,
+       CAST(n AS BIGINT) AS n_orders,
+       {sql_round_stable('det0 / det', 4)} AS b0,
+       {sql_round_stable('det1 / det', 4)} AS b1,
+       {sql_round_stable('det2 / det', 4)} AS b2,
+       {sql_round_stable(
+           '1.0 - (syy - (det0 * sy + det1 * s1y + det2 * s2y) / det)'
+           ' / NULLIF(syy - sy * sy / n, 0)', 4)} AS r2
+FROM solve
+ORDER BY seg
+""",
+    doc="closed-form multivariate OLS per group: order totalprice "
+    "regressed on line count and total quantity, solved per market "
+    "segment from the NINE sufficient statistics (one grouped "
+    "aggregate) via Cramer's rule on the 3x3 normal equations — no "
+    "MLlib fit, no iterations, no driver math; segments solve in "
+    "parallel as column expressions.  The sufficient-statistic "
+    "reduction is the 100 TB shape: the regression 'model' is an "
+    "algebraic aggregate (mergeable partials, AQE-safe), so per-group "
+    "OLS costs exactly one shuffle of 11-number states.  Extends "
+    "product_score_trend (single-feature) to the multivariate case; "
+    "R-squared emitted beside the coefficients",
+    defer=True,
+)
+def orders_ols_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    feats = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            "o_orderkey",
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_totalprice").alias("y"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("x1"),
+            F.sum("l_quantity").alias("x2"),
+        )
+    )
+    st = feats.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    c = F.col
+    det = (
+        c("n") * (c("s11") * c("s22") - c("s12") * c("s12"))
+        - c("s1") * (c("s1") * c("s22") - c("s12") * c("s2"))
+        + c("s2") * (c("s1") * c("s12") - c("s11") * c("s2"))
+    )
+    det0 = (
+        c("sy") * (c("s11") * c("s22") - c("s12") * c("s12"))
+        - c("s1") * (c("s1y") * c("s22") - c("s12") * c("s2y"))
+        + c("s2") * (c("s1y") * c("s12") - c("s11") * c("s2y"))
+    )
+    det1 = (
+        c("n") * (c("s1y") * c("s22") - c("s12") * c("s2y"))
+        - c("sy") * (c("s1") * c("s22") - c("s12") * c("s2"))
+        + c("s2") * (c("s1") * c("s2y") - c("s1y") * c("s2"))
+    )
+    det2 = (
+        c("n") * (c("s11") * c("s2y") - c("s1y") * c("s12"))
+        - c("s1") * (c("s1") * c("s2y") - c("s1y") * c("s2"))
+        + c("sy") * (c("s1") * c("s12") - c("s11") * c("s2"))
+    )
+    sse = c("syy") - (det0 * c("sy") + det1 * c("s1y") + det2 * c("s2y")) / det
+    sst = c("syy") - c("sy") * c("sy") / c("n")
+    return (
+        st.select(
+            "seg",
+            c("n").cast("bigint").alias("n_orders"),
+            round_stable(det0 / det, 4).alias("b0"),
+            round_stable(det1 / det, 4).alias("b1"),
+            round_stable(det2 / det, 4).alias("b2"),
+            round_stable(1.0 - sse / F.nullif(sst, F.lit(0.0)), 4).alias("r2"),
+        )
+        .orderBy("seg")
+    )
