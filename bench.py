@@ -188,6 +188,8 @@ HEADLINE: tuple[str, ...] = (
     "events_ab_cuped",
     "doc_phrase_search",
     "orders_ols_by_segment",
+    "users_locf_daily",
+    "events_strict_funnel",
     # rag_ingest_pipeline / doc_quality_model_scores intentionally NOT in
     # the headline: both are build/fit-dominated (index build ~7 s, LR
     # fit ~6 s at any sf — amortized once in production); their families

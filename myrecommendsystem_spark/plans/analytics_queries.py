@@ -6965,3 +6965,174 @@ def orders_ols_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-key LOCF gap-fill (last observation carried forward on a calendar spine)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "users_locf_daily",
+    f"""
+WITH daily AS (
+    SELECT CAST(user_id AS INTEGER) AS userId, CAST(ts AS DATE) AS day,
+           AVG(value) AS v
+    FROM events GROUP BY userId, day
+),
+u AS (SELECT DISTINCT CAST(user_id AS INTEGER) AS userId FROM events),
+days AS (
+    SELECT CAST(unnest(generate_series(
+        DATE '2024-01-01', DATE '2024-01-30', INTERVAL 1 DAY)) AS DATE) AS day
+),
+grid AS (SELECT userId, day FROM u CROSS JOIN days),
+j AS (
+    SELECT g.userId, g.day, d.v,
+           CAST(d.v IS NOT NULL AS INTEGER) AS is_observed
+    FROM grid g LEFT JOIN daily d USING (userId, day)
+),
+f AS (
+    SELECT userId, day, is_observed,
+           last_value(v IGNORE NULLS) OVER (
+               PARTITION BY userId ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled
+    FROM j
+)
+SELECT userId, strftime(day, '%Y-%m-%d') AS day, is_observed,
+       {sql_round_stable('filled', 4)} AS filled
+FROM f
+ORDER BY userId, day
+""",
+    doc="per-user LOCF gap-fill: the user x calendar spine (30-day "
+    "sequence exploded, tiny side broadcast) left-joins observed daily "
+    "averages, then last(ignorenulls) over a per-user ordered frame "
+    "carries the most recent observation forward — the "
+    "feature-engineering staple for daily snapshots from sparse "
+    "events (leading days before first observation stay NULL, "
+    "honestly unfilled).  Per-user windows partition-parallelize; the "
+    "calendar twin of events_hourly_gapfill, which fills the GLOBAL "
+    "hourly series",
+    defer=True,
+)
+def users_locf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("int")
+    daily = ev.groupBy(
+        uid.alias("userId"), F.to_date("ts").alias("day")
+    ).agg(F.avg("value").alias("v"))
+    users = ev.select(uid.alias("userId")).distinct()
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"),
+                F.lit("2024-01-30").cast("date"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("day")
+    )
+    grid = users.crossJoin(F.broadcast(days))
+    j = grid.join(daily, ["userId", "day"], "left").withColumn(
+        "is_observed", F.col("v").isNotNull().cast("int")
+    )
+    w = (
+        Window.partitionBy("userId")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        j.select(
+            "userId",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "is_observed",
+            round_stable(F.last("v", ignorenulls=True).over(w), 4).alias(
+                "filled"
+            ),
+        )
+        .orderBy("userId", "day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Strict time-constrained funnel (each step within a max gap of the previous)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_strict_funnel",
+    """
+WITH v AS (
+    SELECT CAST(user_id AS INTEGER) AS userId, MIN(ts) AS t1
+    FROM events WHERE event_type = 'view' GROUP BY userId
+),
+c AS (
+    SELECT v.userId, v.t1, MIN(e.ts) AS t2
+    FROM v JOIN events e
+      ON CAST(e.user_id AS INTEGER) = v.userId
+     AND e.event_type = 'click'
+     AND e.ts > v.t1 AND e.ts <= v.t1 + INTERVAL 6 HOUR
+    GROUP BY v.userId, v.t1
+),
+p AS (
+    SELECT c.userId, MIN(e.ts) AS t3
+    FROM c JOIN events e
+      ON CAST(e.user_id AS INTEGER) = c.userId
+     AND e.event_type = 'purchase'
+     AND e.ts > c.t2 AND e.ts <= c.t2 + INTERVAL 6 HOUR
+    GROUP BY c.userId
+)
+SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+       CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click_6h,
+       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase_6h
+""",
+    doc="strict time-constrained funnel: first view, then the first "
+    "click within 6h OF THAT VIEW, then the first purchase within 6h "
+    "OF THAT CLICK — the greedy earliest-qualifying-event chaining "
+    "analytics engines (funnel windows in Amplitude/Mixpanel terms) "
+    "define.  Three keyed joins on (user, bounded time range), each "
+    "stage's relation shrinking; complements events_funnel_conversion "
+    "(unconstrained ordering) with the gap-bounded variant.  The "
+    "range predicates keep each probe a broadcastable per-user "
+    "interval check, never an unbounded time cross product",
+    defer=True,
+)
+def events_strict_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("int").alias("userId"), "event_type", "ts"
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("userId")
+        .agg(F.min("ts").alias("t1"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("userId").alias("cu"), F.col("ts").alias("cts")
+    )
+    c = (
+        v.join(
+            clicks,
+            (F.col("cu") == F.col("userId"))
+            & (F.col("cts") > F.col("t1"))
+            & (F.col("cts") <= F.col("t1") + F.expr("interval 6 hours")),
+        )
+        .groupBy("userId", "t1")
+        .agg(F.min("cts").alias("t2"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("userId").alias("pu"), F.col("ts").alias("pts")
+    )
+    p = (
+        c.join(
+            purchases,
+            (F.col("pu") == F.col("userId"))
+            & (F.col("pts") > F.col("t2"))
+            & (F.col("pts") <= F.col("t2") + F.expr("interval 6 hours")),
+        )
+        .groupBy("userId")
+        .agg(F.min("pts").alias("t3"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_6h")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_6h")))
+    )

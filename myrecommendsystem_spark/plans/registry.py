@@ -87,15 +87,15 @@ def register(
 # round-5 front; until then tests/test_registry_oracle.py replays them
 # at driver scale locally.
 #
-# NOTE for the round-5 rotation: the registry closes round 4 with 175
-# defer=True queries (the round-2/3 carryover the r4 window does not
-# cover, plus every round-4 addition) — THREE-plus 50-entry windows
-# of never-driver-verified names.  Front the
-# oracle-gated ones (registration order) in _DRIVER_WINDOW_R5 and
-# leave the overflow + rows-only for the round-6 front; full driver
-# coverage of the round-4 additions takes two-plus windows by
-# arithmetic, not neglect.  tests/test_registry_oracle.py replays
-# every deferred query at driver scale each round in the meantime.
+# NOTE for the round-5 rotation: the registry closes round 4 with 184
+# defer=True queries (162 oracle-gated + 22 rows-only — every round-4
+# addition) — THREE-plus 50-entry windows of never-driver-verified
+# names.  Front the oracle-gated ones (registration order) in
+# _DRIVER_WINDOW_R5 and leave the overflow + rows-only for the
+# round-6/7 fronts; full driver coverage of the round-4 additions
+# takes three-plus windows by arithmetic, not neglect.
+# tests/test_registry_oracle.py replays every deferred query at
+# driver scale each round in the meantime.
 _DRIVER_WINDOW_R4 = [
     # -- never driver-verified (r01..r03): oracle-gated round-3 additions --
     "product_category_counts",
