@@ -298,20 +298,55 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.near_duplicate_pairs(_emb(spark, sf_dir), threshold=0.35)
 
 
+# 257^(15-j) mod 2^31-1 — the probe-side power table, duplicated into the
+# oracle as a literal so both engines share the exact modular arithmetic.
+_RK_POWERS_SQL = "[" + ",".join(
+    str(pow(257, 15 - j, (1 << 31) - 1)) for j in range(16)
+) + "]"
+
+
 @register(
     "doc_rolling_fingerprints",
-    None,
+    f"""
+WITH c AS (
+    SELECT doc_id, [ord(ch) for ch in regexp_split_to_array(text, '')] AS cs
+    FROM documents
+),
+fp AS (
+    SELECT doc_id,
+           [ list_sum([CAST(cs[i+j-1] AS HUGEINT) * ({_RK_POWERS_SQL})[j]
+                       for j in generate_series(1,16)]) % 2147483647
+             for i in generate_series(1, len(cs)-15) ] AS fps
+    FROM c
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(fps) AS INTEGER) AS n_windows,
+       CAST(list_min(fps) AS BIGINT) AS min_fp,
+       CAST(list_max(fps) AS BIGINT) AS max_fp
+FROM fp
+ORDER BY doc_id
+""",
     doc="document fingerprinting: Rabin-Karp rolling hashes over 16-byte "
-    "windows (substring-overlap primitive) — rows-only; window-share "
-    "properties asserted in tests/test_text_dedup.py",
+    "windows (substring-overlap primitive).  Upgraded rows-only → "
+    "hash-gated: the oracle recomputes every window hash with the same "
+    "modular arithmetic (power table inlined; HUGEINT keeps the "
+    "sum exact) via DuckDB list comprehensions, so the Arrow "
+    "sliding-window matmul kernel is checked value-for-value.  The "
+    "oracle assumes ASCII docs ≥ 16 bytes — true of the corpus at "
+    "every SF; the kernel's short-doc and non-ASCII byte paths stay "
+    "pinned by tests/test_text_dedup.py",
 )
 def doc_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = TXT.rolling_fingerprints(F.col("text"), window=16)
-    return _docs(spark, sf_dir).select(
-        "doc_id",
-        F.size(fps).alias("n_windows"),
-        F.array_min(fps).alias("min_fp"),
-        F.array_max(fps).alias("max_fp"),
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.size(fps).alias("n_windows"),
+            F.array_min(fps).alias("min_fp"),
+            F.array_max(fps).alias("max_fp"),
+        )
+        .orderBy("doc_id")
     )
 
 
