@@ -190,6 +190,7 @@ HEADLINE: tuple[str, ...] = (
     "orders_ols_by_segment",
     "users_locf_daily",
     "events_strict_funnel",
+    "events_mutual_information",
     # rag_ingest_pipeline / doc_quality_model_scores intentionally NOT in
     # the headline: both are build/fit-dominated (index build ~7 s, LR
     # fit ~6 s at any sf — amortized once in production); their families

@@ -7136,3 +7136,70 @@ def events_strict_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_6h")))
         .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_6h")))
     )
+
+
+# ---------------------------------------------------------------------------
+# Mutual information between categorical columns (dependence profiling)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_mutual_information",
+    f"""
+WITH j AS (
+    SELECT event_type AS x, CAST(dayofweek(ts) AS INTEGER) AS y,
+           CAST(COUNT(*) AS DOUBLE) AS n_xy
+    FROM events GROUP BY x, y
+),
+tot AS (SELECT SUM(n_xy) AS n FROM j),
+mx AS (SELECT x, SUM(n_xy) AS n_x FROM j GROUP BY x),
+my AS (SELECT y, SUM(n_xy) AS n_y FROM j GROUP BY y)
+SELECT {sql_round_stable(
+    'SUM((n_xy / n) * LN(n_xy * n / (n_x * n_y)))', 6)} AS mi,
+       {sql_round_stable('-SUM((n_xy / n) * LN(n_xy / n_x))', 6)}
+           AS cond_entropy_y_given_x,
+       CAST(COUNT(*) AS BIGINT) AS n_cells
+FROM j
+JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
+""",
+    doc="mutual information between two categorical columns (event type "
+    "x day-of-week): the feature-selection / leakage-screening staple, "
+    "computed from the contingency table — one grouped count, margins "
+    "re-aggregated FROM the joint (never a second scan), broadcast "
+    "back, one closed-form sum.  Conditional entropy H(Y|X) emitted "
+    "beside MI.  The information-theoretic sibling of "
+    "orders_chi2_status_priority: chi2 tests independence, MI "
+    "quantifies the dependence in nats",
+    defer=True,
+)
+def events_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    j = ev.groupBy(
+        F.col("event_type").alias("x"),
+        F.dayofweek("ts").cast("int").alias("y"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("n_xy"))
+    tot = j.agg(F.sum("n_xy").alias("n"))
+    mx = j.groupBy("x").agg(F.sum("n_xy").alias("n_x"))
+    my = j.groupBy("y").agg(F.sum("n_xy").alias("n_y"))
+    full = (
+        j.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot))
+    )
+    return full.agg(
+        round_stable(
+            F.sum(
+                (F.col("n_xy") / F.col("n"))
+                * F.log(F.col("n_xy") * F.col("n") / (F.col("n_x") * F.col("n_y")))
+            ),
+            6,
+        ).alias("mi"),
+        round_stable(
+            -F.sum(
+                (F.col("n_xy") / F.col("n"))
+                * F.log(F.col("n_xy") / F.col("n_x"))
+            ),
+            6,
+        ).alias("cond_entropy_y_given_x"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )

@@ -87,8 +87,8 @@ def register(
 # round-5 front; until then tests/test_registry_oracle.py replays them
 # at driver scale locally.
 #
-# NOTE for the round-5 rotation: the registry closes round 4 with 186
-# defer=True queries (164 oracle-gated + 22 rows-only — every round-4
+# NOTE for the round-5 rotation: the registry closes round 4 with 187
+# defer=True queries (165 oracle-gated + 22 rows-only — every round-4
 # addition) — THREE-plus 50-entry windows of never-driver-verified
 # names.  Front the oracle-gated ones (registration order) in
 # _DRIVER_WINDOW_R5 and leave the overflow + rows-only for the
