@@ -191,6 +191,10 @@ HEADLINE: tuple[str, ...] = (
     "users_locf_daily",
     "events_strict_funnel",
     "events_mutual_information",
+    # round-5: rows-only → hash-gated upgrades (new oracles, same ops)
+    "doc_cdc_chunks",
+    "dedup_substring_overlap",
+    "product_graph_pagerank",
     # rag_ingest_pipeline / doc_quality_model_scores intentionally NOT in
     # the headline: both are build/fit-dominated (index build ~7 s, LR
     # fit ~6 s at any sf — amortized once in production); their families
@@ -254,14 +258,42 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
+    # Artifact-chain fix (round-4 verdict item 3): the external driver
+    # records only the TAIL of this process's output, and r04's
+    # 148-entry per-query dict grew the single JSON line past that
+    # window — BENCH_r04.json came back parsed:null.  So the full
+    # per-query detail goes to a side file + an early (truncatable)
+    # line, and the LAST line printed is a compact, fixed-size totals
+    # object that always survives the tail capture.
+    detail = {
+        "metric": "headline_queries_detail",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    with open(os.path.join(os.path.dirname(__file__), "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    print(json.dumps(detail))
+    # Compact per-family subtotals (first name token = family): ~30 keys
+    # regardless of how many queries the headline grows to.
+    families: dict[str, float] = {}
+    for name, sec in timings.items():
+        fam = name.split("_", 1)[0]
+        families[fam] = round(families.get(fam, 0.0) + sec, 3)
+    worst = max(timings, key=timings.get) if timings else None
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": families,
                 "sf": sf,
+                "n_queries": len(timings),
+                "worst": worst,
+                "worst_sec": timings.get(worst, 0.0) if worst else 0.0,
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )

@@ -101,13 +101,18 @@ def cusum_alarms(
         s-_t = max(0, s-_{t-1} - z_t - k)
 
     flag days where either side exceeds ``h``.  The recursion is a
-    sequential scan with no relational equivalent (a nonlinear prefix
-    op), so it runs as an Arrow kernel via ``applyInPandas`` keyed on
-    the group — each group's series fits trivially in one batch, and
-    groups parallelize across executors.  Output: (group, day, value,
-    z, s_hi, s_lo, alarm).
+    sequential scan with no relational *window* equivalent (a nonlinear
+    prefix op), so it runs as an Arrow kernel via ``applyInPandas``
+    keyed on the group — each group's series fits trivially in one
+    batch, and groups parallelize across executors.  Output: (group,
+    day, value, z, s_hi, s_lo, alarm).  Float outputs follow the
+    round_stable convention (+1e-9 then round to 4) so the registry's
+    bounded-recursive-CTE DuckDB twin hash-matches; the recursion
+    itself accumulates unrounded.
     """
     import pandas as pd
+
+    eps = 1e-9  # compat.round_stable epsilon for digits=4
 
     moments = daily.groupBy(group_col).agg(
         F.avg(value_col).alias("_mu"),
@@ -132,15 +137,15 @@ def cusum_alarms(
         for z in pdf["_z"]:
             s_hi = max(0.0, s_hi + z - k)
             s_lo = max(0.0, s_lo - z - k)
-            hi.append(round(s_hi, 4))
-            lo.append(round(s_lo, 4))
+            hi.append(round(s_hi + eps, 4))
+            lo.append(round(s_lo + eps, 4))
             alarms.append(int(s_hi > h or s_lo > h))
         return pd.DataFrame(
             {
                 group_col: pdf[group_col],
                 day_col: pdf[day_col].astype(str),
-                value_col: pdf[value_col],
-                "z": [round(z, 4) for z in pdf["_z"]],
+                value_col: [round(v + eps, 4) for v in pdf[value_col]],
+                "z": [round(z + eps, 4) for z in pdf["_z"]],
                 "s_hi": hi,
                 "s_lo": lo,
                 "alarm": alarms,

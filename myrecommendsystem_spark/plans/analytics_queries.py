@@ -810,13 +810,102 @@ def lineitem_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "product_graph_pagerank",
-    None,
+    f"""
+WITH RECURSIVE ratings AS (
+    SELECT CAST(user_id AS INTEGER) AS userId,
+           CAST(regexp_extract(props, '[0-9]+', 0) AS INTEGER) AS productId,
+           value AS score,
+           ts
+    FROM events
+),
+capped AS (
+    SELECT userId, productId, score FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY userId
+            ORDER BY ts DESC, productId DESC, score DESC
+        ) AS rn FROM ratings
+    ) WHERE rn <= 20
+),
+r AS (
+    SELECT userId, productId, AVG(score) AS score
+    FROM capped GROUP BY userId, productId
+),
+norms AS (
+    SELECT productId, SQRT(SUM(score * score)) AS nrm
+    FROM r GROUP BY productId
+),
+dots AS (
+    SELECT a.productId AS pid, b.productId AS other_pid,
+           SUM(a.score * b.score) AS dot
+    FROM r a JOIN r b ON a.userId = b.userId AND a.productId <> b.productId
+    GROUP BY pid, other_pid
+),
+sims AS (
+    SELECT pid, other_pid,
+           {sql_round_stable('dot / (na.nrm * nb.nrm)', 4)} AS sim
+    FROM dots
+    JOIN norms na ON dots.pid = na.productId
+    JOIN norms nb ON dots.other_pid = nb.productId
+),
+edges AS (
+    SELECT CAST(pid AS BIGINT) AS src, CAST(other_pid AS BIGINT) AS dst
+    FROM (
+        SELECT pid, other_pid, ROW_NUMBER() OVER (
+            PARTITION BY pid ORDER BY sim DESC, other_pid
+        ) AS rn
+        FROM sims WHERE sim > 0
+    ) WHERE rn <= 10
+),
+-- NOTE: a plain "a UNION b" CTE inside WITH RECURSIVE is given
+-- anchor/step treatment by DuckDB and does NOT dedup — hence the
+-- explicit DISTINCT-over-UNION-ALL spelling
+nodes AS (
+    SELECT DISTINCT id FROM (
+        SELECT src AS id FROM edges UNION ALL SELECT dst AS id FROM edges
+    )
+),
+nc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+deg AS (SELECT src AS id, CAST(COUNT(*) AS DOUBLE) AS deg FROM edges GROUP BY src),
+pr AS (
+    -- 8 power-iteration rounds; the similarity graph is symmetric in
+    -- node membership (both directions of every pair are registered),
+    -- so every node has out-degree >= 1 and the kernel's dangling-mass
+    -- term is identically zero here
+    SELECT 0 AS iter, id, 1.0 / (SELECT n FROM nc) AS rank FROM nodes
+    UNION ALL
+    SELECT it + 1 AS iter, id, rank FROM (
+        SELECT MAX(m.it) OVER () AS it, n2.id,
+               (1.0 - 0.85) / (SELECT n FROM nc)
+                   + 0.85 * COALESCE(m.in_mass, 0) AS rank
+        FROM nodes n2
+        LEFT JOIN (
+            SELECT e.dst, MAX(p.iter) AS it, SUM(p.rank / d.deg) AS in_mass
+            FROM pr p
+            JOIN deg d ON d.id = p.id
+            JOIN edges e ON e.src = p.id
+            WHERE p.iter < 8
+            GROUP BY e.dst
+        ) m ON m.dst = n2.id
+    ) WHERE it IS NOT NULL
+)
+SELECT product_id, rank, rnk FROM (
+    SELECT CAST(id AS INTEGER) AS product_id,
+           ROUND(rank, 6) AS rank,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY ROUND(rank, 6) DESC, id) AS INTEGER) AS rnk
+    FROM pr WHERE iter = 8
+) WHERE rnk <= 50
+""",
     doc="PageRank over the item-similarity graph (operators.graph."
     "pagerank): power iteration, one node-keyed join+aggregate per "
     "round, lineage checkpoint-truncated, dangling mass redistributed "
-    "so ranks sum to 1 — rows-only (iterative float fixpoint isn't "
-    "SQL-reproducible); distribution/star-graph laws pinned in "
-    "tests/test_graph.py",
+    "so ranks sum to 1.  Upgraded rows-only → hash-gated (round-4 "
+    "verdict item 7): fixed iteration count + deterministic kNN edge "
+    "construction make the fixpoint a bounded DuckDB WITH RECURSIVE "
+    "power iteration (the product_graph_distances pattern); ranks are "
+    "rounded to 6 digits on both sides, far above the ~1e-15 "
+    "summation-order noise floor.  Distribution/star-graph laws stay "
+    "pinned in tests/test_graph.py",
     defer=True,
 )
 def product_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4755,10 +4844,46 @@ def orders_chi2_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_cusum_alarms",
-    None,  # Page's CUSUM recursion s_t = max(0, s_{t-1} + z_t - k) is a
-    # nonlinear prefix scan — no SQL equivalent; semantics pinned by an
-    # independent-implementation parity test + step-injection property
-    # test in tests/test_analytics_round4d.py
+    f"""
+WITH RECURSIVE daily AS (
+    SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, AVG(value) AS avg_value
+    FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+),
+m AS (
+    SELECT event_type, AVG(avg_value) AS mu, STDDEV_SAMP(avg_value) AS sd
+    FROM daily GROUP BY event_type
+),
+z AS (
+    SELECT d.event_type, d.day, d.avg_value,
+           CASE WHEN m.sd IS NULL OR m.sd = 0 THEN 0.0
+                ELSE (d.avg_value - m.mu) / m.sd END AS zv,
+           ROW_NUMBER() OVER (PARTITION BY d.event_type ORDER BY d.day) AS rn
+    FROM daily d JOIN m USING (event_type)
+),
+-- Page's recursion s_t = max(0, s_(t-1) +/- z_t - k) is a nonlinear
+-- prefix scan: no window equivalent, but a bounded left fold — walked
+-- here day-by-day per type (recursion depth = series length)
+scan AS (
+    SELECT event_type, rn, day, avg_value, zv,
+           GREATEST(0.0, zv - 0.5) AS s_hi,
+           GREATEST(0.0, -zv - 0.5) AS s_lo
+    FROM z WHERE rn = 1
+    UNION ALL
+    SELECT o.event_type, o.rn, o.day, o.avg_value, o.zv,
+           GREATEST(0.0, s.s_hi + o.zv - 0.5),
+           GREATEST(0.0, s.s_lo - o.zv - 0.5)
+    FROM scan s JOIN z o ON o.event_type = s.event_type AND o.rn = s.rn + 1
+)
+SELECT event_type, day,
+       {sql_round_stable('avg_value', 4)} AS avg_value,
+       {sql_round_stable('zv', 4)} AS z,
+       {sql_round_stable('s_hi', 4)} AS s_hi,
+       {sql_round_stable('s_lo', 4)} AS s_lo,
+       CAST(CASE WHEN s_hi > 4.0 OR s_lo > 4.0 THEN 1 ELSE 0 END AS INTEGER)
+           AS alarm
+FROM scan
+ORDER BY event_type, day
+""",
     doc="change-point monitoring: two-sided CUSUM (Page 1954) on the "
     "daily mean event value per event type (operators/stats.py::"
     "cusum_alarms).  The input series is the calendar x type aggregate "
@@ -4766,7 +4891,13 @@ def orders_chi2_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "recursion runs as an Arrow kernel per type via applyInPandas — "
     "groups parallelize, each series is one batch.  Complements the "
     "Shewhart p-chart (events_error_pchart): CUSUM accumulates small "
-    "persistent shifts the per-point control limits miss",
+    "persistent shifts the per-point control limits miss.  Upgraded "
+    "rows-only → hash-gated (r5): the nonlinear prefix scan is a "
+    "bounded left fold, so the DuckDB twin walks it as a day-indexed "
+    "recursive CTE (the doc_cdc_chunks technique); alarms fire on the "
+    "UNROUNDED sums on both sides, outputs follow round_stable.  The "
+    "independent-scan parity + step-injection tests in "
+    "tests/test_analytics_round4d.py stay as the semantic pins",
     defer=True,
 )
 def events_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:

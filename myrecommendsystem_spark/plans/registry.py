@@ -87,15 +87,79 @@ def register(
 # round-5 front; until then tests/test_registry_oracle.py replays them
 # at driver scale locally.
 #
-# NOTE for the round-5 rotation: the registry closes round 4 with 187
-# defer=True queries (165 oracle-gated + 22 rows-only — every round-4
-# addition) — THREE-plus 50-entry windows of never-driver-verified
-# names.  Front the oracle-gated ones (registration order) in
-# _DRIVER_WINDOW_R5 and leave the overflow + rows-only for the
-# round-6/7 fronts; full driver coverage of the round-4 additions
-# takes three-plus windows by arithmetic, not neglect.
-# tests/test_registry_oracle.py replays every deferred query at
-# driver scale each round in the meantime.
+# Round 5 fronts the verification backlog (round-4 verdict item 1):
+# 47 oldest never-driver-verified oracle-gated queries in registration
+# order, plus product_graph_pagerank (upgraded rows-only → hash-gated
+# this round, never driver-verified) — the 48-entry unverified block —
+# then doc_cdc_chunks and dedup_substring_overlap (also upgraded to
+# hash-gated this round; their r04 driver rows were rows-only, so they
+# ride the re-check tail to earn a hash-green row for the new oracles).
+# Displaced to the round-6 front: events_session_metrics,
+# doc_perplexity_report, orders_cohort_ltv plus the remaining 48
+# never-verified gated round-4 additions; the never-verified rows-only
+# entries trail in round 7.  Registry growth is frozen this round
+# (verdict item 2): any new registration carries defer=True and joins
+# the round-7+ queue.  tests/test_registry_oracle.py replays every
+# deferred query at driver scale each round in the meantime.
+_DRIVER_WINDOW_R5 = [
+    # -- never driver-verified: oracle-gated, oldest-first --
+    "ratings_negative_samples",
+    "product_wilson_ranking",
+    "doc_collocations_pmi",
+    "doc_hybrid_search_rrf",
+    "doc_phrase_search",
+    "stream_recs_cold_start",
+    "media_dedup_exact",
+    "suppliers_covering_all_types",
+    "customer_rfm_scores",
+    "events_median_gap",
+    "events_dau_wau",
+    "orders_basket_lift",
+    "doc_boilerplate_ngrams",
+    "doc_token_entropy",
+    "corpus_vocab_diversity",
+    "docs_mixture_resample",
+    "doc_length_curriculum",
+    "events_scd2_intervals",
+    "events_ohlc_hourly",
+    "label_centroid_similarity",
+    "lineitem_integrity_report",
+    "corpus_clean_pipeline",
+    "orders_yoy_growth",
+    "product_popularity_decayed",
+    "corpus_zipf_fit",
+    "usercf_similarities",
+    "product_graph_distances",
+    "events_cdc_final_state",
+    "events_ab_test_zscore",
+    "part_name_fuzzy_pairs",
+    "events_value_mad_outliers",
+    "events_ema_daily",
+    "orders_open_backlog",
+    "orders_target_encoding",
+    "events_value_psi",
+    "product_score_trend",
+    "orders_benford_digits",
+    "events_seasonality_profile",
+    "corpus_export_pipeline",
+    "recsys_popularity_eval",
+    "events_k_anonymity",
+    "doc_oov_rate",
+    "recsys_itemcf_eval",
+    "users_churn_labels",
+    "events_pit_training_set",
+    "recsys_beyond_accuracy",
+    "product_graph_triangles",
+    # -- never driver-verified: upgraded rows-only → hash-gated (r5) --
+    "product_graph_pagerank",
+    # -- re-checks with r04 rows-only driver rows: upgraded to
+    #    hash-gated this round, fronted to earn hash-green rows --
+    "doc_cdc_chunks",
+    "dedup_substring_overlap",
+]
+
+# Round-4 window, kept for artifact provenance (CORRECTNESS_r04.json is
+# the prefix of this list) and for the rotation-derivation test.
 _DRIVER_WINDOW_R4 = [
     # -- never driver-verified (r01..r03): oracle-gated round-3 additions --
     "product_category_counts",
@@ -215,7 +279,7 @@ _DRIVER_WINDOW_R3 = [
 
 
 def _ordered() -> list[QuerySpec]:
-    """Rotation front first (see ``_DRIVER_WINDOW_R4``), then the rest in
+    """Rotation front first (see ``_DRIVER_WINDOW_R5``), then the rest in
     three tiers with registration order preserved within each:
 
     1. established oracle-gated queries — prior driver-green rows;
@@ -224,7 +288,7 @@ def _ordered() -> list[QuerySpec]:
     3. rows-only queries — ops whose outputs aren't SQL-reproducible
        (ALS, hash-family sketches); the weakest check trails.
     """
-    front_rank = {n: i for i, n in enumerate(_DRIVER_WINDOW_R4)}
+    front_rank = {n: i for i, n in enumerate(_DRIVER_WINDOW_R5)}
     front = sorted(
         (s for s in REGISTRY if s.name in front_rank),
         key=lambda s: front_rank[s.name],

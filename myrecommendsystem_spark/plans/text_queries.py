@@ -1060,12 +1060,37 @@ def dedup_cross_corpus_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_substring_overlap",
-    None,
+    f"""
+WITH c AS (
+    SELECT doc_id, [ord(ch) for ch in regexp_split_to_array(text, '')] AS cs
+    FROM documents
+),
+fp AS (
+    SELECT DISTINCT doc_id,
+           unnest([ list_sum([CAST(cs[i+j-1] AS HUGEINT) * ({{POW}})[j]
+                       for j in generate_series(1,16)]) % 2147483647
+             for i in generate_series(1, len(cs)-15) ]) AS fp
+    FROM c
+),
+sizes AS (SELECT fp, COUNT(*) AS n FROM fp GROUP BY fp),
+ok AS (SELECT f.doc_id, f.fp FROM fp f JOIN sizes s USING (fp) WHERE s.n <= 1000)
+SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b,
+       CAST(COUNT(*) AS INTEGER) AS shared_windows
+FROM ok a JOIN ok b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY id_a, id_b
+HAVING COUNT(*) >= 8
+""".replace("{POW}", _RK_POWERS_SQL),
     doc="exact-substring overlap pairs (Lee et al. 2022 span-dedup "
     "candidate stage): docs sharing >= 8 distinct 16-byte Rabin-Karp "
     "window fingerprints — inverted-index join with degenerate-bucket "
-    "cap; rows-only (custom polynomial hash), overlap laws pinned in "
-    "tests/test_text_dedup.py",
+    "cap.  Upgraded rows-only → hash-gated (round-4 verdict item 5): "
+    "the polynomial hash IS deterministic modular arithmetic, so the "
+    "oracle recomputes every window fingerprint with the inlined "
+    "power table (the doc_rolling_fingerprints twin), dedups per doc, "
+    "applies the SAME deterministic max_bucket<=1000 threshold, and "
+    "replays the inverted-index self-join relationally.  ASCII-corpus "
+    "assumption as for doc_rolling_fingerprints; non-ASCII and cap "
+    "edge paths stay pinned in tests/test_text_dedup.py",
     defer=True,
 )
 def dedup_substring_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1205,13 +1230,96 @@ def sample_docs_exact_n(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_cdc_chunks",
-    None,
+    """
+WITH RECURSIVE c AS (
+    SELECT doc_id, [ord(ch) for ch in regexp_split_to_array(text, '')] AS cs
+    FROM documents
+),
+cand AS (
+    -- boundary candidates: rolling hash of bytes [i-1, i+15) hits the
+    -- pattern; the cut lands AFTER the window at byte offset i+15
+    SELECT doc_id, i + 15 AS pos,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS ord
+    FROM (
+        SELECT doc_id, unnest(generate_series(1, len(cs) - 15)) AS i, cs
+        FROM c
+    )
+    WHERE list_sum([CAST(cs[i+j-1] AS HUGEINT) * ({POW})[j]
+                    for j in generate_series(1,16)]) % 2147483647 % 64 = 63
+),
+keep AS (
+    -- the kernel's sequential min-gap fold (keep a candidate iff it is
+    -- >= one window past the last KEPT cut) — inherently a left fold,
+    -- expressed as a bounded recursion walking candidates in order
+    SELECT doc_id, 0 AS ord, CAST(0 AS BIGINT) AS last, CAST([] AS BIGINT[]) AS kept
+    FROM documents
+    UNION ALL
+    SELECT k.doc_id, k.ord + 1,
+           CASE WHEN cd.pos - k.last >= 16 THEN CAST(cd.pos AS BIGINT) ELSE k.last END,
+           CASE WHEN cd.pos - k.last >= 16
+                THEN list_append(k.kept, CAST(cd.pos AS BIGINT)) ELSE k.kept END
+    FROM keep k JOIN cand cd ON cd.doc_id = k.doc_id AND cd.ord = k.ord + 1
+),
+fk AS (
+    SELECT doc_id, kept FROM (
+        SELECT doc_id, kept,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY ord DESC) AS rn
+        FROM keep
+    ) WHERE rn = 1
+),
+base AS (
+    SELECT DISTINCT doc_id, pos FROM (
+        SELECT doc_id, CAST(0 AS BIGINT) AS pos FROM documents WHERE length(text) > 0
+        UNION ALL
+        SELECT doc_id, unnest(kept) AS pos FROM fk
+        UNION ALL
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS pos
+        FROM documents WHERE length(text) > 0
+    )
+),
+gaps AS (
+    SELECT doc_id, pos AS a,
+           LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+    FROM base
+),
+allcuts AS (
+    -- the kernel's max_size=256 forced splits: ceil(gap/256)-1 evenly
+    -- spaced intermediate cuts per oversized gap (snap is the identity
+    -- on an ASCII corpus)
+    SELECT DISTINCT doc_id, pos FROM (
+        SELECT doc_id, pos FROM base
+        UNION ALL
+        SELECT doc_id, unnest([a + 256 * k for k in
+            generate_series(1, CAST(CEIL((b - a) / 256.0) AS BIGINT) - 1)]) AS pos
+        FROM gaps WHERE b IS NOT NULL
+    )
+),
+pairs AS (
+    SELECT doc_id, pos AS a,
+           LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS b,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS idx
+    FROM allcuts
+)
+SELECT CAST(p.doc_id AS BIGINT) AS id,
+       CAST(p.idx AS INTEGER) AS chunk_idx,
+       substr(d.text, CAST(p.a AS INTEGER) + 1, CAST(p.b - p.a AS INTEGER)) AS chunk,
+       CAST(p.b - p.a AS INTEGER) AS n_bytes
+FROM pairs p JOIN documents d USING (doc_id)
+WHERE p.b IS NOT NULL
+""".replace("{POW}", _RK_POWERS_SQL),
     doc="content-defined chunking: split docs where the 16-byte rolling "
     "hash hits the boundary pattern (expected ~64-byte chunks, 256-byte "
     "cap) — boundaries are functions of content, so head edits re-chunk "
     "only to the next boundary and chunk-level dedup/caching across "
-    "crawl snapshots works; rows-only (custom hash), reassembly + "
-    "prefix-edit stability pinned in tests",
+    "crawl snapshots works.  Upgraded rows-only → hash-gated (round-4 "
+    "verdict item 4): the cuts are deterministic Rabin-Karp window "
+    "hashes (the doc_rolling_fingerprints modular-arithmetic twin), the "
+    "kernel's sequential min-gap fold is a bounded recursive CTE over "
+    "candidate positions, and the max-size splits are generate_series "
+    "arithmetic — every chunk string is reproduced byte-for-byte.  "
+    "ASCII-corpus assumption (UTF-8 snap = identity, true at every SF); "
+    "non-ASCII snap + reassembly + prefix-edit stability stay pinned in "
+    "tests/test_properties.py and tests/test_corpus_quality.py",
     defer=True,
 )
 def doc_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -23,8 +23,6 @@ runtime.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from myrecommendsystem_spark.operators.relational import (
@@ -233,6 +231,18 @@ def recs_with_popularity_fallback(
 BUCKET_COL = "__bucket"
 
 
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    """Existence probe through the Hadoop FileSystem API — resolves
+    whatever filesystem the path's scheme names (local, hdfs://, s3a://),
+    unlike ``os.path.exists``, which silently answers False for any
+    non-local URI and would make :func:`upsert_by_key` clobber a remote
+    table on its first micro-batch (round-4 verdict item 8)."""
+    jvm = spark._jvm
+    hadoop_path = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hadoop_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hadoop_path))
+
+
 def upsert_by_key(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -258,7 +268,10 @@ def upsert_by_key(
 
     Per-trigger IO is O(touched partitions), not O(table) — the plain-
     parquet middle ground between full rewrite and a Delta/Iceberg MERGE
-    (which is what a production deployment would use).
+    (which is what a production deployment would use).  The create-vs-
+    merge branch probes the table through the Hadoop FileSystem API
+    (:func:`_fs_exists`), so the sink works unchanged against HDFS/S3
+    paths, not just the local filesystem.
     """
     bucket = F.pmod(F.hash(F.col(key)), F.lit(num_buckets)).cast("int")
     batch_df = batch_df.withColumn(BUCKET_COL, bucket).cache()
@@ -269,7 +282,7 @@ def upsert_by_key(
         ]
         if not touched:
             return
-        if os.path.exists(path):
+        if _fs_exists(spark, path):
             existing = spark.read.parquet(path).filter(
                 F.col(BUCKET_COL).isin(touched)
             )

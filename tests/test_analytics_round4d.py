@@ -161,7 +161,10 @@ def _ref_cusum(zs, k=0.5, h=4.0):
     for z in zs:
         s_hi = max(0.0, s_hi + z - k)
         s_lo = max(0.0, s_lo - z - k)
-        out.append((round(s_hi, 4), round(s_lo, 4), int(s_hi > h or s_lo > h)))
+        # round_stable convention (+1e-9, round 4), matching the kernel
+        out.append(
+            (round(s_hi + 1e-9, 4), round(s_lo + 1e-9, 4), int(s_hi > h or s_lo > h))
+        )
     return out
 
 

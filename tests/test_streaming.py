@@ -101,6 +101,24 @@ def test_upsert_by_key_replaces(spark, tmp_path):
     assert got == {(1, "a"), (2, "b"), (3, "b")}
 
 
+def test_fs_exists_probe_is_scheme_aware(spark, tmp_path):
+    """The S10 sink's create-vs-merge branch goes through the Hadoop
+    FileSystem API, so it resolves non-local URIs instead of os.path's
+    silent False: a nonexistent path (bare and file:-schemed) probes
+    False and the first upsert into it still creates the table."""
+    from myrecommendsystem_spark.streaming.recommender import _fs_exists
+
+    path = str(tmp_path / "never_written")
+    assert _fs_exists(spark, path) is False
+    assert _fs_exists(spark, "file://" + path) is False
+    b1 = spark.createDataFrame([(7, "a")], "userId int, payload string")
+    upsert_by_key(spark, b1, path)
+    assert _fs_exists(spark, path) is True
+    assert _fs_exists(spark, "file://" + path) is True
+    got = {(r.userId, r.payload) for r in spark.read.parquet(path).collect()}
+    assert got == {(7, "a")}
+
+
 def _partition_files(path):
     """{partition dir → {(file, size, mtime_ns)}} for a bucketed table."""
     out = {}

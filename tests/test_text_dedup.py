@@ -306,6 +306,32 @@ def test_near_duplicate_pairs_auto_routes_to_ivf(vectors, monkeypatch):
     assert [(r.id_a, r.id_b) for r in exact.collect()] == [(0, 1)]
 
 
+def test_near_duplicate_pairs_byte_gate_routes_wide_d_to_ivf(
+    vectors, monkeypatch
+):
+    """The auto gate must be BYTE-aware, not just row-aware: a frame
+    whose rows×d×8 matrix exceeds exact_bytes_limit routes to IVF even
+    when the row count is under exact_row_limit (a d=1024 table at 500k
+    rows is a 4 GB driver collect — round-4 verdict item 6)."""
+    from myrecommendsystem_spark.operators import similarity as sim_mod
+
+    sentinel = object()
+    monkeypatch.setattr(
+        sim_mod, "near_duplicate_pairs_ivf", lambda df, **kw: sentinel
+    )
+    # vectors: 40 rows × d=16 → 5120 bytes; a 4 KB budget trips the byte
+    # gate while the row gate (default 500k) stays far from binding
+    out = sim_mod.near_duplicate_pairs(
+        vectors, threshold=0.99, exact_bytes_limit=4096
+    )
+    assert out is sentinel
+    # the same frame under a roomier byte budget takes the exact path
+    exact = sim_mod.near_duplicate_pairs(
+        vectors, threshold=0.99, exact_bytes_limit=8192
+    )
+    assert exact is not sentinel
+
+
 def test_fused_bands_and_shingles_matches_separate_kernels(spark, sf_dir):
     """The fused struct kernel must reproduce minhash_band_hashes and
     shingle_hashes exactly — the near-dup pipeline's semantics may not
