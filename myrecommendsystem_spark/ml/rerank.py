@@ -92,7 +92,9 @@ def mmr_rerank(
                 val = lam * rel - (1.0 - lam) * pen
                 if best_val is None or val > best_val:
                     best, best_val = pid, val
-            picked.append((best, round(best_val, 6)))
+            # round_stable convention (+1e-11, 6 digits) so the DuckDB
+            # recursive-CTE twin hash-matches; selection uses unrounded
+            picked.append((best, round(best_val + 1e-11, 6)))
             del remaining[best]
         return pd.DataFrame(
             [

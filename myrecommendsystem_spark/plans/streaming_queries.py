@@ -536,16 +536,77 @@ def events_view_conversion_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "recsys_mmr_rerank",
-    None,  # greedy sequential selection per user — not SQL-expressible;
-    # relevance/diversity/λ-limit laws pinned in tests/test_rerank.py
+    f"""
+WITH RECURSIVE {RATINGS_CTE},
+{_ITEMCF_CTES},
+{_CYCLE_CTES},
+cands AS (
+    SELECT userId, candidateId AS pid, priority AS score FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY userId ORDER BY priority DESC, candidateId
+        ) AS rn FROM scores
+    ) WHERE rn <= 20
+),
+simt AS (SELECT pid, other_pid, sim FROM sims WHERE sim > {_ITEMCF_THRESHOLD}),
+cedges AS (
+    SELECT a.userId, a.pid AS pid_a, b.pid AS pid_b, s.sim
+    FROM cands a
+    JOIN cands b ON a.userId = b.userId AND a.pid <> b.pid
+    JOIN simt s ON s.pid = a.pid AND s.other_pid = b.pid
+),
+-- greedy MMR selection: each recursion step picks, per user, the
+-- argmax of lam*rel - (1-lam)*max-sim-to-picked over the not-yet-picked
+-- candidates (ties: smallest pid, matching the kernel's scan order);
+-- the picked set rides along as a list
+sel AS (
+    SELECT userId, 1 AS step, [pid] AS picked, pid AS productId,
+           0.7 * score AS val
+    FROM (
+        SELECT userId, pid, score, ROW_NUMBER() OVER (
+            PARTITION BY userId ORDER BY 0.7 * score DESC, pid
+        ) AS rn FROM cands
+    ) WHERE rn = 1
+    UNION ALL
+    SELECT userId, step, picked, productId, val FROM (
+        SELECT userId, step, list_append(picked, pid) AS picked,
+               pid AS productId, val,
+               ROW_NUMBER() OVER (
+                   PARTITION BY userId ORDER BY val DESC, pid
+               ) AS rn
+        FROM (
+            SELECT s.userId, s.step + 1 AS step, s.picked, c.pid, c.score,
+                   0.7 * c.score - (1.0 - 0.7) * COALESCE((
+                       SELECT MAX(e.sim) FROM cedges e
+                       WHERE e.userId = s.userId AND e.pid_a = c.pid
+                         AND list_contains(s.picked, e.pid_b)
+                   ), 0.0) AS val
+            FROM sel s
+            JOIN cands c
+              ON c.userId = s.userId AND NOT list_contains(s.picked, c.pid)
+            WHERE s.step < 10
+        )
+    ) WHERE rn = 1
+)
+SELECT userId, productId, CAST(step AS INTEGER) AS mmr_rank,
+       ROUND(val + 1e-11, 6) AS mmr_score
+FROM sel
+ORDER BY userId, mmr_rank
+""",
     doc="serving-side MMR diversification (Carbonell 1998) of the "
     "streaming recommender's top-20 lists: greedy "
     "λ·relevance − (1−λ)·max-sim-to-picked with λ=0.7, k=10 "
     "(ml/rerank.py).  The candidate-pair similarity edges are "
     "materialized relationally first (per-user K² at most), so the "
     "cogrouped Arrow kernel never touches the full sim matrix; users "
-    "parallelize across executors.  The anti-crowding re-rank every "
-    "production recommender runs between scoring and display",
+    "parallelize across executors.  Upgraded rows-only → hash-gated "
+    "(r5): the greedy selection is a bounded left fold — one recursive-"
+    "CTE step per rank position carrying the picked set as a list, the "
+    "penalty as a correlated MAX over the pair edges (missing pair = 0 "
+    "on both sides; sims are nonnegative by construction so the "
+    "kernel's default-0 generator and SQL's COALESCE agree).  "
+    "Relevance/diversity/λ-limit laws stay pinned in "
+    "tests/test_rerank.py.  The anti-crowding re-rank every production "
+    "recommender runs between scoring and display",
     defer=True,
 )
 def recsys_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
