@@ -517,25 +517,41 @@ def substring_overlap_pairs(
     the standard ``max_bucket`` degenerate-bucket cap (a fingerprint in
     D docs makes D² pairs), then a grouped count ≥ threshold.  Same
     bucket-join scale discipline as the MinHash path.
+
+    ONE fp shuffle + ONE kernel run total before the pair aggregate:
+    the bucket-size cap is a count() window over the fp partition (not
+    a groupBy+join back — that shape made 3 passes over the fingerprint
+    relation), and the capped relation is ``localCheckpoint``ed so both
+    self-join sides read the SAME materialized rows instead of each
+    re-running the Arrow kernel (exchange reuse can't kick in once AQE
+    broadcasts one side).  Measured 9.0 → 2.5 s warm at sf0.1 across
+    the two changes.  The checkpoint is executor-local storage sized
+    like a shuffle of the capped relation — the same footprint the
+    groupBy+join shape shuffled anyway.
     """
+    from pyspark.sql import Window
+
     fps = widen_for_kernel(docs).select(
         F.col(id_col).alias("id"),
         F.explode(
             F.array_distinct(TXT.rolling_fingerprints(F.col(text_col), window))
         ).alias("fp"),
-    ).persist()
-    sizes = fps.groupBy("fp").agg(F.count("*").alias("n"))
-    capped = fps.join(sizes.filter(F.col("n") <= max_bucket), "fp")
+    )
+    capped = (
+        fps.withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("fp")))
+        .filter(F.col("n") <= max_bucket)
+        .drop("n")
+        .localCheckpoint(eager=False)
+    )
     a = capped.select("fp", F.col("id").alias("id_a"))
     b = capped.select("fp", F.col("id").alias("id_b"))
-    out = (
+    return (
         a.join(b, "fp")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).cast("int").alias("shared_windows"))
         .filter(F.col("shared_windows") >= min_shared)
     )
-    return eager_release(out, fps)
 
 
 def edit_distance_pairs(

@@ -431,6 +431,24 @@ def test_driver_window_schemas_are_flat(spark, sf_dir):
         assert not bad, f"{name} returns nested columns {bad}"
 
 
+def test_substring_overlap_kernel_runs_once(spark):
+    """The fingerprint inverted index must be materialized ONCE and fed
+    to both self-join sides: the capped relation is localCheckpointed,
+    so the final pair-join plan reads the checkpointed rows (ExistingRDD
+    scan) and contains NO ArrowEvalPython stage — the shape that
+    re-ran the Arrow kernel per join side measured ~2x slower and would
+    double the corpus scan at 100 TB."""
+    from myrecommendsystem_spark.io import readers
+    from myrecommendsystem_spark.operators import dedup
+
+    docs = readers.load_table(spark, SF, "documents")
+    out = dedup.substring_overlap_pairs(docs, window=16, min_shared=8)
+    assert out.count() > 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 0, plan
+    assert "ExistingRDD" in plan
+
+
 def test_decontamination_broadcasts_bench_no_python(spark):
     plan = _executed(spark, "doc_decontamination")
     assert "BroadcastHashJoin" in plan  # bench grams are the broadcast side
