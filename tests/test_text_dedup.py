@@ -416,3 +416,39 @@ def test_substring_overlap_detects_shared_span(spark):
     assert [(r.id_a, r.id_b) for r in pairs] == [(1, 2)]
     # the shared boilerplate is ~60 bytes → ≈45 shared 16-byte windows
     assert pairs[0].shared_windows >= 40
+
+
+def test_substring_overlap_cap_is_a_subset_policy(spark):
+    """The max_bucket cap may only DROP pairs (and only by removing a
+    hot fingerprint's contribution) — the capped result is a subset of
+    the uncapped pairs with per-pair shared_windows <= the uncapped
+    count.  A degenerate fingerprint shared by all docs (the same
+    16-byte run everywhere) is dropped at max_bucket=2, thinning counts
+    without inventing pairs."""
+    from myrecommendsystem_spark.operators.dedup import substring_overlap_pairs
+
+    hot = "COMMON-RUN-0123456789abcdef"  # > 16 bytes, in every doc
+    docs = spark.createDataFrame(
+        [
+            (1, f"{hot} alpha unique tail one two three four five six"),
+            (2, f"{hot} alpha unique tail one two three four five six!"),
+            (3, f"{hot} totally different remainder content here now"),
+        ],
+        "doc_id long, text string",
+    )
+    unc = {
+        (r.id_a, r.id_b): r.shared_windows
+        for r in substring_overlap_pairs(
+            docs, window=16, min_shared=1, max_bucket=1000
+        ).collect()
+    }
+    cap = {
+        (r.id_a, r.id_b): r.shared_windows
+        for r in substring_overlap_pairs(
+            docs, window=16, min_shared=1, max_bucket=2
+        ).collect()
+    }
+    assert set(cap) <= set(unc)
+    assert all(cap[k] <= unc[k] for k in cap)
+    # the hot run's windows hit all 3 docs -> capped counts strictly drop
+    assert sum(cap.values()) < sum(unc.values())
