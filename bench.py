@@ -195,6 +195,16 @@ HEADLINE: tuple[str, ...] = (
     "doc_cdc_chunks",
     "dedup_substring_overlap",
     "product_graph_pagerank",
+    # round-5: complete bench coverage of the r5 driver window
+    "stream_recs_cold_start",
+    "events_median_gap",
+    "doc_boilerplate_ngrams",
+    "corpus_vocab_diversity",
+    "doc_length_curriculum",
+    "events_scd2_intervals",
+    "events_ohlc_hourly",
+    "label_centroid_similarity",
+    "orders_yoy_growth",
     # rag_ingest_pipeline / doc_quality_model_scores intentionally NOT in
     # the headline: both are build/fit-dominated (index build ~7 s, LR
     # fit ~6 s at any sf — amortized once in production); their families
