@@ -282,8 +282,29 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
-    with open(os.path.join(os.path.dirname(__file__), "BENCH_DETAIL.json"), "w") as f:
+    here = os.path.dirname(__file__)
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
+    # Versioned copy (round-5 verdict item 5): BENCH_DETAIL.json is
+    # overwritten each run, so per-query round-over-round diffs needed
+    # git archaeology.  The round number is the next after the highest
+    # committed BENCH_r{N}.json (override: $MRS_ROUND); prior rounds'
+    # detail files stay committed.
+    try:
+        rnd = os.environ.get("MRS_ROUND")
+        if rnd is None:
+            import glob as _glob
+
+            recorded = [
+                int(m.group(1))
+                for p in _glob.glob(os.path.join(here, "BENCH_r*.json"))
+                if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+            ]
+            rnd = str(max(recorded, default=0) + 1)
+        with open(os.path.join(here, f"BENCH_DETAIL_r{int(rnd):02d}.json"), "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+    except OSError:
+        pass  # read-only checkout: the unversioned detail already printed
     print(json.dumps(detail))
     # Compact per-family subtotals (first name token = family): ~30 keys
     # regardless of how many queries the headline grows to.

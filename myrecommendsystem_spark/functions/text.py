@@ -281,11 +281,19 @@ def rolling_fingerprints(text: Column, window: int = 16) -> Column:
     windows are never emitted (each doc's slice stops ``window−1`` short
     of its end); docs shorter than ``window`` get one hash of the whole
     text, computed in the rare-path per-doc loop.
+
+    The matmul walks the fused buffer in bounded segments (128 KiB of
+    bytes each, overlapping ``window−1``) so peak temporary memory is
+    ~50 MB per task regardless of total batch bytes — the single
+    whole-buffer expansion costs ~384 temp bytes per input byte, which
+    at 10k multi-KB docs per Arrow batch is multi-GB and an executor
+    OOM risk.
     """
     powers = np.array(
         [pow(_RK_BASE, window - 1 - j, _RK_MOD) for j in range(window)],
         dtype=np.int64,
     )
+    seg = 1 << 17  # window positions hashed per matmul segment
 
     @pandas_udf("array<long>")
     def _fp(texts: pd.Series) -> pd.Series:
@@ -294,8 +302,16 @@ def rolling_fingerprints(text: Column, window: int = 16) -> Column:
         data = np.frombuffer(b"".join(bufs), dtype=np.uint8)
         hashes = None
         if data.size >= window:
-            w = np.lib.stride_tricks.sliding_window_view(data, window)
-            hashes = (w.astype(np.int64) * powers % _RK_MOD).sum(axis=1) % _RK_MOD
+            n_pos = data.size - window + 1
+            hashes = np.empty(n_pos, dtype=np.int64)
+            for s in range(0, n_pos, seg):
+                e = min(s + seg, n_pos)
+                w = np.lib.stride_tricks.sliding_window_view(
+                    data[s : e + window - 1], window
+                )
+                hashes[s:e] = (
+                    w.astype(np.int64) * powers % _RK_MOD
+                ).sum(axis=1) % _RK_MOD
         offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
         out = []
         for off, n, buf in zip(offs, lens, bufs):

@@ -527,7 +527,13 @@ def substring_overlap_pairs(
     broadcasts one side).  Measured 9.0 → 2.5 s warm at sf0.1 across
     the two changes.  The checkpoint is executor-local storage sized
     like a shuffle of the capped relation — the same footprint the
-    groupBy+join shape shuffled anyway.
+    groupBy+join shape shuffled anyway.  Tradeoffs vs the previous
+    persist()/eager_release shape, accepted deliberately: checkpointed
+    partitions live until the RDD is GC'd rather than being released
+    the moment the pair aggregate is consumed, and executor loss fails
+    the job instead of recomputing from lineage (localCheckpoint
+    truncates it) — at 100 TB run this stage with external shuffle /
+    decommissioning rather than relying on lineage replay.
     """
     from pyspark.sql import Window
 

@@ -87,7 +87,76 @@ def register(
 # round-5 front; until then tests/test_registry_oracle.py replays them
 # at driver scale locally.
 #
-# Round 5 fronts the verification backlog (round-4 verdict item 1):
+# Round 6 fronts the 50 oldest of the 53 still-never-verified gated
+# queries per the schedule BASELINE.md published at round-5 close
+# (``events_session_metrics`` … ``events_mutual_information``).  The
+# three stragglers — ``bpe_pair_counts`` (51st oldest; slid per the
+# published 51 > 50 note) plus ``events_cusum_alarms`` and
+# ``recsys_mmr_rerank`` (rows-only → hash-gated upgrades made during
+# round 5, assigned to the r7 front by the same note) — join the 13
+# never-verified rows-only entries in round 7, which closes the entire
+# backlog with ~34 slots left for core re-checks.  Registry growth
+# stays frozen through r7 (round-5 verdict item 2): new registrations
+# carry ``defer=True``, ≤5 this round.
+_DRIVER_WINDOW_R6 = [
+    # -- never driver-verified: oracle-gated, oldest-first --
+    "events_session_metrics",
+    "doc_perplexity_report",
+    "orders_cohort_ltv",
+    "supplier_scorecard",
+    "events_forecast_backtest",
+    "orders_duplicate_suspects",
+    "events_power_users_pareto",
+    "doc_readability_report",
+    "parts_abc_classification",
+    "doc_langid_confusion",
+    "users_bot_signals",
+    "customer_segment_migration",
+    "users_growth_accounting",
+    "embedding_outlier_scores",
+    "doc_duplication_profile",
+    "events_error_pchart",
+    "parts_skyline",
+    "events_audience_overlap",
+    "orders_chi2_status_priority",
+    "product_graph_components",
+    "events_time_to_convert",
+    "events_late_arrivals",
+    "parts_entity_resolution",
+    "users_cumulative_reach",
+    "parts_price_band_join",
+    "events_rollup_two_level",
+    "events_dp_type_counts",
+    "events_anomalous_sequences",
+    "events_multitouch_attribution",
+    "orders_repurchase_survival",
+    "events_twap_daily",
+    "events_burst_scores",
+    "revenue_by_priority_salted",
+    "revenue_share_of_parent",
+    "users_erasure_audit",
+    "events_ab_srm_check",
+    "events_dow_anova",
+    "revenue_price_volume_mix",
+    "parts_xyz_classification",
+    "parts_size_rank_semantics",
+    "incremental_join_view",
+    "bloom_prefilter_join",
+    "orders_frequent_triples",
+    "events_ks_test",
+    "revenue_decimal_exact",
+    "events_ab_cuped",
+    "orders_ols_by_segment",
+    "users_locf_daily",
+    "events_strict_funnel",
+    "events_mutual_information",
+]
+
+# The window the driver verifies THIS round; tests pin invariants
+# against this alias so rotations touch one assignment.
+DRIVER_WINDOW = _DRIVER_WINDOW_R6
+
+# Round 5 fronted the verification backlog (round-4 verdict item 1):
 # 47 oldest never-driver-verified oracle-gated queries in registration
 # order, plus product_graph_pagerank (upgraded rows-only → hash-gated
 # this round, never driver-verified) — the 48-entry unverified block —
@@ -279,7 +348,7 @@ _DRIVER_WINDOW_R3 = [
 
 
 def _ordered() -> list[QuerySpec]:
-    """Rotation front first (see ``_DRIVER_WINDOW_R5``), then the rest in
+    """Rotation front first (see ``DRIVER_WINDOW``), then the rest in
     three tiers with registration order preserved within each:
 
     1. established oracle-gated queries — prior driver-green rows;
@@ -288,7 +357,7 @@ def _ordered() -> list[QuerySpec]:
     3. rows-only queries — ops whose outputs aren't SQL-reproducible
        (ALS, hash-family sketches); the weakest check trails.
     """
-    front_rank = {n: i for i, n in enumerate(_DRIVER_WINDOW_R5)}
+    front_rank = {n: i for i, n in enumerate(DRIVER_WINDOW)}
     front = sorted(
         (s for s in REGISTRY if s.name in front_rank),
         key=lambda s: front_rank[s.name],

@@ -1062,7 +1062,8 @@ def dedup_cross_corpus_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_substring_overlap",
     f"""
 WITH c AS (
-    SELECT doc_id, [ord(ch) for ch in regexp_split_to_array(text, '')] AS cs
+    SELECT doc_id, length(text) AS n,
+           [ord(ch) for ch in regexp_split_to_array(text, '')] AS cs
     FROM documents
 ),
 fp AS (
@@ -1070,7 +1071,17 @@ fp AS (
            unnest([ list_sum([CAST(cs[i+j-1] AS HUGEINT) * ({{POW}})[j]
                        for j in generate_series(1,16)]) % 2147483647
              for i in generate_series(1, len(cs)-15) ]) AS fp
-    FROM c
+    FROM c WHERE n >= 16
+    UNION ALL
+    -- sub-window docs: the kernel emits ONE whole-text hash (empty text
+    -- hashes to 0), and that hash counts toward bucket occupancy even
+    -- though a short doc can never reach min_shared itself.  Power for
+    -- 1-indexed position j of an n-char text is 257^(n-j) = POW[j+16-n].
+    SELECT doc_id,
+           CASE WHEN n = 0 THEN 0
+                ELSE list_sum([CAST(cs[j] AS HUGEINT) * ({{POW}})[j + 16 - n]
+                       for j in generate_series(1, n)]) % 2147483647 END AS fp
+    FROM c WHERE n < 16
 ),
 sizes AS (SELECT fp, COUNT(*) AS n FROM fp GROUP BY fp),
 ok AS (SELECT f.doc_id, f.fp FROM fp f JOIN sizes s USING (fp) WHERE s.n <= 1000)

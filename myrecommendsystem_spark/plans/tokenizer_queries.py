@@ -78,15 +78,83 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "bpe_learned_merges",
-    None,  # greedy iterative argmax — not expressible as one SQL query;
-    # semantics pinned against a pure-python reference trainer in
-    # tests/test_tokenizer.py (exact merge-sequence equality)
+    r"""
+WITH RECURSIVE words AS (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (
+        SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+        FROM documents
+    )
+    WHERE length(w) BETWEEN 2 AND 20 AND regexp_matches(w, '^[a-z]+$')
+    GROUP BY w
+    ORDER BY freq DESC, w
+    LIMIT 50000
+),
+init AS (
+    -- each word's segmentation as a dot-delimited string '.a..b..c.':
+    -- symbols are [a-z]+ only, so '.' is a safe separator, and SQL
+    -- replace()'s leftmost-non-overlapping scan over '.a..b.' patterns
+    -- IS the BPE merge semantics (merging (a,a) in 'aaa' -> [aa, a])
+    SELECT w, freq,
+           '.' || array_to_string(regexp_split_to_array(w, ''), '..') || '.' AS seg
+    FROM words
+),
+state AS (
+    SELECT 0 AS it, w, freq, seg,
+           CAST(NULL AS VARCHAR) AS a, CAST(NULL AS VARCHAR) AS b,
+           CAST(NULL AS BIGINT) AS cnt
+    FROM init
+  UNION ALL
+    -- one greedy merge per recursion level: pair counts as a window sum
+    -- over the unnested adjacency list (single reference to state), the
+    -- argmax pair by (-cnt, a, b) as FIRST_VALUE over the full ordering,
+    -- then replace() applies it to every word.  Words reduced to one
+    -- symbol drop out (no pairs -> no rows) — they can never contribute
+    -- again.  Stops at 20 merges or best count < 2, like the trainer.
+    SELECT it + 1 AS it, w, freq,
+           replace(seg, '.' || fa || '..' || fb || '.',
+                   '.' || fa || fb || '.') AS seg,
+           fa AS a, fb AS b, CAST(fcnt AS BIGINT) AS cnt
+    FROM (
+        SELECT it, w, freq, seg,
+               FIRST_VALUE(pa) OVER (ORDER BY pcnt DESC, pa, pb) AS fa,
+               FIRST_VALUE(pb) OVER (ORDER BY pcnt DESC, pa, pb) AS fb,
+               FIRST_VALUE(pcnt) OVER (ORDER BY pcnt DESC, pa, pb) AS fcnt
+        FROM (
+            SELECT it, w, freq, seg, p.a AS pa, p.b AS pb,
+                   SUM(freq) OVER (PARTITION BY p.a, p.b) AS pcnt
+            FROM (
+                SELECT it, w, freq, seg,
+                       unnest([{'a': ss[i], 'b': ss[i+1]}
+                               for i in generate_series(1, len(ss)-1)]) AS p
+                FROM (
+                    SELECT it, w, freq, seg,
+                           str_split(trim(seg, '.'), '..') AS ss
+                    FROM state
+                )
+            )
+        )
+    )
+    GROUP BY it, w, freq, seg, fa, fb, fcnt
+    HAVING it + 1 <= 20 AND fcnt >= 2
+)
+SELECT DISTINCT CAST(it AS INTEGER) AS rank, a, b, a || b AS merged, cnt
+FROM state WHERE it >= 1
+ORDER BY rank
+""",
     doc="BPE merge learning: 20 greedy merge iterations over the "
     "documents vocabulary (ml/bpe.py).  Each iteration shuffles only "
     "the vocab-sized relation, collects exactly one argmax row, and "
     "applies the merge with an Arrow kernel; lineage checkpointed "
     "every 5 iterations.  Output (rank, a, b, merged, cnt) is the "
-    "merge table a segmenter broadcasts",
+    "merge table a segmenter broadcasts.  Upgraded rows-only → "
+    "hash-gated (round-5 verdict item 3): the greedy loop is a "
+    "deterministic bounded left fold — the same recursive-CTE shape "
+    "that gated CUSUM and MMR — walked with the per-word segmentation "
+    "encoded as a dot-delimited string so replace() reproduces the "
+    "left-to-right non-overlapping merge scan exactly; tie-breaks "
+    "(-cnt, a, b) match the trainer's.  Exact-sequence parity also "
+    "pinned against a pure-python reference in tests/test_tokenizer.py",
     defer=True,
 )
 def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:

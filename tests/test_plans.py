@@ -380,12 +380,12 @@ def _driver_verified_names():
 
 
 def test_driver_window_rotation_is_exact_prefix():
-    """The round-5 rotation must (a) name only real queries, (b) fill the
+    """The round-6 rotation must (a) name only real queries, (b) fill the
     driver's 50-entry window exactly, and (c) be the literal prefix of
     all_queries() — a regression here silently un-verifies queries."""
     names = [s.name for s in registry._ordered()]
-    assert len(registry._DRIVER_WINDOW_R5) == 50
-    assert names[:50] == registry._DRIVER_WINDOW_R5
+    assert len(registry.DRIVER_WINDOW) == 50
+    assert names[:50] == registry.DRIVER_WINDOW
     assert len(names) == len(set(names))
 
 
@@ -397,13 +397,13 @@ def test_driver_window_derived_from_correctness_artifacts():
     of the window or a declared same-round addition (``defer=True`` —
     the NEXT rotation's front); (b) window padding re-checks all HAVE a
     prior driver row; (c) no established (non-defer) query hides
-    unverified behind the window.  When the r05 artifact lands, (a)
+    unverified behind the window.  When the r06 artifact lands, (a)
     becomes vacuous for this window and the next rotation refreshes it."""
     seen = _driver_verified_names()
     ordered = registry._ordered()
     names = [s.name for s in ordered]
     defer = {s.name for s in ordered if s.defer}
-    window = registry._DRIVER_WINDOW_R5
+    window = registry.DRIVER_WINDOW
     never_in_window = [n for n in names if n not in seen and n in window]
     # (a): unverified window members sit at the exact front
     assert never_in_window == window[: len(never_in_window)]
@@ -421,7 +421,7 @@ def test_driver_window_schemas_are_flat(spark, sf_dir):
     from pyspark.sql.types import ArrayType, MapType, StructType
 
     qs = registry.all_queries()
-    for name in registry._DRIVER_WINDOW_R5:
+    for name in registry.DRIVER_WINDOW:
         schema = qs[name](spark, sf_dir).schema
         bad = [
             f.name

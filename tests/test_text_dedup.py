@@ -190,6 +190,40 @@ def test_rolling_fingerprints_detect_shared_substrings(spark):
     assert h1 == h2 and len(h1[0][0]) == 1
 
 
+def test_rolling_fingerprints_segment_boundary_invariance(spark):
+    """The kernel hashes the fused batch buffer in 128 KiB segments
+    (bounded peak memory — round-5 advice); a doc whose windows straddle
+    a segment boundary must hash identically to the same doc placed far
+    from any boundary, and match the direct per-window definition."""
+    from myrecommendsystem_spark.functions import text as TXT
+    from pyspark.sql import functions as F
+
+    target = ("shared-substring-payload-" * 40)[:1000]
+    filler_long = "z" * 131_000  # pushes target across the 1<<17 boundary
+    filler_short = "z" * 50
+
+    def fps(*texts):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        rows = df.select(
+            "doc_id", TXT.rolling_fingerprints(F.col("text"), 16).alias("fp")
+        ).collect()
+        return {r.doc_id: list(r.fp) for r in rows}
+
+    straddled = fps(filler_long, target)[1]
+    clean = fps(filler_short, target)[1]
+    assert straddled == clean
+    # anchor absolute values against the per-window definition
+    base, mod = 257, (1 << 31) - 1
+    data = target.encode()
+    expect = [
+        sum(b * pow(base, 15 - j, mod) for j, b in enumerate(data[i : i + 16])) % mod
+        for i in range(len(data) - 15)
+    ]
+    assert straddled == expect
+
+
 def test_connected_components_matches_transitive_closure(spark):
     from myrecommendsystem_spark.operators.dedup import connected_components
 
@@ -452,3 +486,50 @@ def test_substring_overlap_cap_is_a_subset_policy(spark):
     assert all(cap[k] <= unc[k] for k in cap)
     # the hot run's windows hit all 3 docs -> capped counts strictly drop
     assert sum(cap.values()) < sum(unc.values())
+
+
+def test_substring_overlap_oracle_fp_parity_includes_short_docs(spark):
+    """The DuckDB oracle's fp CTE must emit the SAME (doc_id, fp) set as
+    the Spark kernel for EVERY doc — including sub-window docs, which
+    get one whole-text hash that counts toward max_bucket occupancy
+    (round-5 advice: the old oracle emitted nothing for them, so a
+    short doc in a near-cap bucket could flip which buckets drop).
+    Bucket-cap agreement follows from fp-set equality, so this pins the
+    whole divergence class, empty text included."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from myrecommendsystem_spark.functions import text as TXT
+    from myrecommendsystem_spark.plans import registry
+
+    rows = [
+        (1, "intro words then a repeated license paragraph here then on"),
+        (2, "tiny"),  # sub-window: one whole-text hash
+        (3, ""),  # empty: whole-text hash 0 by kernel convention
+        (4, "0123456789abcde"),  # 15 chars, one under the window
+        (5, "exactly sixteen!"),  # 16 chars, boundary: one window hash
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.fp)
+        for r in docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(TXT.rolling_fingerprints(F.col("text"), 16))
+            ).alias("fp"),
+        ).collect()
+    }
+
+    oracle = next(
+        s.oracle for s in registry.REGISTRY if s.name == "dedup_substring_overlap"
+    )
+    fp_cte = oracle.split("sizes AS")[0].rstrip().rstrip(",")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = {
+        (int(d), int(f))
+        for d, f in con.execute(f"{fp_cte}\nSELECT doc_id, fp FROM fp").fetchall()
+    }
+    con.close()
+    assert got == want
