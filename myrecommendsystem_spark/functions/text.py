@@ -199,38 +199,90 @@ def _affine_params(k: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def _shingle_hashes_py(text: str, n: int) -> np.ndarray:
-    """Tokenize → distinct word n-grams → 64-bit siphash per shingle.
-
-    Mirrors :func:`shingles` semantics (lowercase, whitespace tokens,
-    whole-text fallback for short docs).  ``pd.util.hash_array`` is keyed
-    siphash — deterministic across runs, processes, and machines.
-    """
+def _gram_list_py(text: str, n: int) -> list[str]:
+    """Distinct word n-grams of one doc, sorted — :func:`shingles`
+    semantics (lowercase, whitespace tokens, whole-text fallback for
+    docs of ≤ n tokens; empty text → the single empty gram)."""
     toks = text.lower().split()
     if len(toks) > n:
-        grams = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
-    else:
-        grams = {" ".join(toks)}
-    return pd.util.hash_array(np.array(sorted(grams), dtype=object)).view(
-        np.int64
-    )
+        return sorted({" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)})
+    return [" ".join(toks)]
+
+
+# Grams hashed per padded-matrix segment: bounds the Horner pass's
+# temporary (segment × max-gram-width uint8 matrix + int64 index
+# vectors) to a few MB regardless of Arrow batch size — the same
+# bounded-segment discipline as rolling_fingerprints.
+_GRAM_SEG = 1 << 15
+
+
+def _hash_grams_flat(grams: list[str]) -> np.ndarray:
+    """Rabin-Karp 31-bit hash of every gram string → int64 array.
+
+    Horner over UTF-8 bytes, base 257 mod 2³¹−1 — the SAME deterministic
+    modular family as :func:`rolling_fingerprints`, chosen so a DuckDB
+    oracle can recompute shingle hashes exactly (``list_reduce`` Horner)
+    and hash-gate the MinHash pipeline end-to-end; pandas' keyed siphash
+    (the previous hash) is not reproducible in SQL.  31-bit range costs
+    ~|grams|²/2³² collisions per corpus — immaterial next to the LSH
+    approximation itself.  Vectorized: each segment left-zero-pads its
+    grams into one uint8 matrix (leading zeros don't change a Horner
+    value) and runs max-width fused column steps at C speed.
+    """
+    out = np.empty(len(grams), dtype=np.int64)
+    for s in range(0, len(grams), _GRAM_SEG):
+        bufs = [g.encode("utf-8") for g in grams[s : s + _GRAM_SEG]]
+        k = len(bufs)
+        lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=k)
+        m = int(lens.max()) if k else 0
+        if m == 0:
+            out[s : s + k] = 0
+            continue
+        flat = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+        row_ids = np.repeat(np.arange(k, dtype=np.int64), lens)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        within = np.arange(flat.size, dtype=np.int64) - np.repeat(starts, lens)
+        arr = np.zeros(k * m, dtype=np.uint8)
+        arr[row_ids * m + (m - lens[row_ids]) + within] = flat
+        arr = arr.reshape(k, m)
+        acc = np.zeros(k, dtype=np.int64)
+        for j in range(m):
+            acc = (acc * _RK_BASE + arr[:, j]) % _RK_MOD
+        out[s : s + k] = acc
+    return out
+
+
+def _shingle_hash_lists(texts: pd.Series, n: int) -> list[np.ndarray]:
+    """Per-doc shingle-hash arrays for a whole Arrow batch: ONE fused
+    gram build + ONE segmented Horner pass, then per-doc views."""
+    gram_lists = [_gram_list_py(t or "", n) for t in texts]
+    counts = [len(g) for g in gram_lists]
+    flat = _hash_grams_flat([g for gs in gram_lists for g in gs])
+    offs = np.concatenate(([0], np.cumsum(counts)))
+    return [flat[offs[i] : offs[i + 1]] for i in range(len(gram_lists))]
+
+
+def _shingle_hashes_py(text: str, n: int) -> np.ndarray:
+    """One doc's distinct-shingle hashes (see :func:`_hash_grams_flat`
+    for the SQL-reproducible hash family)."""
+    return _hash_grams_flat(_gram_list_py(text, n))
 
 
 def shingle_hashes(text: Column, n: int = 3) -> Column:
     """64-bit hash per distinct shingle, as one Arrow-batched pass.
 
     The compact form both the MinHash signature and the exact Jaccard
-    verify run on (hash collisions ~2⁻⁶⁴ per pair — irrelevant next to
-    the LSH approximation).  Python, not a Catalyst ``transform``: the
-    shingle build is |tokens| slice+concat ops per row, and interpreted
-    higher-order lambdas were the measured bottleneck of the whole dedup
-    pipeline; CPython string slicing + vectorized siphash is ~5× faster
-    and one worker round-trip.
+    verify run on (see :func:`_hash_grams_flat` for the SQL-reproducible
+    hash family and its collision budget).  Python, not a Catalyst
+    ``transform``: the shingle build is |tokens| slice+concat ops per
+    row, and interpreted higher-order lambdas were the measured
+    bottleneck of the whole dedup pipeline; CPython string slicing + the
+    fused Horner pass is ~5× faster and one worker round-trip.
     """
 
     @pandas_udf("array<long>")
     def _sh(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: _shingle_hashes_py(t or "", n))
+        return pd.Series(_shingle_hash_lists(texts, n))
 
     return _sh(text)
 
@@ -251,8 +303,7 @@ def minhash_signature(text: Column, k: int = 64, n: int = 3) -> Column:
     @pandas_udf("array<long>")
     def _sig(texts: pd.Series) -> pd.Series:
         out = []
-        for t in texts:
-            hv = _shingle_hashes_py(t or "", n)
+        for hv in _shingle_hash_lists(texts, n):
             if hv.size == 0:
                 out.append(empty)
                 continue
@@ -350,8 +401,7 @@ def minhash_band_hashes(
     @pandas_udf("array<long>")
     def _bands(texts: pd.Series) -> pd.Series:
         out = []
-        for t in texts:
-            hv = _shingle_hashes_py(t or "", n)
+        for hv in _shingle_hash_lists(texts, n):
             if hv.size == 0:
                 sig = np.full(k, np.iinfo(np.int64).max, dtype=np.int64)
             else:
@@ -391,8 +441,7 @@ def minhash_bands_and_shingles(
     @pandas_udf("struct<bands: array<long>, sh: array<long>>")
     def _both(texts: pd.Series) -> pd.DataFrame:
         out_b, out_s = [], []
-        for t in texts:
-            hv = _shingle_hashes_py(t or "", n)
+        for hv in _shingle_hash_lists(texts, n):
             if hv.size == 0:
                 sig = np.full(k, np.iinfo(np.int64).max, dtype=np.int64)
             else:
