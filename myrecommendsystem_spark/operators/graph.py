@@ -15,7 +15,48 @@ driver — a metadata-sized scalar.
 
 from __future__ import annotations
 
+import numpy as np
+
 from pyspark.sql import DataFrame, functions as F
+
+# Edge lists at or under this row count run the power iteration
+# driver-side off one bounded collect — the same venue-sizing discipline
+# as the BPE trainer (_DRIVER_VOCAB_CAP) and the ANN quantizers: a
+# product/item graph is catalog-bounded (like a vocabulary), so
+# virtually every recommender graph takes the fast path, while web-scale
+# link graphs exceed the cap and take the distributed loop.  At test
+# scale the distributed loop is pure scheduling overhead (~0.33 s per
+# tiny iteration measured at sf0.1); the in-memory fold is identical
+# arithmetic, deterministically ordered.
+_DRIVER_EDGE_CAP = 5_000_000
+
+
+def _pagerank_inmem(
+    src: np.ndarray, dst: np.ndarray, damping: float, iterations: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """numpy power iteration over (src, dst) id arrays → (ids, ranks).
+
+    Mirrors the distributed loop's arithmetic expression-for-expression
+    ((1-d)/n + d*(in_mass + dmass/n); contrib = rank/deg); edges are
+    sorted by (dst, src) first so the in-mass summation order — and
+    therefore the float result — is independent of input partitioning.
+    """
+    ids = np.unique(np.concatenate([src, dst]))
+    pos = {int(v): i for i, v in enumerate(ids)}
+    s = np.fromiter((pos[int(v)] for v in src), dtype=np.int64, count=len(src))
+    d = np.fromiter((pos[int(v)] for v in dst), dtype=np.int64, count=len(dst))
+    order = np.lexsort((s, d))
+    s, d = s[order], d[order]
+    n = len(ids)
+    deg = np.bincount(s, minlength=n).astype(np.float64)
+    dangling = deg == 0.0
+    ranks = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        in_mass = np.zeros(n)
+        np.add.at(in_mass, d, ranks[s] / deg[s])
+        dmass = float(ranks[dangling].sum())
+        ranks = (1.0 - damping) / n + damping * (in_mass + dmass / n)
+    return ids, ranks
 
 
 def pagerank(
@@ -25,6 +66,7 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     checkpoint_every: int = 3,
+    driver_edge_cap: int = _DRIVER_EDGE_CAP,
 ) -> DataFrame:
     """Standard power-iteration PageRank → (id, rank), Σ rank = 1.
 
@@ -33,6 +75,13 @@ def pagerank(
     symmetric pairs).  Dangling-node mass is redistributed uniformly —
     the textbook formulation, so ranks are a true probability
     distribution (pinned by tests).
+
+    Venue gate: at or under ``driver_edge_cap`` edges the loop runs
+    in driver memory off one bounded collect (see ``_DRIVER_EDGE_CAP``);
+    above it, each iteration is one edges⋈ranks shuffle join + aggregate
+    with the out-degree pre-divided into the checkpointed edge list.
+    Both paths are pinned equal (rounded to the query's 6 digits) in
+    tests/test_graph.py.
     """
     src, dst = F.col(src_col), F.col(dst_col)
     # Materialize the edge list ONCE: every iteration re-reads it, and a
@@ -41,6 +90,29 @@ def pagerank(
     # bfs_distances (measured 7.5 s → 2.9 s at sf0.1 on the kNN graph,
     # 8 iterations).
     edges = edges.select(src, dst).localCheckpoint(eager=True)
+    if edges.count() <= driver_edge_cap:
+        rows = edges.collect()  # bounded by contract: cap'd edge count
+        if not rows:
+            return edges.sparkSession.createDataFrame(
+                [], "id int, rank double"
+            )
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        ids, rk = _pagerank_inmem(
+            np.array([r[0] for r in rows]),
+            np.array([r[1] for r in rows]),
+            damping,
+            iterations,
+        )
+        schema = StructType(
+            [
+                StructField("id", edges.schema.fields[0].dataType),
+                StructField("rank", DoubleType()),
+            ]
+        )
+        return edges.sparkSession.createDataFrame(
+            [(v.item(), float(r)) for v, r in zip(ids, rk)], schema
+        )
     nodes = (
         edges.select(src.alias("id"))
         .unionByName(edges.select(dst.alias("id")))

@@ -17,12 +17,13 @@ def _ranks(df):
     return {r.id: r.rank for r in df.collect()}
 
 
-def test_pagerank_is_probability_distribution(spark):
+@pytest.mark.parametrize("cap", [0, 5_000_000], ids=["distributed", "driver"])
+def test_pagerank_is_probability_distribution(spark, cap):
     # star: every leaf points at the hub; hub has no out-edges (dangling)
     edges = spark.createDataFrame(
         [(i, 0) for i in range(1, 6)], "src int, dst int"
     )
-    r = _ranks(pagerank(edges, iterations=15))
+    r = _ranks(pagerank(edges, iterations=15, driver_edge_cap=cap))
     assert abs(sum(r.values()) - 1.0) < 1e-6
     assert all(v > 0 for v in r.values())
     # the hub absorbs every leaf's full rank — it must dominate
@@ -33,10 +34,11 @@ def test_pagerank_is_probability_distribution(spark):
     assert max(leaf_vals) - min(leaf_vals) < 1e-9
 
 
-def test_pagerank_chain_orders_by_depth(spark):
+@pytest.mark.parametrize("cap", [0, 5_000_000], ids=["distributed", "driver"])
+def test_pagerank_chain_orders_by_depth(spark, cap):
     # a -> b -> c: downstream nodes accumulate rank
     edges = spark.createDataFrame([(1, 2), (2, 3)], "src int, dst int")
-    r = _ranks(pagerank(edges, iterations=25))
+    r = _ranks(pagerank(edges, iterations=25, driver_edge_cap=cap))
     assert r[3] > r[2] > r[1]
     assert abs(sum(r.values()) - 1.0) < 1e-6
 
@@ -48,18 +50,41 @@ def test_pagerank_layout_invariant(spark):
     )
     a = _ranks(pagerank(edges, iterations=8))
     b = _ranks(pagerank(edges.repartition(13), iterations=8))
+    # the driver venue sorts edges by (dst, src) before folding, so it
+    # is layout-invariant too — bit-identical, not just close
+    av = _ranks(pagerank(edges, iterations=8, driver_edge_cap=0))
+    bv = _ranks(pagerank(edges.repartition(13), iterations=8, driver_edge_cap=0))
+    assert set(av) == set(bv)
+    assert all(abs(av[k] - bv[k]) < 1e-9 for k in av)
     assert set(a) == set(b)
     assert all(abs(a[k] - b[k]) < 1e-9 for k in a)
 
 
-def test_pagerank_symmetric_graph_uniform(spark):
+@pytest.mark.parametrize("cap", [0, 5_000_000], ids=["distributed", "driver"])
+def test_pagerank_symmetric_graph_uniform(spark, cap):
     # 4-cycle with both directions: perfectly symmetric → uniform ranks
     cyc = [(i, (i + 1) % 4) for i in range(4)]
     edges = spark.createDataFrame(
         cyc + [(b, a) for a, b in cyc], "src int, dst int"
     )
-    r = _ranks(pagerank(edges, iterations=10))
+    r = _ranks(pagerank(edges, iterations=10, driver_edge_cap=cap))
     assert all(abs(v - 0.25) < 1e-9 for v in r.values())
+
+
+def test_pagerank_venues_agree(spark):
+    """The driver-side fold and the distributed loop are the same
+    operator: identical arithmetic expressions, so ranks agree far
+    inside the query's 6-digit rounding on an asymmetric graph with
+    dangling nodes, cycles, and skewed in-degree."""
+    edges = spark.createDataFrame(
+        [(i, (i * i + 3) % 37) for i in range(200)]
+        + [(i, (i * 5 + 1) % 37) for i in range(0, 200, 3)],
+        "src int, dst int",
+    )
+    dist = _ranks(pagerank(edges, iterations=10, driver_edge_cap=0))
+    drv = _ranks(pagerank(edges, iterations=10))
+    assert set(dist) == set(drv)
+    assert all(abs(dist[k] - drv[k]) < 1e-12 for k in dist)
 
 
 # ---------------------------------------------------------------------------
