@@ -76,10 +76,12 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "bpe_learned_merges",
-    r"""
-WITH RECURSIVE words AS (
+# Shared recursive-CTE block: the greedy BPE trainer walked in SQL
+# (words → init → state), used by both the merge-table oracle and the
+# segmentation-stats oracle.  See the bpe_learned_merges doc for why
+# this is exact.
+_BPE_STATE_CTES = r"""
+words AS (
     SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
     FROM (
         SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
@@ -138,6 +140,13 @@ state AS (
     GROUP BY it, w, freq, seg, fa, fb, fcnt
     HAVING it + 1 <= 20 AND fcnt >= 2
 )
+""".strip()
+
+
+@register(
+    "bpe_learned_merges",
+    f"""
+WITH RECURSIVE {_BPE_STATE_CTES}
 SELECT DISTINCT CAST(it AS INTEGER) AS rank, a, b, a || b AS merged, cnt
 FROM state WHERE it >= 1
 ORDER BY rank
@@ -165,15 +174,72 @@ def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_bpe_segment_stats",
-    None,  # segmentation applies the learned (iterative) merge list —
-    # rows-only; per-word reassembly and compression-monotonicity laws
-    # in tests/test_tokenizer.py
+    f"""
+WITH RECURSIVE {_BPE_STATE_CTES},
+merges AS (
+    SELECT DISTINCT it AS rank, a, b FROM state WHERE it >= 1
+),
+doc_words AS (
+    -- per-doc word instances under the SAME filter the segmenter
+    -- applies (Python isalpha == ^[a-z]+$ on the lowercased ASCII
+    -- corpus — the documented corpus assumption)
+    SELECT doc_id, w FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+        FROM documents
+    )
+    WHERE length(w) BETWEEN 2 AND 20 AND regexp_matches(w, '^[a-z]+$')
+),
+seg2 AS (
+    -- second bounded fold: apply the learned merge list in rank order
+    -- to every DISTINCT corpus word (including words outside the
+    -- trainer's max_vocab cap, exactly like the deployed segmenter)
+    SELECT 0 AS step, w,
+           '.' || array_to_string(regexp_split_to_array(w, ''), '..') || '.'
+               AS seg
+    FROM (SELECT DISTINCT w FROM doc_words)
+  UNION ALL
+    SELECT s.step + 1, s.w,
+           replace(s.seg, '.' || m.a || '..' || m.b || '.',
+                   '.' || m.a || m.b || '.')
+    FROM seg2 s JOIN merges m ON m.rank = s.step + 1
+),
+final_step AS (SELECT COALESCE(MAX(rank), 0) AS fs FROM merges),
+word_tokens AS (
+    SELECT w, len(str_split(trim(seg, '.'), '..')) AS n_tok
+    FROM seg2, final_step WHERE step = fs
+),
+doc_stats AS (
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS INTEGER) AS n_words,
+           CAST(SUM(length(d.w)) AS INTEGER) AS n_chars,
+           CAST(SUM(t.n_tok) AS INTEGER) AS n_tokens
+    FROM doc_words d JOIN word_tokens t USING (w)
+    GROUP BY d.doc_id
+)
+SELECT doc.doc_id,
+       COALESCE(s.n_words, 0) AS n_words,
+       COALESCE(s.n_chars, 0) AS n_chars,
+       COALESCE(s.n_tokens, 0) AS n_tokens,
+       CASE WHEN COALESCE(s.n_tokens, 0) > 0
+            THEN ROUND(s.n_chars * 1.0 / s.n_tokens, 4) ELSE 0.0 END
+           AS chars_per_token
+FROM documents doc
+LEFT JOIN doc_stats s USING (doc_id)
+ORDER BY doc.doc_id
+""",
     doc="BPE deployment half: segment every document with the 20 "
     "learned merges (broadcast merge table, map-only Arrow kernel — "
     "the corpus never shuffles) and report per-doc compression "
     "(words, chars, tokens, chars/token).  chars/token is the "
     "fertility metric tokenizer teams track; it must strictly "
-    "improve over the 1.0 char baseline wherever any merge applies",
+    "improve over the 1.0 char baseline wherever any merge applies.  "
+    "Upgraded rows-only → hash-gated alongside bpe_learned_merges: "
+    "the oracle chains a SECOND bounded recursion onto the shared "
+    "trainer CTEs — fold the learned merge list in rank order over "
+    "every distinct corpus word (dot-delimited segmentation strings, "
+    "replace() = the merge scan), then join per-doc word instances "
+    "for the counts",
     defer=True,
 )
 def doc_bpe_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
