@@ -457,16 +457,38 @@ def minhash_bands_and_shingles(
     return _both(text)
 
 
+def md5_hash64(col: Column) -> Column:
+    """First 64 bits of md5 as a signed BIGINT — pure codegen.
+
+    md5 (not xxhash64) for the same reason as :func:`exact_fingerprint`:
+    DuckDB reproduces it bit-for-bit (fold the 16 hex chars), so every
+    operator built on this hash is oracle-gateable.  conv() yields the
+    unsigned decimal string; the DECIMAL(20,0) compare-and-subtract maps
+    it to two's-complement int64.
+    """
+    u = F.conv(F.substring(F.md5(col), 1, 16), 16, 10).cast("decimal(20,0)")
+    return (
+        F.when(
+            u >= F.lit("9223372036854775808").cast("decimal(20,0)"),
+            u - F.lit("18446744073709551616").cast("decimal(21,0)"),
+        )
+        .otherwise(u)
+        .cast("long")
+    )
+
+
 def simhash64(text: Column) -> Column:
     """64-bit SimHash fingerprint packed into ONE BIGINT.
 
-    Tokens are hashed JVM-side (one xxhash64 pass); the per-bit ±1 vote
-    tally runs as an Arrow-batched numpy ``unpackbits``/``packbits`` —
-    same reasoning as :func:`minhash_signature`.  Packing into a single
-    long (instead of an array<int> bit vector) is the scale move: banding
-    becomes byte extraction (``shiftright & 0xFF``) and hamming distance
-    becomes ``bit_count(a XOR b)`` — both whole-stage-codegen expressions,
-    no per-element interpretation anywhere downstream.
+    Tokens are hashed JVM-side (one :func:`md5_hash64` pass — md5 so
+    the DuckDB oracle reproduces the fingerprint bit-for-bit); the
+    per-bit ±1 vote tally runs as an Arrow-batched numpy
+    ``unpackbits``/``packbits`` — same reasoning as
+    :func:`minhash_signature`.  Packing into a single long (instead of
+    an array<int> bit vector) is the scale move: banding becomes byte
+    extraction (``shiftright & 0xFF``) and hamming distance becomes
+    ``bit_count(a XOR b)`` — both whole-stage-codegen expressions, no
+    per-element interpretation anywhere downstream.
     """
 
     @pandas_udf("long")
@@ -488,7 +510,7 @@ def simhash64(text: Column) -> Column:
             out[i] = packed.view(np.int64)[0]
         return pd.Series(out)
 
-    return _fp(F.transform(tokens(text), lambda t: F.xxhash64(t)))
+    return _fp(F.transform(tokens(text), lambda t: md5_hash64(t)))
 
 
 def hamming64(fp_a: Column, fp_b: Column) -> Column:

@@ -314,9 +314,72 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash_pairs",
-    None,
+    r"""
+WITH tokh AS (
+    -- md5-derived 64-bit token hash (functions/text.py:md5_hash64):
+    -- fold the 16 hex chars to an unsigned HUGEINT
+    SELECT doc_id,
+           list_reduce([CAST(strpos('0123456789abcdef', ch) - 1 AS HUGEINT)
+                        for ch in regexp_split_to_array(substr(md5(t), 1, 16), '')],
+                       (x, y) -> x * 16 + y) AS h_u
+    FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        FROM documents
+    )
+),
+votes AS (
+    -- per-bit +/-1 vote over token INSTANCES (duplicates weighted)
+    SELECT doc_id, b,
+           SUM(CASE WHEN (h_u // ({P2})[b+1]) % 2 = 1 THEN 1 ELSE -1 END)
+               AS vote
+    FROM tokh CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b)
+    GROUP BY doc_id, b
+),
+fp AS (
+    SELECT doc_id,
+           SUM(CASE WHEN vote >= 0 THEN ({P2})[b+1] ELSE 0::HUGEINT END)
+               AS fp_u
+    FROM votes GROUP BY doc_id
+),
+banded AS (
+    SELECT doc_id, band_idx,
+           CAST((fp_u // ({P8})[band_idx+1]) % 256 AS BIGINT) AS band_val,
+           fp_u
+    FROM fp CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS band_idx)
+),
+ok AS (
+    SELECT band_idx, band_val, doc_id, fp_u FROM banded
+    QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_val) <= 1000
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.fp_u AS ua, b.fp_u AS ub
+    FROM ok a JOIN ok b ON a.band_idx = b.band_idx
+                       AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+),
+signed AS (
+    SELECT id_a, id_b,
+           CASE WHEN ua >= 9223372036854775808::HUGEINT
+                THEN CAST(ua - 18446744073709551616::HUGEINT AS BIGINT)
+                ELSE CAST(ua AS BIGINT) END AS sa,
+           CASE WHEN ub >= 9223372036854775808::HUGEINT
+                THEN CAST(ub - 18446744073709551616::HUGEINT AS BIGINT)
+                ELSE CAST(ub AS BIGINT) END AS sb
+    FROM pairs
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+FROM signed WHERE bit_count(xor(sa, sb)) <= 3
+""".replace("{P2}", "[" + ",".join(f"{1 << b}::HUGEINT" for b in range(64)) + "]")
+    .replace("{P8}", "[" + ",".join(f"{1 << (8 * b)}::HUGEINT" for b in range(8)) + "]"),
     doc="SimHash near-dup pairs: 64-bit fingerprint, 8 banded buckets, "
-    "hamming ≤ 3 verify (rows-only)",
+    "hamming ≤ 3 verify.  Upgraded rows-only → hash-gated: the token "
+    "hash moved from Spark xxhash64 (SQL-irreproducible) to the first "
+    "64 md5 bits (functions/text.py:md5_hash64 — the exact_fingerprint "
+    "precedent), so the oracle recomputes fingerprints bit-for-bit: "
+    "hex fold per token, per-bit vote aggregate, power-of-two repack, "
+    "byte banding by HUGEINT division (= arithmetic shiftright+mask on "
+    "the signed value), the max_bucket cap, and bit_count(xor) verify",
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_duplicates(_docs(spark, sf_dir), max_hamming=3)
