@@ -639,3 +639,42 @@ def test_rollup_chain_single_raw_scan(spark):
     assert plan.count("FileScan") == 1
     assert plan.count("HashAggregate") >= 4
     assert "Python" not in plan
+
+
+def test_simhash_fingerprint_hashing_is_codegen(spark):
+    """The md5-derived token hash (functions.text.md5_hash64) must stay
+    a pure codegen expression: the fingerprint stage's ONLY Python is
+    the single Arrow vote kernel — token hashing that fell back to a
+    Python UDF would put an interpreted stage on every corpus token at
+    100 TB."""
+    from pyspark.sql import functions as F
+
+    from myrecommendsystem_spark.functions import text as TXT
+    from myrecommendsystem_spark.io import readers
+
+    docs = readers.load_table(spark, SF, "documents")
+    fp = docs.select("doc_id", TXT.simhash64(F.col("text")).alias("fp"))
+    fp.collect()
+    plan = fp._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1, plan  # the vote kernel only
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+    assert "md5" in plan and "conv" in plan  # hashing inlined in codegen
+
+
+def test_minhash_candidates_single_kernel_pass(spark):
+    """minhash_near_duplicates materializes the fused bands+shingles
+    kernel ONCE (persisted, eagerly counted) and eager_release hands
+    back a checkpointed result: downstream consumers read an
+    ExistingRDD scan with NO Python stage — re-running the signature
+    kernel per consumer was the measured majority of the pipeline's
+    sf0.1 wall time before the fusion."""
+    from myrecommendsystem_spark.io import readers
+    from myrecommendsystem_spark.operators import dedup
+
+    docs = readers.load_table(spark, SF, "documents")
+    out = dedup.minhash_near_duplicates(docs, jaccard_threshold=0.5)
+    assert out.count() > 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # (sig-cache release after consumption is pinned in test_caching.py)
