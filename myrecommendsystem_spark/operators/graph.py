@@ -184,6 +184,7 @@ def bfs_distances(
     max_hops: int = 4,
     src_col: str = "src",
     dst_col: str = "dst",
+    driver_edge_cap: int = _DRIVER_EDGE_CAP,
 ) -> DataFrame:
     """Shortest hop-distance from ``seed`` to every node reachable in
     ``max_hops`` → (id, dist).
@@ -198,6 +199,11 @@ def bfs_distances(
     not convergence — deterministic cost, and the SQL twin is a bounded
     recursive CTE (DuckDB ``WITH RECURSIVE``), which Spark has no native
     operator for: this IS the Spark-side expression of recursive SQL.
+
+    Venue gate as in :func:`pagerank`: catalog-bounded edge lists
+    (≤ ``driver_edge_cap``) run the frontier expansion driver-side off
+    one bounded collect — BFS is integer-exact, so the venues agree
+    bit-for-bit (pinned in tests/test_graph.py).
     """
     spark = edges.sparkSession
     src, dst = F.col(src_col), F.col(dst_col)
@@ -205,6 +211,28 @@ def bfs_distances(
     # edge plan (e.g. a similarity build) would otherwise recompute from
     # scratch per hop — measured 11 s → 2.3 s at sf0.1 on the kNN graph.
     edges = edges.select(src, dst).localCheckpoint(eager=True)
+    if edges.count() <= driver_edge_cap:
+        rows = edges.collect()  # bounded by contract: cap'd edge count
+        adj: dict[int, list[int]] = {}
+        for r in rows:
+            adj.setdefault(int(r[0]), []).append(int(r[1]))
+        dist = {int(seed): 0}
+        frontier_py = [int(seed)]
+        for hop in range(1, max_hops + 1):
+            nxt = {
+                d
+                for u in frontier_py
+                for d in adj.get(u, ())
+                if d not in dist
+            }
+            if not nxt:
+                break
+            for d in nxt:
+                dist[d] = hop
+            frontier_py = list(nxt)
+        return spark.createDataFrame(
+            sorted(dist.items()), "id long, dist int"
+        )
     settled = spark.createDataFrame([(seed, 0)], "id long, dist int")
     settled = settled.localCheckpoint(eager=True)
     frontier = settled.select("id")

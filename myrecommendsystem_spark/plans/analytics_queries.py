@@ -1451,11 +1451,19 @@ def product_graph_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ratings = readers.events_as_ratings(spark, sf_dir)
     sims = corating_similarities(ratings, threshold=0.0)
-    edges = top_k_per_group(
-        sims, ["pid"], [F.col("sim").desc(), F.col("other_pid")], 10
-    ).select(
-        F.col("pid").cast("long").alias("src"),
-        F.col("other_pid").cast("long").alias("dst"),
+    edges = (
+        top_k_per_group(
+            sims, ["pid"], [F.col("sim").desc(), F.col("other_pid")], 10
+        )
+        .select(
+            F.col("pid").cast("long").alias("src"),
+            F.col("other_pid").cast("long").alias("dst"),
+        )
+        # materialize ONCE: the seed aggregate below and the BFS both
+        # consume the edge list — without this the lazy kNN build ran
+        # twice (once for the 1-row seed collect, once inside
+        # bfs_distances' own checkpoint)
+        .localCheckpoint(eager=True)
     )
     # seed = min node id: a 1-row metadata-sized driver scalar (same
     # contract as pagerank's node count)

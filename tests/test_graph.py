@@ -98,28 +98,31 @@ def _dists(df):
     return {r["id"]: r["dist"] for r in df.collect()}
 
 
-def test_bfs_chain_distances_exact(spark):
+@pytest.mark.parametrize("cap", [0, 5_000_000], ids=["distributed", "driver"])
+def test_bfs_chain_distances_exact(spark, cap):
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
     )
-    d = _dists(bfs_distances(edges, seed=1, max_hops=3))
+    d = _dists(bfs_distances(edges, seed=1, max_hops=3, driver_edge_cap=cap))
     assert d == {1: 0, 2: 1, 3: 2, 4: 3}, "hop cap excludes node 5"
 
 
-def test_bfs_shortest_path_wins_over_longer(spark):
+@pytest.mark.parametrize("cap", [0, 5_000_000], ids=["distributed", "driver"])
+def test_bfs_shortest_path_wins_over_longer(spark, cap):
     # two routes 1→4: direct edge (1 hop) and via 2,3 (3 hops)
     edges = spark.createDataFrame(
         [(1, 4), (1, 2), (2, 3), (3, 4)], "src long, dst long"
     )
-    d = _dists(bfs_distances(edges, seed=1, max_hops=4))
+    d = _dists(bfs_distances(edges, seed=1, max_hops=4, driver_edge_cap=cap))
     assert d[4] == 1
 
 
-def test_bfs_cycle_terminates_and_unreachable_excluded(spark):
+@pytest.mark.parametrize("cap", [0, 5_000_000], ids=["distributed", "driver"])
+def test_bfs_cycle_terminates_and_unreachable_excluded(spark, cap):
     edges = spark.createDataFrame(
         [(1, 2), (2, 1), (7, 8)], "src long, dst long"
     )
-    d = _dists(bfs_distances(edges, seed=1, max_hops=4))
+    d = _dists(bfs_distances(edges, seed=1, max_hops=4, driver_edge_cap=cap))
     assert d == {1: 0, 2: 1}, "cycle settles; disconnected 7/8 excluded"
 
 
@@ -130,3 +133,6 @@ def test_bfs_layout_invariant(spark):
     a = _dists(bfs_distances(edges, seed=0, max_hops=4))
     b = _dists(bfs_distances(edges.repartition(13), seed=0, max_hops=4))
     assert a == b
+    # BFS is integer-exact: the two venues agree bit-for-bit
+    c = _dists(bfs_distances(edges, seed=0, max_hops=4, driver_edge_cap=0))
+    assert a == c
