@@ -195,6 +195,9 @@ HEADLINE: tuple[str, ...] = (
     "doc_cdc_chunks",
     "dedup_substring_overlap",
     "product_graph_pagerank",
+    # round-6: the cross-corpus NEAR path (newly hash-gated) — its exact
+    # sibling dedup_cross_corpus was already a headline entry
+    "dedup_cross_corpus_near",
     # round-5: complete bench coverage of the r5 driver window
     "stream_recs_cold_start",
     "events_median_gap",

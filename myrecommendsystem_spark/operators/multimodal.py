@@ -122,7 +122,9 @@ def image_features(media: DataFrame, bins: int = _HIST_BINS) -> DataFrame:
                 means[i] = float(img.mean())
                 hist, _ = np.histogram(img, bins=bins, range=(0, 256))
                 hists.append(hist.astype(np.int64))
-            out["mean_intensity"] = np.round(means, 4)
+            # round-stable convention (functions.compat): +eps before
+            # rounding so engine tie-break modes can never diverge
+            out["mean_intensity"] = np.round(means + 1e-9, 4)
             out["histogram"] = hists
             yield pd.DataFrame(out)
 

@@ -2,8 +2,10 @@
 
 The media table is synthesized deterministically from ``documents``
 (``operators.multimodal.synthesize_media``), so the metadata/pruning
-surface is fully oracle-backed; the decode-dependent stages (features,
-frame sampling) are rows-only — their decode stub is deterministic and
+surface is fully oracle-backed — and because the STUB decode is
+deterministic byte tiling, the decode-dependent stages (features, frame
+sampling) are hash-gated too, in closed form.  Swapping the stub for a
+real codec (PIL/libav) returns those two to rows-only; the stub is also
 property-tested in tests/test_multimodal.py.
 """
 
@@ -11,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from myrecommendsystem_spark.functions.compat import sql_round_stable
 from myrecommendsystem_spark.io import readers
 from myrecommendsystem_spark.operators import multimodal
 from myrecommendsystem_spark.plans.registry import register
@@ -55,10 +58,48 @@ def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "media_image_features",
-    None,
+    f"""
+WITH m AS (
+    -- image rows passing the width >= 32 metadata prune, with the
+    -- payload's byte codes (ASCII corpus: chars == bytes)
+    SELECT doc_id, length(text) AS L,
+           CASE WHEN length(text) = 0 THEN [0]
+                ELSE [ord(ch) for ch in regexp_split_to_array(text, '')]
+           END AS codes,
+           (doc_id % 48 + 16)
+             * ((doc_id * 7) % 48 + 16)
+             * (CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END) AS n
+    FROM documents
+    WHERE doc_id % 3 != 0 AND (doc_id % 48 + 16) >= 32
+),
+vals AS (
+    -- the stub decode tiles the payload to n pixels: closed form over
+    -- full repetitions + the leading remainder slice
+    SELECT doc_id, L, n,
+           (n // greatest(len(codes), 1)) * list_sum(codes)
+             + COALESCE(list_sum(codes[1:(n % greatest(len(codes), 1))]), 0)
+               AS s_tiled,
+           (n // greatest(len(codes), 1))
+               * len(list_filter(codes, x -> x < 16))
+             + len(list_filter(codes[1:(n % greatest(len(codes), 1))],
+                               x -> x < 16)) AS c_bin0
+    FROM m
+)
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CAST(L AS INTEGER) AS n_bytes,
+       {sql_round_stable('CAST(s_tiled AS DOUBLE) / n', 4)} AS mean_intensity,
+       CAST(c_bin0 AS BIGINT) AS hist_bin0,
+       CAST(n AS BIGINT) AS hist_total
+FROM vals
+""",
     doc="decode + feature-extract via mapInPandas (Arrow batches → numpy): "
     "mean intensity + 16-bin histogram; metadata filter (width >= 32) "
-    "prunes BEFORE the decode stage — rows-only (decode stub not SQL)",
+    "prunes BEFORE the decode stage.  Upgraded rows-only → hash-gated: "
+    "the stub decode is deterministic byte tiling, so the oracle "
+    "computes the tiled sum / bin-0 count in closed form (full "
+    "repetitions + remainder slice); hist_total == pixel count by "
+    "construction.  Swapping the stub for a real codec returns this "
+    "query to rows-only — the plumbing contract is what's pinned",
 )
 def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = _media(spark, sf_dir).filter(
@@ -78,9 +119,38 @@ def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "media_frame_sample",
-    None,
+    """
+WITH v AS (
+    SELECT doc_id, length(text) AS L,
+           CASE WHEN length(text) = 0 THEN [0]
+                ELSE [ord(ch) for ch in regexp_split_to_array(text, '')]
+           END AS codes,
+           (doc_id % 48 + 16)
+             * ((doc_id * 7) % 48 + 16)
+             * (CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END) AS n,
+           (doc_id % 8 + 2) AS n_frames
+    FROM documents
+    WHERE doc_id % 3 = 0
+),
+s AS (
+    SELECT doc_id, n, n_frames,
+           (n // greatest(len(codes), 1)) * list_sum(codes)
+             + COALESCE(list_sum(codes[1:(n % greatest(len(codes), 1))]), 0)
+               AS s_tiled
+    FROM v
+)
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CAST(fi AS INTEGER) AS frame_idx,
+       CAST(s_tiled + fi * n AS BIGINT) AS frame_checksum
+FROM s, unnest(range(0, n_frames, 2)) AS t(fi)
+""",
     doc="video frame sampling via mapInPandas: every 2nd frame index + "
-    "per-frame checksum, exploded one-row-per-frame — rows-only",
+    "per-frame checksum, exploded one-row-per-frame.  Upgraded "
+    "rows-only → hash-gated: the fake per-frame decode is "
+    "(tiled + frame_idx) mod 256 — ASCII payload bytes are <= 127 and "
+    "frame offsets <= 8, so the mod never wraps and the checksum is "
+    "the closed form tiled_sum + frame_idx * n_pixels (documented "
+    "corpus assumption, same ASCII family as the RK oracles)",
 )
 def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(_media(spark, sf_dir), every_k=2)
