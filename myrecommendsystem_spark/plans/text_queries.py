@@ -174,10 +174,11 @@ _MINHASH_PERMS_SQL = ", ".join(
 )
 
 
-@register(
-    "dedup_minhash_pairs",
-    r"""
-WITH perms(s, pa, pb) AS (VALUES {PERMS}),
+# Shared CTE block: the full MinHash candidate pipeline (perms ->
+# shingle hashes -> signatures -> band buckets -> cap -> candidate
+# pairs -> intersection counts), used by the pairs oracle and the
+# transitive-survivors oracle.
+_MINHASH_PAIRS_CTES = r"""perms(s, pa, pb) AS (VALUES {PERMS}),
 toks AS (
     SELECT doc_id,
            list_filter(regexp_split_to_array(lower(text), '\s+'),
@@ -242,14 +243,20 @@ inter AS (
     JOIN hv x ON x.doc_id = c.id_a
     JOIN hv y ON y.doc_id = c.id_b AND y.h = x.h
     GROUP BY c.id_a, c.id_b
-)
+)""".replace("{PERMS}", _MINHASH_PERMS_SQL)
+
+
+@register(
+    "dedup_minhash_pairs",
+    f"""
+WITH {_MINHASH_PAIRS_CTES}
 SELECT i.id_a, i.id_b,
        ROUND(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 4) AS jaccard
 FROM inter i
 JOIN sizes sa ON sa.doc_id = i.id_a
 JOIN sizes sb ON sb.doc_id = i.id_b
 WHERE ROUND(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 4) >= 0.5
-""".replace("{PERMS}", _MINHASH_PERMS_SQL),
+""",
     doc="MinHash-LSH near-dup pairs: shingle→64-hash signature→16 banded "
     "buckets→within-bucket join→exact-Jaccard verify ≥ 0.5.  Upgraded "
     "rows-only → hash-gated (round-5 verdict item 6): the shingle hash "
@@ -507,11 +514,40 @@ def doc_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_minhash_survivors",
-    None,
+    f"""
+WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+verified AS (
+    SELECT i.id_a, i.id_b
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE ROUND(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 4) >= 0.5
+),
+edges2 AS (
+    SELECT id_a AS src, id_b AS dst FROM verified
+    UNION SELECT id_b, id_a FROM verified
+),
+reach AS (
+        SELECT src AS a, src AS b FROM edges2
+    UNION
+        SELECT src, dst FROM edges2
+    UNION
+        SELECT r2.a, ed.dst FROM reach r2 JOIN edges2 ed ON ed.src = r2.b
+)
+SELECT d.doc_id, d.lang, CAST(length(d.text) AS INTEGER) AS text_len
+FROM documents d
+WHERE d.doc_id NOT IN (
+    SELECT a FROM reach GROUP BY a HAVING a <> MIN(b)
+)
+""",
     doc="transitive near-dedup: MinHash pairs -> connected components "
-    "(min-label propagation) -> one min-id survivor per cluster — "
-    "rows-only (iterative + hash-family-dependent); transitive-closure "
-    "semantics asserted in tests",
+    "(min-label propagation) -> one min-id survivor per cluster.  "
+    "Upgraded rows-only → hash-gated: the shared MinHash pair CTEs "
+    "(RK-31 family) feed a RECURSIVE reachability closure + MIN-label "
+    "aggregation — the embedding_dedup_survivors template — so the "
+    "iterative Spark component propagation and the anti-join survivor "
+    "contract are checked end-to-end; transitive-closure semantics "
+    "also asserted in tests",
 )
 def dedup_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_near_survivors(
