@@ -533,3 +533,27 @@ def test_substring_overlap_oracle_fp_parity_includes_short_docs(spark):
     }
     con.close()
     assert got == want
+
+
+def test_gram_hash_segment_boundary_invariance():
+    """_hash_grams_flat hashes grams in 32Ki-gram padded-matrix segments
+    (bounded temp — same discipline as rolling_fingerprints): a gram's
+    hash must not depend on where in the batch it lands, and must equal
+    the per-gram Horner definition."""
+    import numpy as np
+
+    from myrecommendsystem_spark.functions import text as TXT
+
+    grams = [f"word{i} tok{i % 7} x{i % 13}" for i in range(70_000)]
+    full = TXT._hash_grams_flat(grams)
+    shifted = TXT._hash_grams_flat(["pad"] * 137 + grams)[137:]
+    assert np.array_equal(full, shifted)
+
+    def ref(g):
+        h = 0
+        for b in g.encode():
+            h = (h * 257 + b) % ((1 << 31) - 1)
+        return h
+
+    for i in (0, 1, 32_767, 32_768, 32_769, 65_535, 65_536, 69_999):
+        assert full[i] == ref(grams[i])
