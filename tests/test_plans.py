@@ -678,3 +678,56 @@ def test_minhash_candidates_single_kernel_pass(spark):
     assert "ExistingRDD" in plan, plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     # (sig-cache release after consumption is pinned in test_caching.py)
+
+
+def test_aqe_skew_join_fires_on_leaf_join(spark):
+    """Two skew defenses coexist and this pins the boundary between
+    them: AQE's OptimizeSkewedJoin splits a skewed sort-merge join when
+    the join is stage-leaf (skew=true in the final plan), but it CANNOT
+    apply when the join output must stay hash-distributed for a
+    downstream same-key aggregate — which is precisely the case the
+    explicit salted-join operator (revenue_by_priority_salted) covers.
+    Thresholds are tightened so a 90%-hot key skews at test scale."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    tuned = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 10 < 9, 0)
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.concat(F.lit("payload-"), F.col("id").cast("string")).alias("v"),
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), F.lit("dim").alias("d")
+        )
+        # (a) leaf join: AQE splits the hot partition
+        j = left.join(right, "k")
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert re.search(r"skew=true", plan), plan
+        # (b) join feeding a same-key aggregate: the hash requirement
+        # blocks the split — the manual salting rewrite is the defense
+        agg = left.join(right, "k").groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+        agg.collect()
+        plan2 = agg._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan2
+        assert not re.search(r"skew=true", plan2)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
