@@ -1,0 +1,81 @@
+"""Scale-curve probe — opt-in (MRS_SCALE_PROBE=1).
+
+Runs the dedup modalities on synthetic corpora at 1x/4x/16x the sf0.1
+document count and asserts the runtime growth stays sub-quadratic on a
+corpus with NATURAL cross-doc sharing rates (50k-vocab pseudo-random
+text).  This is the executable form of SCALE.md's r6 measurement: the
+operators' cost must track input (+ output) size, never pair-count
+blowup on unrelated docs.
+
+Needs a real heap (run with SPARK_DRIVER_MEMORY=48g) and ~5 min, hence
+opt-in:
+
+    MRS_SCALE_PROBE=1 SPARK_DRIVER_MEMORY=48g \
+        python -m pytest tests/test_scale_curves.py -q
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("MRS_SCALE_PROBE"),
+    reason="scale-curve probe is opt-in: set MRS_SCALE_PROBE=1",
+)
+
+BASE_DOCS = 5_000
+
+
+def _corpus(spark, n_docs: int, words_per_doc: int = 60, vocab: int = 50_000):
+    """Pseudo-random text: word at (doc, pos) is hash-derived, so
+    cross-doc shingle sharing matches a natural large corpus."""
+    w = F.transform(
+        F.sequence(F.lit(0), F.lit(words_per_doc - 1)),
+        lambda p: F.concat(
+            F.lit("w"),
+            (F.abs(F.xxhash64(F.col("id"), p, F.lit(42))) % vocab).cast(
+                "string"
+            ),
+        ),
+    )
+    return (
+        spark.range(n_docs)
+        .select(
+            F.col("id").alias("doc_id"), F.array_join(w, " ").alias("text")
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+@pytest.mark.parametrize(
+    "name, op, max_exponent",
+    [
+        # exponent measured on the 4x -> 16x leg; 1.5 allows generous
+        # headroom over the observed ~0.5 while still failing hard on a
+        # quadratic regression (exponent 2)
+        ("minhash", lambda d: __import__(
+            "myrecommendsystem_spark.operators.dedup", fromlist=["x"]
+        ).minhash_near_duplicates(d, jaccard_threshold=0.5), 1.5),
+        ("simhash", lambda d: __import__(
+            "myrecommendsystem_spark.operators.dedup", fromlist=["x"]
+        ).simhash_near_duplicates(d, max_hamming=3), 1.5),
+    ],
+)
+def test_dedup_scales_subquadratically(spark, name, op, max_exponent):
+    times = {}
+    for mult in (4, 16):  # skip 1x: first-touch JIT pollutes it
+        d = _corpus(spark, BASE_DOCS * mult)
+        t0 = time.perf_counter()
+        op(d).count()
+        times[mult] = time.perf_counter() - t0
+        spark.catalog.clearCache()
+    exponent = math.log(times[16] / times[4]) / math.log(4)
+    assert exponent < max_exponent, (
+        f"{name}: {times[4]:.1f}s @4x -> {times[16]:.1f}s @16x "
+        f"(exponent {exponent:.2f})"
+    )
