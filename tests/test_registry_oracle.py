@@ -25,10 +25,14 @@ def test_query_matches_oracle(spark, sf_dir, spec):
 )
 def test_rows_only_query_runs(spark, sf_dir, spec):
     """Driver's weaker check for non-SQL-expressible ops: runs, has rows
-    and a stable schema."""
+    and a stable schema — and the row COUNT is stable across runs, since
+    the count is the one value the driver actually records for these
+    (a seed leak in a sampler/quantizer would flake the contract row)."""
     df = spec.builder(spark, sf_dir)
-    assert df.count() > 0
+    n = df.count()
+    assert n > 0
     assert len(df.columns) > 0
+    assert spec.builder(spark, sf_dir).count() == n
 
 
 def test_all_queries_have_unique_names():
