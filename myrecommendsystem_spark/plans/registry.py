@@ -152,9 +152,87 @@ _DRIVER_WINDOW_R6 = [
     "events_mutual_information",
 ]
 
+# Round 7 closes the verification backlog scheduled since round 4: the
+# window is now DERIVED MECHANICALLY (round-6 verdict item 2) by
+# ``expected_driver_window(7)`` below — never-verified gated first, then
+# never-verified rows-only, then stale-oracle re-checks (queries whose
+# every prior driver row predates their current hash gate, i.e. was
+# recorded ``err == "no_oracle"``), then padding with the stalest
+# hash-green re-checks (oldest latest-green round first, registration
+# order tiebreak).  The derivation runs over CORRECTNESS_r01..r06 only
+# (rounds < 7), so the list below stays reproducible after the r07
+# artifact lands; tests/test_plans.py re-derives it and fails on any
+# drift.  After r07 every one of the 250 registered queries has a
+# driver row and every gated query has a hash row under its current
+# oracle.  POST-BACKLOG POLICY: the registry UNFREEZES — new
+# registrations land ``defer=True`` and are fronted by the next
+# rotation under the same mechanical rule (a new registration has no
+# driver row, so it lands in tier 1/2 automatically).
+_DRIVER_WINDOW_R7 = [
+    # -- tier 1: never driver-verified, oracle-gated (registration order) --
+    "recsys_mmr_rerank",
+    "events_cusum_alarms",
+    "bpe_pair_counts",
+    "bpe_learned_merges",
+    "doc_bpe_segment_stats",
+    # -- tier 2: never driver-verified, rows-only by documented design --
+    "ann_topk_ivfpq_search",
+    "embedding_pca_spectrum",
+    "doc_quality_model_scores",
+    "rag_ingest_pipeline",
+    "doc_compression_signal",
+    "ann_topk_pca",
+    "embedding_kmeans_clusters",
+    "recsys_als_eval",
+    "events_audience_overlap_hll",
+    "events_cms_user_counts",
+    "events_value_quantiles_sketch",
+    # -- tier 3: stale-oracle re-checks — gated NOW, but every prior
+    #    driver row was recorded before the oracle existed (the r5/r6
+    #    hash-family upgrades; the published six plus
+    #    doc_rolling_fingerprints and embedding_dedup_survivors, which
+    #    the mechanical rule catches as the same class) --
+    "dedup_minhash_pairs",
+    "dedup_simhash_pairs",
+    "doc_rolling_fingerprints",
+    "dedup_minhash_survivors",
+    "embedding_dedup_survivors",
+    "dedup_cross_corpus_near",
+    "media_image_features",
+    "media_frame_sample",
+    # -- tier 4: stalest hash-green core re-checks (latest green round
+    #    ascending, registration order within) --
+    "stats_rate_more_recently_products",
+    "stats_average_products",
+    "ingest_ratings_csv",
+    "ingest_ratings_jsonl",
+    "filter_project_lineitem",
+    "distinct_users",
+    "q5_local_supplier_volume",
+    "semi_join_active",
+    "cross_join_region_nation",
+    "theta_self_join_parts",
+    "global_sort_orders",
+    "priority_scores",
+    "profile_lineitem",
+    "events_asof_prior_value",
+    "events_range_hourly_activity",
+    "rollup_revenue_region_nation",
+    "events_rolling_frames",
+    "sql_string_lifecycle",
+    "pivot_orders_status",
+    "events_json_props",
+    "outer_join_custdist",
+    "set_ops_order_status",
+    "events_lag_delta",
+    "doc_token_counts",
+    "dedup_ngram_jaccard",
+    "embedding_near_dup_pairs",
+]
+
 # The window the driver verifies THIS round; tests pin invariants
 # against this alias so rotations touch one assignment.
-DRIVER_WINDOW = _DRIVER_WINDOW_R6
+DRIVER_WINDOW = _DRIVER_WINDOW_R7
 
 # Round 5 fronted the verification backlog (round-4 verdict item 1):
 # 47 oldest never-driver-verified oracle-gated queries in registration
@@ -345,6 +423,67 @@ _DRIVER_WINDOW_R3 = [
     "dedup_exact_groups",
     "ann_topk_bruteforce",
 ]
+
+
+def expected_driver_window(
+    round_no: int, artifact_dir: str | None = None, size: int = 50
+) -> list[str]:
+    """Derive the round-``round_no`` driver window from the committed
+    CORRECTNESS_r{N}.json artifacts with N < ``round_no`` — the window
+    composition rule, encoded (round-6 verdict item 2) instead of prose:
+
+    1. never driver-verified, oracle-gated (registration order);
+    2. never driver-verified, rows-only (registration order);
+    3. stale-oracle re-checks: gated NOW but every recorded driver row
+       carries ``err == "no_oracle"`` (the row predates the hash gate);
+    4. padding to ``size``: hash-green re-checks, stalest first (latest
+       green round ascending, registration order within a round).
+
+    Deterministic given the committed artifacts, so
+    ``tests/test_plans.py`` asserts ``DRIVER_WINDOW`` equals this
+    derivation exactly — a rotation that drifts from the rule fails CI
+    rather than silently re-verifying old queries.
+    """
+    import glob
+    import json
+    import os
+    import re
+
+    if artifact_dir is None:
+        artifact_dir = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+    seen: dict[str, list[tuple[int, dict]]] = {}
+    for path in sorted(glob.glob(os.path.join(artifact_dir, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m is None or int(m.group(1)) >= round_no:
+            continue
+        with open(path) as f:
+            for name, row in json.load(f).items():
+                seen.setdefault(name, []).append((int(m.group(1)), row))
+    reg_idx = {s.name: i for i, s in enumerate(REGISTRY)}
+    gated = {s.name for s in REGISTRY if s.oracle is not None}
+    never_gated = [s.name for s in REGISTRY if s.name not in seen and s.name in gated]
+    never_rows = [
+        s.name for s in REGISTRY if s.name not in seen and s.name not in gated
+    ]
+    stale = [
+        s.name
+        for s in REGISTRY
+        if s.name in seen
+        and s.name in gated
+        and all(row.get("err") == "no_oracle" for _, row in seen[s.name])
+    ]
+    front = never_gated + never_rows + stale
+    green = sorted(
+        (max(r for r, row in rows if row.get("hash_match")), reg_idx[name], name)
+        for name, rows in seen.items()
+        if name in reg_idx
+        and name not in front
+        and any(row.get("hash_match") for _, row in rows)
+    )
+    pad = [name for _, _, name in green[: max(0, size - len(front))]]
+    return (front + pad)[:size]
 
 
 def _ordered() -> list[QuerySpec]:

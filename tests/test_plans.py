@@ -380,13 +380,27 @@ def _driver_verified_names():
 
 
 def test_driver_window_rotation_is_exact_prefix():
-    """The round-6 rotation must (a) name only real queries, (b) fill the
+    """The round-7 rotation must (a) name only real queries, (b) fill the
     driver's 50-entry window exactly, and (c) be the literal prefix of
     all_queries() — a regression here silently un-verifies queries."""
     names = [s.name for s in registry._ordered()]
     assert len(registry.DRIVER_WINDOW) == 50
     assert names[:50] == registry.DRIVER_WINDOW
     assert len(names) == len(set(names))
+
+
+def test_driver_window_matches_encoded_composition_rule():
+    """Round-6 verdict item 2: the window composition rule lives in code
+    (``registry.expected_driver_window``), not prose.  The committed
+    window must equal the mechanical derivation from the CORRECTNESS
+    artifacts of rounds < 7 exactly: never-verified gated, then
+    never-verified rows-only, then stale-oracle re-checks (every prior
+    driver row recorded ``err == "no_oracle"``), then the stalest
+    hash-green re-checks.  The derivation is pinned to round 7, so this
+    stays reproducible after the r07 artifact lands; the NEXT rotation
+    bumps the round number and re-derives."""
+    derived = registry.expected_driver_window(7, artifact_dir=str(REPO_ROOT))
+    assert registry.DRIVER_WINDOW == derived
 
 
 def test_driver_window_derived_from_correctness_artifacts():
