@@ -268,6 +268,12 @@ def main() -> None:
         # the sweep's memory is bounded by one query's working set.  Within
         # a query's repeats the cache stays warm — unchanged measurement
         # policy; eager_release operators free theirs before returning.
+        # ONE declared exception (round-6 verdict item 3, BASELINE.md r7):
+        # the recsys-eval family shares a checkpointed split/sims/rec-list
+        # build (analytics_queries._eval_shared) that persists across the
+        # family's entries — a documented materialized intermediate, so
+        # the family's per-query numbers measure metrics-on-shared-build,
+        # and the build cost lands in whichever family entry runs first.
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)

@@ -269,7 +269,8 @@ def _shingle_hashes_py(text: str, n: int) -> np.ndarray:
 
 
 def shingle_hashes(text: Column, n: int = 3) -> Column:
-    """64-bit hash per distinct shingle, as one Arrow-batched pass.
+    """RK-31 Rabin-Karp hash per distinct shingle (31-bit values carried
+    in ``array<long>``), as one Arrow-batched pass.
 
     The compact form both the MinHash signature and the exact Jaccard
     verify run on (see :func:`_hash_grams_flat` for the SQL-reproducible

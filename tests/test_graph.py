@@ -71,6 +71,31 @@ def test_pagerank_symmetric_graph_uniform(spark, cap):
     assert all(abs(v - 0.25) < 1e-9 for v in r.values())
 
 
+def test_pagerank_string_ids_both_venues(spark):
+    """Round-6 ADVICE (medium): non-integer vertex ids (string/UUID)
+    must work on the driver venue too — the position map is
+    searchsorted over sorted unique ids, not an int() dict."""
+    rows = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    drv = _ranks(pagerank(edges, iterations=10))
+    dist = _ranks(pagerank(edges, iterations=10, driver_edge_cap=0))
+    assert set(drv) == {"a", "b", "c"}
+    assert abs(sum(drv.values()) - 1.0) < 1e-6
+    assert set(dist) == set(drv)
+    assert all(abs(dist[k] - drv[k]) < 1e-12 for k in drv)
+
+
+def test_pagerank_empty_edges_schema_matches_input_type(spark):
+    """Round-6 ADVICE: the empty-edge result must carry the INPUT's id
+    type (was hardcoded int) so downstream unions don't break."""
+    empty = spark.createDataFrame([], "src bigint, dst bigint")
+    out = pagerank(empty)
+    assert out.schema["id"].dataType.simpleString() == "bigint"
+    assert out.count() == 0
+    empty_s = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(empty_s).schema["id"].dataType.simpleString() == "string"
+
+
 def test_pagerank_venues_agree(spark):
     """The driver-side fold and the distributed loop are the same
     operator: identical arithmetic expressions, so ranks agree far
@@ -124,6 +149,18 @@ def test_bfs_cycle_terminates_and_unreachable_excluded(spark, cap):
     )
     d = _dists(bfs_distances(edges, seed=1, max_hops=4, driver_edge_cap=cap))
     assert d == {1: 0, 2: 1}, "cycle settles; disconnected 7/8 excluded"
+
+
+@pytest.mark.parametrize("cap", [0, 5_000_000], ids=["distributed", "driver"])
+def test_bfs_string_ids_both_venues(spark, cap):
+    """Round-6 ADVICE class: string ids traverse on both venues — the
+    distributed hop no longer casts dst to long (which nulled strings),
+    and the driver venue never coerced via int()."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "src string, dst string"
+    )
+    d = _dists(bfs_distances(edges, seed="a", max_hops=3, driver_edge_cap=cap))
+    assert d == {"a": 0, "b": 1, "c": 2}
 
 
 def test_bfs_layout_invariant(spark):

@@ -50,6 +50,49 @@ def test_image_features_deterministic_and_shaped(spark):
         assert sum(a.histogram) == meta.width * meta.height * meta.channels
 
 
+def test_tiling_oracle_assumption_holds():
+    """Round-6 verdict item 5: the hash gates on ``media_image_features``
+    and ``media_frame_sample`` assume the decode stage IS deterministic
+    byte tiling — their DuckDB oracles compute the tiled pixel sum in
+    closed form (full repetitions + leading remainder slice) and the
+    frame checksum as ``s_tiled + frame_idx * n_pixels`` (no mod-256
+    wrap for ASCII payloads and small frame offsets).  This test pins
+    that identity against the kernel directly: if it fails — e.g. a
+    real codec replaced ``_decode_payload`` — REVERT BOTH ORACLES TO
+    ROWS-ONLY (oracle=None in plans/multimodal_queries.py) instead of
+    shipping a silently-wrong hash gate (the documented trigger in
+    BASELINE.md)."""
+    payloads = [b"", b"a", b"hello world", bytes(range(97, 123)) * 3]
+    shapes = [(3, 2, 1), (5, 7, 3), (16, 16, 1)]
+    for payload in payloads:
+        buf = list(payload) or [0]
+        for w, h, c in shapes:
+            n = w * h * c
+            img = multimodal._decode_payload(payload, width=w, height=h, channels=c)
+            assert img.shape == (h, w, c)
+            reps, rem = divmod(n, len(buf))
+            s_tiled = reps * sum(buf) + sum(buf[:rem])
+            assert int(img.astype(np.int64).sum()) == s_tiled
+            # frame-checksum closed form: ASCII bytes <= 127 and frame
+            # offsets <= 8 keep every (byte + fi) under 256 — no wrap
+            for fi in (0, 2, 4, 8):
+                frame = (img.astype(np.int64) + fi) % 256
+                assert int(frame.sum()) == s_tiled + fi * n
+
+
+def test_decode_stage_output_contracts_pinned():
+    """The declared mapInPandas schemas are part of the driver contract
+    (flat columns, exact names/types) — a codec swap must not drift
+    them."""
+    assert multimodal.FEATURE_SCHEMA == (
+        "media_id bigint, n_bytes int, mean_intensity double, "
+        "histogram array<bigint>"
+    )
+    assert multimodal.FRAME_SCHEMA == (
+        "media_id bigint, frame_idx int, frame_checksum bigint"
+    )
+
+
 def test_decode_stub_tiles_payload():
     img = multimodal._decode_payload(b"ab", width=2, height=2, channels=1)
     assert img.shape == (2, 2, 1)
