@@ -27,7 +27,11 @@ from pyspark.sql import DataFrame, functions as F
 # link graphs exceed the cap and take the distributed loop.  At test
 # scale the distributed loop is pure scheduling overhead (~0.33 s per
 # tiny iteration measured at sf0.1); the in-memory fold is identical
-# arithmetic, deterministically ordered.
+# arithmetic, deterministically ordered.  Driver footprint at the cap:
+# the Arrow fetch (_collect_edges_arrow) lands 5M edges as two int64
+# columns ≈ 80 MB + one transient Arrow copy — small against any
+# realistic driver heap (the old Row-object collect was the multi-GB
+# risk; round-6 ADVICE, fixed).
 _DRIVER_EDGE_CAP = 5_000_000
 
 

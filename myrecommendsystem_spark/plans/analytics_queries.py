@@ -950,15 +950,29 @@ _PUNCT_SQL = r"""[!"#$%&'()*+,\-./:;<=>?@\[\\\]^_`{|}~]""".replace("'", "''")
 def _hygiene_stages(spark: SparkSession, sf_dir: str):
     """Shared stage chain for the composed corpus pipelines:
     (train, s1=dedup survivors, s2=quality survivors, s3=decontaminated).
-    The SQL twin is ``_HYGIENE_CTES``."""
+    The SQL twin is ``_HYGIENE_CTES``.
+
+    The three KEEP-ID SETS are localCheckpointed (doc_id-only relations
+    — tiny), the full-text stage relations are NOT: each text-heavy
+    pass (fingerprinting, quality scoring, contamination) therefore
+    runs exactly once while materializing its id set, and every
+    downstream branch — the clean pipeline's four funnel aggregates,
+    the export pipeline's resample/shard — rebuilds its stage as a
+    cheap semi join of (column-pruned) train against pinned ids.
+    Before this, the lazy chain re-executed the text passes once per
+    funnel branch (~6 corpus scans instead of 3 at sf0.1; at 100 TB the
+    difference is the job).  Payloads never move into checkpoint
+    storage — the same ids-only discipline as the dedup operators."""
     from myrecommendsystem_spark.functions import text as TXT
     from myrecommendsystem_spark.operators import corpus_quality, dedup
 
     docs = _t(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     train = docs.filter(F.col("doc_id") % 97 != 0)
-    keep1 = dedup.exact_duplicates(train).select(
-        F.col("keep_id").alias("doc_id")
+    keep1 = (
+        dedup.exact_duplicates(train)
+        .select(F.col("keep_id").alias("doc_id"))
+        .localCheckpoint(eager=True)
     )
     s1 = train.join(keep1, "doc_id", "left_semi")
     scored = s1.select(
@@ -971,11 +985,15 @@ def _hygiene_stages(spark: SparkSession, sf_dir: str):
         scored.withColumn("pr", F.percent_rank().over(w))
         .filter(F.col("pr") >= 0.5)
         .select("doc_id")
+        .localCheckpoint(eager=True)
     )
     s2 = s1.join(keep2, "doc_id", "left_semi")
-    keep3 = corpus_quality.ngram_contamination(s2, bench, n=3).filter(
-        F.col("contamination") < 0.1
-    ).select("doc_id")
+    keep3 = (
+        corpus_quality.ngram_contamination(s2, bench, n=3)
+        .filter(F.col("contamination") < 0.1)
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
     s3 = s2.join(keep3, "doc_id", "left_semi")
     return train, s1, s2, s3
 

@@ -445,6 +445,19 @@ def test_driver_window_schemas_are_flat(spark, sf_dir):
         assert not bad, f"{name} returns nested columns {bad}"
 
 
+def test_hygiene_funnel_reads_checkpointed_keep_sets(spark):
+    """The corpus-hygiene keep-ID sets are localCheckpointed (ids only —
+    payloads never enter checkpoint storage), so the funnel's four
+    stage aggregates re-join pinned ids instead of re-running the
+    text-heavy passes per branch: the final plan reads ExistingRDD
+    scans and contains NO Generate (gram-explode) node — the
+    contamination kernel ran exactly once, while its keep set
+    materialized."""
+    plan = _executed(spark, "corpus_clean_pipeline")
+    assert "ExistingRDD" in plan
+    assert "Generate" not in plan, plan
+
+
 def test_substring_overlap_kernel_runs_once(spark):
     """The fingerprint inverted index must be materialized ONCE and fed
     to both self-join sides: the capped relation is localCheckpointed,

@@ -67,15 +67,22 @@ def _corpus(spark, n_docs: int, words_per_doc: int = 60, vocab: int = 50_000):
     ],
 )
 def test_dedup_scales_subquadratically(spark, name, op, max_exponent):
+    # MRS_SCALE_PROBE_64=1 extends the curve with a 64x point (320k
+    # docs — needs the 48g heap and several more minutes) and grades
+    # the exponent on the TOP doubling pair, where fixed-stage overhead
+    # has amortized out of the denominator (round-6 verdict item 6;
+    # measured r7: minhash/simhash both ≲1 at 16x->64x, SCALE.md).
+    mults = (4, 16, 64) if os.environ.get("MRS_SCALE_PROBE_64") else (4, 16)
     times = {}
-    for mult in (4, 16):  # skip 1x: first-touch JIT pollutes it
+    for mult in mults:  # skip 1x: first-touch JIT pollutes it
         d = _corpus(spark, BASE_DOCS * mult)
         t0 = time.perf_counter()
         op(d).count()
         times[mult] = time.perf_counter() - t0
         spark.catalog.clearCache()
-    exponent = math.log(times[16] / times[4]) / math.log(4)
+    hi, lo = mults[-1], mults[-2]
+    exponent = math.log(times[hi] / times[lo]) / math.log(hi / lo)
     assert exponent < max_exponent, (
-        f"{name}: {times[4]:.1f}s @4x -> {times[16]:.1f}s @16x "
+        f"{name}: {times[lo]:.1f}s @{lo}x -> {times[hi]:.1f}s @{hi}x "
         f"(exponent {exponent:.2f})"
     )
