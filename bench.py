@@ -67,6 +67,7 @@ HEADLINE: tuple[str, ...] = (
     "ann_topk_bruteforce",
     "ann_topk_ivf",
     "embedding_near_dup_ivf",
+    "embedding_hyperplane_lsh_pairs",
     "media_metadata",
     # corpus hygiene + MIPS + SQL surface (round-3 extensions)
     "doc_decontamination",

@@ -49,17 +49,34 @@ class QuerySpec:
     oracle: str | None  # None → driver records rows-only check
     doc: str = ""
     defer: bool = False  # True → register behind the established gated set
+    # Round the query was registered in (0 = pre-r7 era).  The window
+    # derivation (expected_driver_window) only fronts queries with
+    # ``since < round_no``: a query registered DURING round N has no
+    # driver row yet by construction and fronts the ROUND N+1 window,
+    # not its own — the post-backlog registration policy, encoded.
+    since: int = 0
 
 
 REGISTRY: list[QuerySpec] = []
 
 
 def register(
-    name: str, oracle: str | None, doc: str = "", defer: bool = False
+    name: str,
+    oracle: str | None,
+    doc: str = "",
+    defer: bool = False,
+    since: int = 0,
 ) -> Callable[[Builder], Builder]:
     def deco(fn: Builder) -> Builder:
         REGISTRY.append(
-            QuerySpec(name=name, builder=fn, oracle=oracle, doc=doc, defer=defer)
+            QuerySpec(
+                name=name,
+                builder=fn,
+                oracle=oracle,
+                doc=doc,
+                defer=defer,
+                since=since,
+            )
         )
         return fn
 
@@ -461,15 +478,19 @@ def expected_driver_window(
         with open(path) as f:
             for name, row in json.load(f).items():
                 seen.setdefault(name, []).append((int(m.group(1)), row))
+    # same-round registrations (since == round_no) front the NEXT
+    # rotation, not their own — they cannot appear in a window that was
+    # published before they existed
+    eligible = [s for s in REGISTRY if s.since < round_no]
     reg_idx = {s.name: i for i, s in enumerate(REGISTRY)}
-    gated = {s.name for s in REGISTRY if s.oracle is not None}
-    never_gated = [s.name for s in REGISTRY if s.name not in seen and s.name in gated]
+    gated = {s.name for s in eligible if s.oracle is not None}
+    never_gated = [s.name for s in eligible if s.name not in seen and s.name in gated]
     never_rows = [
-        s.name for s in REGISTRY if s.name not in seen and s.name not in gated
+        s.name for s in eligible if s.name not in seen and s.name not in gated
     ]
     stale = [
         s.name
-        for s in REGISTRY
+        for s in eligible
         if s.name in seen
         and s.name in gated
         and all(row.get("err") == "no_oracle" for _, row in seen[s.name])

@@ -568,6 +568,85 @@ def embedding_near_dup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Sign-bit LSH oracle scaffolding: the ±1 hyperplane matrix is a
+# build-time constant (md5 parity per (bit, dim) — similarity.py) inlined
+# into BOTH the Catalyst expression and this generated SQL, and every
+# per-bit dot is the same strict left-assoc ±element chain on doubles, so
+# the sign bits agree bitwise across engines.  Dim pinned to the corpus's
+# 64 (true at every SF; a dim change regenerates both sides together).
+_HP_SIGNS = similarity.hyperplane_signs(16, 64)
+
+
+def _hp_dot_sql(j: int) -> str:
+    return " + ".join(
+        (f"v[{d + 1}]" if s > 0 else f"- v[{d + 1}]")
+        for d, s in enumerate(_HP_SIGNS[j])
+    )
+
+
+_HP_DOTS_SQL = ", ".join(f"({_hp_dot_sql(j)}) AS dj{j}" for j in range(16))
+_HP_BANDS_SQL = ", ".join(
+    " + ".join(
+        f"CASE WHEN dj{b * 8 + i} >= 0 THEN {1 << i} ELSE 0 END"
+        for i in range(8)
+    )
+    + f" AS band{b}"
+    for b in range(2)
+)
+
+
+@register(
+    "embedding_hyperplane_lsh_pairs",
+    f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+dots AS (SELECT vec_id, v, {_HP_DOTS_SQL} FROM e),
+sig AS (SELECT vec_id, {_HP_BANDS_SQL} FROM dots),
+bands AS (
+    SELECT vec_id, 0 AS band_idx, band0 AS band_val FROM sig
+    UNION ALL
+    SELECT vec_id, 1 AS band_idx, band1 AS band_val FROM sig
+),
+ok AS (
+    SELECT * FROM bands
+    QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_val) <= 1000
+),
+cand AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(COUNT(*) AS INTEGER) AS n_bands
+    FROM ok a
+    JOIN ok b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+             AND a.vec_id < b.vec_id
+    GROUP BY 1, 2
+)
+SELECT c.id_a, c.id_b, c.n_bands,
+       {sql_round_stable('list_cosine_similarity(x.v, y.v)', 4)} AS cos
+FROM cand c
+JOIN e x ON x.vec_id = c.id_a
+JOIN e y ON y.vec_id = c.id_b
+WHERE {sql_round_stable('list_cosine_similarity(x.v, y.v)', 4)} >= 0.35
+ORDER BY id_a, id_b
+""",
+    doc="sign-bit (random-hyperplane, Charikar 2002) LSH near-dup pairs "
+    "— the HASH-GATED scale path for embedding near-dup, complementing "
+    "the rows-only IVF path: ±1 Rademacher hyperplanes inlined as "
+    "literals, 16 sign bits packed into two 8-bit bands, ONE shuffle on "
+    "(band_idx, band_val), oversized buckets dropped at the MinHash "
+    "max_bucket=1000 cap, then exact-cosine verification at the same "
+    "0.35 / round-4 convention as embedding_near_dup_pairs — so the "
+    "output is a deterministic subset of the exact query (pinned in "
+    "tests).  DuckDB replays the entire pipeline: bit derivation, "
+    "banding, cap, pairing, verify",
+    defer=True,
+    since=7,
+)
+def embedding_hyperplane_lsh_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return similarity.hyperplane_lsh_pairs(
+        _emb(spark, sf_dir), threshold=0.35, n_bits=16, band_bits=8
+    )
+
+
 @register(
     "doc_tfidf_top_terms",
     rf"""

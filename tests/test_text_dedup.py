@@ -163,6 +163,46 @@ def test_near_duplicate_pairs(vectors):
     assert [(r.id_a, r.id_b) for r in rows] == [(0, 1)]
 
 
+def test_hyperplane_lsh_pairs_subset_of_exact(vectors):
+    """Sign-bit LSH finds the planted near-dup (cosine ≈ 1 collides in
+    every band) and every emitted pair is in the exact join's output
+    with the identical rounded cosine — LSH is a recall filter, never a
+    source of new or different pairs."""
+    lsh = similarity.hyperplane_lsh_pairs(
+        vectors, threshold=0.9, n_bits=16, band_bits=8
+    ).collect()
+    exact = {
+        (r.id_a, r.id_b): r.cos
+        for r in similarity.near_duplicate_pairs(
+            vectors, threshold=0.9
+        ).collect()
+    }
+    assert (0, 1) in {(r.id_a, r.id_b) for r in lsh}
+    for r in lsh:
+        assert exact.get((r.id_a, r.id_b)) == r.cos
+        assert 1 <= r.n_bands <= 2
+
+
+def test_hyperplane_lsh_layout_invariant_and_jvm_side(vectors):
+    a = similarity.hyperplane_lsh_pairs(vectors, threshold=0.9)
+    b = similarity.hyperplane_lsh_pairs(
+        vectors.repartition(7), threshold=0.9
+    )
+    assert a.collect() == b.collect()
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan  # signatures/banding/verify: pure Catalyst
+
+
+def test_hyperplane_signs_deterministic():
+    a = similarity.hyperplane_signs(16, 64)
+    b = similarity.hyperplane_signs(16, 64)
+    assert a == b
+    assert all(v in (-1, 1) for row in a for v in row)
+    # roughly balanced rows — a degenerate all-+1 hyperplane would make
+    # the bit useless
+    assert all(abs(sum(row)) < 40 for row in a)
+
+
 def test_rolling_fingerprints_detect_shared_substrings(spark):
     from myrecommendsystem_spark.functions import text as TXT
     from pyspark.sql import functions as F
