@@ -342,10 +342,14 @@ def hyperplane_lsh_pairs(
     if dim <= 0:
         return _empty_frame(df, out_schema)
     signs = hyperplane_signs(n_bits, dim, salt)
+    # zero-norm vectors are excluded up front (mirrored in the oracle):
+    # their cosine is 0/0 = NaN, and NaN comparison semantics diverge
+    # per engine (Spark SQL orders NaN greatest) — the exact GEMM path
+    # excludes them too (numpy NaN >= threshold is False)
     base = df.select(
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    )
+    ).filter(_dot(F.col("v"), F.col("v")) > 0)
 
     # All n_bits dots in ONE fused fold: zip each element with its
     # 16-sign row and left-fold an n_bits-slot accumulator over d

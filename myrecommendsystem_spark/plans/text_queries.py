@@ -598,7 +598,14 @@ _HP_BANDS_SQL = ", ".join(
 @register(
     "embedding_hyperplane_lsh_pairs",
     f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (
+    -- zero-norm vectors excluded on both engines: cosine would be NaN,
+    -- whose comparison semantics differ per engine (kernel twin filters
+    -- dot(v,v) > 0)
+    SELECT vec_id, v FROM (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ) WHERE list_sum(list_transform(v, x -> x * x)) > 0
+),
 dots AS (SELECT vec_id, v, {_HP_DOTS_SQL} FROM e),
 sig AS (SELECT vec_id, {_HP_BANDS_SQL} FROM dots),
 bands AS (

@@ -94,3 +94,54 @@ def test_minhash_pairs_oracle_fuzz(spark, seed):
     con.close()
     assert got == want
     assert (0, 100, 1.0) in got  # the planted exact copy must collide
+
+
+@pytest.mark.parametrize("seed", [2, 5, 9])
+def test_hyperplane_lsh_oracle_fuzz(spark, seed):
+    """Attack the r7 sign-bit LSH oracle where it could plausibly break:
+    exact duplicates (collide in every band), positively-scaled copies
+    (same signs, same cosine, different norms), negated copies
+    (cos = -1, every bit flips), tiny-magnitude vectors (denormal-range
+    sums exercise the bitwise fold-order claim near the hyperplane
+    boundary), and a zero vector (must be EXCLUDED on both engines —
+    NaN cosine semantics diverge).  Ran green on 8 random seeds before
+    pinning these three."""
+    from myrecommendsystem_spark.operators import similarity
+
+    rng = random.Random(seed)
+
+    def vec(scale=1.0):
+        return [rng.gauss(0.0, 1.0) * scale for _ in range(64)]
+
+    base = vec()
+    rows = [(0, base), (1, list(base)), (2, [x * 2.5 for x in base])]
+    rows.append((3, [-x for x in base]))
+    rows.append((4, [x * 1e-280 for x in base]))  # tiny but nonzero
+    rows.append((5, [0.0] * 64))  # zero vector: excluded by contract
+    rows += [(10 + i, vec()) for i in range(20)]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    got = sorted(
+        (r.id_a, r.id_b, r.n_bands, r.cos)
+        for r in similarity.hyperplane_lsh_pairs(emb, threshold=0.9).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE embeddings(vec_id BIGINT, embedding FLOAT[])")
+    con.executemany(
+        "INSERT INTO embeddings VALUES (?, ?)",
+        [(i, [float(x) for x in v]) for i, v in rows],
+    )
+    want = sorted(
+        (int(a), int(b), int(nb), float(c))
+        for a, b, nb, c in con.execute(
+            _oracle("embedding_hyperplane_lsh_pairs").replace(">= 0.35", ">= 0.9")
+        ).fetchall()
+    )
+    con.close()
+    assert got == want
+    pairs = {(a, b) for a, b, *_ in got}
+    assert (0, 1) in pairs  # exact copy collides in every band
+    assert (0, 2) in pairs  # scaled copy: identical signs and cosine
+    assert all(5 not in (a, b) for a, b in pairs)  # zero vector excluded
