@@ -428,6 +428,39 @@ def test_driver_window_derived_from_correctness_artifacts():
     assert all(n in defer for n in hidden), [n for n in hidden if n not in defer]
 
 
+def test_next_round_window_derivation_is_ready(tmp_path):
+    """Dry-run the r8 rotation before it happens: with a synthetic r07
+    artifact covering the committed window (hash rows for gated
+    members, rows-only rows for the rest), expected_driver_window(8)
+    must front the round-7 registration (`embedding_hyperplane_lsh_pairs`,
+    since=7 — the only eligible query without a driver row) and pad
+    with hash-green re-checks to exactly 50 unique real names.  If this
+    breaks, next round's rotation breaks."""
+    import json
+    import shutil
+
+    gated = {s.name for s in registry.REGISTRY if s.oracle is not None}
+    for p in (REPO_ROOT).glob("CORRECTNESS_r0*.json"):
+        shutil.copy(p, tmp_path / p.name)
+    fake = {
+        name: (
+            {"hash_match": True, "rows_match": True, "err": None}
+            if name in gated
+            else {"hash_match": None, "rows_match": True, "err": "no_oracle"}
+        )
+        for name in registry.DRIVER_WINDOW
+    }
+    (tmp_path / "CORRECTNESS_r07.json").write_text(json.dumps(fake))
+    win8 = registry.expected_driver_window(8, artifact_dir=str(tmp_path))
+    names = {s.name for s in registry.REGISTRY}
+    assert len(win8) == 50
+    assert len(set(win8)) == 50
+    assert set(win8) <= names
+    assert win8[0] == "embedding_hyperplane_lsh_pairs"
+    # every padding entry is a genuine re-check with a hash-green row
+    assert all(n in names for n in win8[1:])
+
+
 def test_driver_window_schemas_are_flat(spark, sf_dir):
     """The driver's pandas canonicalizer crashes on array/map/struct
     cells (r01 ``approx_distinct_users`` precedent) — every query in the
