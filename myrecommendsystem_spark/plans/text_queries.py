@@ -595,10 +595,11 @@ _HP_BANDS_SQL = ", ".join(
 )
 
 
-@register(
-    "embedding_hyperplane_lsh_pairs",
-    f"""
-WITH e AS (
+# Shared sign-bit LSH CTE chain: eligible vectors → per-bit dots →
+# byte bands → capped buckets → candidates → exact-cosine-verified
+# pairs (``hp_pairs``).  Used by embedding_hyperplane_lsh_pairs (the
+# pair list) and embedding_semantic_survivors (components + keep list).
+_HP_CTES = f"""e AS (
     -- zero-norm vectors excluded on both engines: cosine would be NaN,
     -- whose comparison semantics differ per engine (kernel twin filters
     -- dot(v,v) > 0)
@@ -624,13 +625,22 @@ cand AS (
     JOIN ok b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
              AND a.vec_id < b.vec_id
     GROUP BY 1, 2
-)
-SELECT c.id_a, c.id_b, c.n_bands,
-       {sql_round_stable('list_cosine_similarity(x.v, y.v)', 4)} AS cos
-FROM cand c
-JOIN e x ON x.vec_id = c.id_a
-JOIN e y ON y.vec_id = c.id_b
-WHERE {sql_round_stable('list_cosine_similarity(x.v, y.v)', 4)} >= 0.35
+),
+hp_pairs AS (
+    SELECT c.id_a, c.id_b, c.n_bands,
+           {sql_round_stable('list_cosine_similarity(x.v, y.v)', 4)} AS cos
+    FROM cand c
+    JOIN e x ON x.vec_id = c.id_a
+    JOIN e y ON y.vec_id = c.id_b
+    WHERE {sql_round_stable('list_cosine_similarity(x.v, y.v)', 4)} >= 0.35
+)"""
+
+
+@register(
+    "embedding_hyperplane_lsh_pairs",
+    f"""
+WITH {_HP_CTES}
+SELECT id_a, id_b, n_bands, cos FROM hp_pairs
 ORDER BY id_a, id_b
 """,
     doc="sign-bit (random-hyperplane, Charikar 2002) LSH near-dup pairs "
@@ -652,6 +662,75 @@ def embedding_hyperplane_lsh_pairs(
     return similarity.hyperplane_lsh_pairs(
         _emb(spark, sf_dir), threshold=0.35, n_bits=16, band_bits=8
     )
+
+
+@register(
+    "embedding_semantic_survivors",
+    f"""
+WITH RECURSIVE {_HP_CTES},
+edges2 AS (
+    SELECT id_a AS src, id_b AS dst FROM hp_pairs
+    UNION SELECT id_b, id_a FROM hp_pairs
+),
+reach AS (
+        SELECT src AS a, src AS b FROM edges2
+    UNION
+        SELECT src, dst FROM edges2
+    UNION
+        SELECT r2.a, ed.dst FROM reach r2 JOIN edges2 ed ON ed.src = r2.b
+),
+comp AS (SELECT a AS id, MIN(b) AS comp FROM reach GROUP BY a),
+csize AS (
+    SELECT comp, CAST(COUNT(*) AS INTEGER) AS cluster_size
+    FROM comp GROUP BY comp
+)
+SELECT c.id AS vec_id, s.cluster_size
+FROM comp c JOIN csize s ON c.comp = s.comp
+WHERE c.id = c.comp
+UNION ALL
+SELECT e.vec_id, 1 AS cluster_size
+FROM e WHERE e.vec_id NOT IN (SELECT id FROM comp)
+ORDER BY vec_id
+""",
+    doc="semantic dedup keep-list (SemDeDup-shaped): sign-bit LSH pairs "
+    "-> connected components (min-label propagation) -> one min-id "
+    "survivor per cosine-cluster, each with its cluster size "
+    "(singletons ride along at size 1).  The full scale path is "
+    "oracle-gated end to end: the shared hyperplane CTEs feed a "
+    "RECURSIVE reachability closure + MIN-label aggregation — the "
+    "dedup_minhash_survivors template over the embedding modality.  "
+    "Population = LSH-eligible vectors (zero-norm excluded on both "
+    "engines, as in the pair query)",
+    defer=True,
+    since=7,
+)
+def embedding_semantic_survivors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from myrecommendsystem_spark.operators import dedup as DD
+    from myrecommendsystem_spark.operators.similarity import _dot
+
+    emb = _emb(spark, sf_dir)
+    pairs = similarity.hyperplane_lsh_pairs(
+        emb, threshold=0.35, n_bits=16, band_bits=8
+    )
+    comps = DD.connected_components(pairs)  # (id, comp) — graph members
+    sizes = comps.groupBy("comp").agg(
+        F.count(F.lit(1)).cast("int").alias("cluster_size")
+    )
+    keepers = (
+        comps.join(sizes, "comp")
+        .filter(F.col("id") == F.col("comp"))
+        .select(F.col("id").alias("vec_id"), "cluster_size")
+    )
+    v = F.col("embedding").cast("array<double>")
+    eligible = emb.filter(_dot(v, v) > 0).select(
+        F.col("vec_id").cast("long").alias("vec_id")
+    )
+    singletons = eligible.join(
+        comps.select(F.col("id").alias("vec_id")), "vec_id", "left_anti"
+    ).select("vec_id", F.lit(1).cast("int").alias("cluster_size"))
+    return keepers.unionByName(singletons).orderBy("vec_id")
 
 
 @register(

@@ -193,7 +193,21 @@ def test_hyperplane_lsh_layout_invariant_and_jvm_side(vectors):
     assert "Python" not in plan  # signatures/banding/verify: pure Catalyst
 
 
-def test_hyperplane_signs_deterministic():
+def test_semantic_survivors_transitive_min_id(spark, vectors):
+    """Three exact copies form ONE cluster via the closure: the min id
+    survives carrying cluster_size=3, the other two are dropped, and
+    everything else rides along as a singleton."""
+    from myrecommendsystem_spark.operators import dedup as DD
+
+    trip = vectors.union(
+        vectors.filter(F.col("vec_id") == 0).select(
+            F.col("vec_id") + 100, F.col("embedding")
+        )
+    )  # ids 0,1 are planted near-dups; 100 is an exact copy of 0
+    pairs = similarity.hyperplane_lsh_pairs(trip, threshold=0.9)
+    comps = DD.connected_components(pairs)
+    got = {(r.id, r.comp) for r in comps.collect()}
+    assert (100, 0) in got and (1, 0) in got and (0, 0) in got
     a = similarity.hyperplane_signs(16, 64)
     b = similarity.hyperplane_signs(16, 64)
     assert a == b
