@@ -303,63 +303,44 @@ def hyperplane_signs(n_bits: int, dim: int, salt: str = "hp") -> list[list[int]]
     ]
 
 
-def hyperplane_lsh_pairs(
+def _hp_prepare(
     df: DataFrame,
-    threshold: float = 0.35,
-    n_bits: int = 16,
-    band_bits: int = 8,
-    max_bucket: int = 1000,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    salt: str = "hp",
-) -> DataFrame:
-    """Sign-bit (random-hyperplane) LSH near-dup pairs → (id_a, id_b,
-    n_bands, cos) — the fully ORACLE-GATED scale path for embedding
-    near-dup (the IVF path is rows+recall only: its KMeans quantizer is
-    not SQL-expressible; this one is, end to end).
+    n_bits: int,
+    band_bits: int,
+    id_col: str,
+    vec_col: str,
+    salt: str,
+):
+    """(base, bands) for the sign-bit LSH family, or None on empty/0-dim.
 
-    Shape at scale: per-vector signature bits are scan-local ±sums
-    (pure Catalyst — one pass, no Python, no shuffle), bits pack into
-    ``n_bits // band_bits`` byte-bands, vectors shuffle ONCE on
-    (band_idx, band_val), and only same-bucket pairs are generated —
-    never an all-pairs join.  Oversized buckets (> ``max_bucket``) are
-    dropped before pairing, the identical skew cap as the MinHash/
-    SimHash banding (dedup.py).  Candidates are then exact-cosine
-    verified at ``threshold`` with the engine's standard 4-digit
-    round-stable convention, so the output is a deterministic SUBSET of
-    :func:`near_duplicate_pairs` (pinned in tests).  Bucket width is
-    the recall/cost knob: at 1B vectors, raise ``band_bits`` (and
-    ``n_bits``) so expected bucket occupancy stays task-sized — the
-    same tuning rule as any LSH index.
+    ``base`` = (id long, v array<double>) with zero-norm vectors
+    excluded up front (mirrored in the oracle): their cosine is
+    0/0 = NaN, and NaN comparison semantics diverge per engine (Spark
+    SQL orders NaN greatest) — the exact GEMM path excludes them too
+    (numpy NaN >= threshold is False).  ``bands`` = (id, band_idx,
+    band_val) exploded one row per byte-band.
+
+    All n_bits dots run in ONE fused fold: zip each element with its
+    n_bits-sign row and left-fold an n_bits-slot accumulator over d
+    ascending — per bit j the additions run in the identical
+    left-assoc order as the oracle's generated ``±v[1] + ±v[2] …``
+    chain (0.0 + x == x exactly), so the doubles and therefore the
+    sign bits agree bitwise.  The equivalent flat expression tree
+    (n_bits × dim element_at terms) fell out of codegen and evaluated
+    interpreted per node — measured 5.7 s vs 0.9 s for this fold at
+    sf0.1.
     """
     from functools import reduce
 
-    out_schema = "id_a bigint, id_b bigint, n_bands int, cos double"
-    if df.isEmpty():
-        return _empty_frame(df, out_schema)
     first = df.select(F.size(F.col(vec_col)).alias("d")).first()
     dim = int(first["d"]) if first is not None and first["d"] is not None else 0
     if dim <= 0:
-        return _empty_frame(df, out_schema)
+        return None
     signs = hyperplane_signs(n_bits, dim, salt)
-    # zero-norm vectors are excluded up front (mirrored in the oracle):
-    # their cosine is 0/0 = NaN, and NaN comparison semantics diverge
-    # per engine (Spark SQL orders NaN greatest) — the exact GEMM path
-    # excludes them too (numpy NaN >= threshold is False)
     base = df.select(
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     ).filter(_dot(F.col("v"), F.col("v")) > 0)
-
-    # All n_bits dots in ONE fused fold: zip each element with its
-    # 16-sign row and left-fold an n_bits-slot accumulator over d
-    # ascending — per bit j the additions run in the identical
-    # left-assoc order as the oracle's generated ``±v[1] + ±v[2] …``
-    # chain (0.0 + x == x exactly), so the doubles and therefore the
-    # sign bits agree bitwise.  The equivalent flat expression tree
-    # (n_bits × dim element_at terms) fell out of codegen and
-    # evaluated interpreted per node — measured 5.7 s vs 0.9 s for
-    # this fold at sf0.1.
     sign_matrix = F.array(
         *[
             F.array(*[F.lit(float(signs[j][d])) for j in range(n_bits)])
@@ -404,7 +385,50 @@ def hyperplane_lsh_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("id", F.col("bk.band_idx").alias("band_idx"), F.col("bk.band_val").alias("band_val"))
+    ).select(
+        "id",
+        F.col("bk.band_idx").alias("band_idx"),
+        F.col("bk.band_val").alias("band_val"),
+    )
+    return base, bands
+
+
+def hyperplane_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.35,
+    n_bits: int = 16,
+    band_bits: int = 8,
+    max_bucket: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "hp",
+) -> DataFrame:
+    """Sign-bit (random-hyperplane) LSH near-dup pairs → (id_a, id_b,
+    n_bands, cos) — the fully ORACLE-GATED scale path for embedding
+    near-dup (the IVF path is rows+recall only: its KMeans quantizer is
+    not SQL-expressible; this one is, end to end).
+
+    Shape at scale: per-vector signature bits are scan-local ±sums
+    (pure Catalyst — one pass, no Python, no shuffle), bits pack into
+    ``n_bits // band_bits`` byte-bands, vectors shuffle ONCE on
+    (band_idx, band_val), and only same-bucket pairs are generated —
+    never an all-pairs join.  Oversized buckets (> ``max_bucket``) are
+    dropped before pairing, the identical skew cap as the MinHash/
+    SimHash banding (dedup.py).  Candidates are then exact-cosine
+    verified at ``threshold`` with the engine's standard 4-digit
+    round-stable convention, so the output is a deterministic SUBSET of
+    :func:`near_duplicate_pairs` (pinned in tests).  Bucket width is
+    the recall/cost knob: at 1B vectors, raise ``band_bits`` (and
+    ``n_bits``) so expected bucket occupancy stays task-sized — the
+    same tuning rule as any LSH index.
+    """
+    out_schema = "id_a bigint, id_b bigint, n_bands int, cos double"
+    if df.isEmpty():
+        return _empty_frame(df, out_schema)
+    prepared = _hp_prepare(df, n_bits, band_bits, id_col, vec_col, salt)
+    if prepared is None:
+        return _empty_frame(df, out_schema)
+    base, bands = prepared
     w = Window.partitionBy("band_idx", "band_val")
     ok = bands.withColumn("bucket_n", F.count(F.lit(1)).over(w)).filter(
         F.col("bucket_n") <= max_bucket
@@ -446,6 +470,80 @@ def hyperplane_lsh_pairs(
         .select("id_a", "id_b", "n_bands", cos.alias("cos"))
         .filter(F.col("cos") >= threshold)
         .orderBy("id_a", "id_b")
+    )
+
+
+def hyperplane_lsh_cross_pairs(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    threshold: float = 0.35,
+    n_bits: int = 16,
+    band_bits: int = 8,
+    max_bucket: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "hp",
+) -> DataFrame:
+    """Cross-corpus semantic dedup → (new_id, ref_id, n_bands, cos):
+    incoming vectors against an existing reference corpus through
+    shared sign-bit LSH buckets — the embedding twin of the text
+    pipeline's ``dedup.cross_corpus_near_duplicates`` ingest gate.
+
+    Same hyperplanes (same ``salt``) sign both sides, so a new vector
+    lands in exactly the bucket its reference near-dups occupy; the
+    join is new-bands ⋈ ref-bands on (band_idx, band_val) — never a
+    union self-join, and the NEW side (typically a small ingest batch)
+    streams against the bucketed reference.  The ``max_bucket`` cap
+    applies to the REFERENCE side only, mirroring the text
+    cross-corpus convention: a pathological reference bucket is
+    dropped, a hot ingest batch is not silently filtered.  Candidates
+    are exact-cosine verified at ``threshold``; both populations
+    exclude zero-norm vectors (NaN-cosine class, see
+    :func:`_hp_prepare`).
+    """
+    out_schema = "new_id bigint, ref_id bigint, n_bands int, cos double"
+    if new_df.isEmpty() or ref_df.isEmpty():
+        return _empty_frame(new_df, out_schema)
+    new_prep = _hp_prepare(new_df, n_bits, band_bits, id_col, vec_col, salt)
+    ref_prep = _hp_prepare(ref_df, n_bits, band_bits, id_col, vec_col, salt)
+    if new_prep is None or ref_prep is None:
+        return _empty_frame(new_df, out_schema)
+    new_base, new_bands = new_prep
+    ref_base, ref_bands = ref_prep
+    w = Window.partitionBy("band_idx", "band_val")
+    ref_ok = ref_bands.withColumn(
+        "bucket_n", F.count(F.lit(1)).over(w)
+    ).filter(F.col("bucket_n") <= max_bucket)
+    a = new_bands.alias("a")
+    b = ref_ok.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val")),
+        )
+        .groupBy(F.col("a.id").alias("new_id"), F.col("b.id").alias("ref_id"))
+        .agg(F.count(F.lit(1)).cast("int").alias("n_bands"))
+    )
+    new_normed = new_base.select(
+        F.col("id").alias("new_id"),
+        F.col("v").alias("va"),
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("na"),
+    )
+    ref_normed = ref_base.select(
+        F.col("id").alias("ref_id"),
+        F.col("v").alias("vb"),
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nb"),
+    )
+    cos = round_stable(
+        _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4
+    )
+    return (
+        cand.join(new_normed, "new_id")
+        .join(ref_normed, "ref_id")
+        .select("new_id", "ref_id", "n_bands", cos.alias("cos"))
+        .filter(F.col("cos") >= threshold)
+        .orderBy("new_id", "ref_id")
     )
 
 

@@ -664,6 +664,72 @@ def embedding_hyperplane_lsh_pairs(
     )
 
 
+def _hp_band_chain(suffix: str, where: str) -> str:
+    """One population's CTE chain (eligible → dots → sig → bands) for
+    the cross-corpus oracle — same generated expressions as _HP_CTES,
+    parameterized by a population filter."""
+    return f"""e{suffix} AS (
+    SELECT vec_id, v FROM (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings {where}
+    ) WHERE list_sum(list_transform(v, x -> x * x)) > 0
+),
+dots{suffix} AS (SELECT vec_id, v, {_HP_DOTS_SQL} FROM e{suffix}),
+sig{suffix} AS (SELECT vec_id, {_HP_BANDS_SQL} FROM dots{suffix}),
+bands{suffix} AS (
+    SELECT vec_id, 0 AS band_idx, band0 AS band_val FROM sig{suffix}
+    UNION ALL
+    SELECT vec_id, 1 AS band_idx, band1 AS band_val FROM sig{suffix}
+)"""
+
+
+@register(
+    "embedding_cross_corpus_near",
+    f"""
+WITH {_hp_band_chain('_n', 'WHERE vec_id % 5 = 0')},
+{_hp_band_chain('_r', 'WHERE vec_id % 5 != 0')},
+ok_r AS (
+    SELECT * FROM bands_r
+    QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_val) <= 1000
+),
+cand AS (
+    SELECT a.vec_id AS new_id, b.vec_id AS ref_id,
+           CAST(COUNT(*) AS INTEGER) AS n_bands
+    FROM bands_n a
+    JOIN ok_r b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+    GROUP BY 1, 2
+)
+SELECT c.new_id, c.ref_id, c.n_bands,
+       {sql_round_stable('list_cosine_similarity(x.v, y.v)', 4)} AS cos
+FROM cand c
+JOIN e_n x ON x.vec_id = c.new_id
+JOIN e_r y ON y.vec_id = c.ref_id
+WHERE {sql_round_stable('list_cosine_similarity(x.v, y.v)', 4)} >= 0.35
+ORDER BY new_id, ref_id
+""",
+    doc="cross-corpus SEMANTIC dedup at ingest: an incoming embedding "
+    "batch (vec_id % 5 = 0 as the simulated ingest) probed against the "
+    "reference corpus through shared sign-bit LSH buckets — the "
+    "embedding twin of dedup_cross_corpus_near.  New-bands join "
+    "ref-bands on (band_idx, band_val), never a union self-join; the "
+    "max_bucket cap applies to the REFERENCE side only (text "
+    "cross-corpus convention: drop a pathological reference bucket, "
+    "never silently filter the ingest batch); exact-cosine verify at "
+    "the 0.35 / round-4 convention.  Fully oracle-gated end to end",
+    defer=True,
+    since=7,
+)
+def embedding_cross_corpus_near(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    ref = emb.filter(F.col("vec_id") % 5 != 0)
+    return similarity.hyperplane_lsh_cross_pairs(
+        new, ref, threshold=0.35, n_bits=16, band_bits=8
+    )
+
+
 @register(
     "embedding_semantic_survivors",
     f"""

@@ -208,6 +208,9 @@ def test_semantic_survivors_transitive_min_id(spark, vectors):
     comps = DD.connected_components(pairs)
     got = {(r.id, r.comp) for r in comps.collect()}
     assert (100, 0) in got and (1, 0) in got and (0, 0) in got
+
+
+def test_hyperplane_signs_deterministic():
     a = similarity.hyperplane_signs(16, 64)
     b = similarity.hyperplane_signs(16, 64)
     assert a == b
@@ -215,6 +218,33 @@ def test_semantic_survivors_transitive_min_id(spark, vectors):
     # roughly balanced rows — a degenerate all-+1 hyperplane would make
     # the bit useless
     assert all(abs(sum(row)) < 40 for row in a)
+
+
+def test_hyperplane_cross_pairs_consistent_with_self_join(vectors):
+    """Splitting the corpus and probing new-vs-ref through shared
+    buckets finds exactly the self-join pairs that straddle the split
+    (same hyperplanes sign both sides), with identical cosines; the
+    planted near-dup (0≈1) straddles an even/odd split."""
+    new = vectors.filter(F.col("vec_id") % 2 == 0)
+    ref = vectors.filter(F.col("vec_id") % 2 == 1)
+    cross = {
+        (r.new_id, r.ref_id): r.cos
+        for r in similarity.hyperplane_lsh_cross_pairs(
+            new, ref, threshold=0.9
+        ).collect()
+    }
+    full = {
+        (r.id_a, r.id_b): r.cos
+        for r in similarity.hyperplane_lsh_pairs(
+            vectors, threshold=0.9
+        ).collect()
+    }
+    straddling = {
+        (a, b): c for (a, b), c in full.items() if (a % 2) != (b % 2)
+    }
+    got = {(min(n, r), max(n, r)): c for (n, r), c in cross.items()}
+    assert got == straddling
+    assert (0, 1) in got
 
 
 def test_rolling_fingerprints_detect_shared_substrings(spark):
