@@ -76,10 +76,19 @@ def test_dedup_scales_subquadratically(spark, name, op, max_exponent):
     times = {}
     for mult in mults:  # skip 1x: first-touch JIT pollutes it
         d = _corpus(spark, BASE_DOCS * mult)
-        t0 = time.perf_counter()
-        op(d).count()
-        times[mult] = time.perf_counter() - t0
-        spark.catalog.clearCache()
+        # best-of-2 per point: the host's bursty CPU-steal windows can
+        # inflate one shot 5-10x at these corpus sizes (SCALE.md r7
+        # methodology note) — a single contaminated point would flip
+        # the exponent and fail the probe spuriously.  Process-isolated
+        # per-point runs are the gold standard for RECORDED numbers;
+        # best-of-2 is enough for this pass/fail bound.
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            op(d).count()
+            best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        times[mult] = best
     hi, lo = mults[-1], mults[-2]
     exponent = math.log(times[hi] / times[lo]) / math.log(hi / lo)
     assert exponent < max_exponent, (
