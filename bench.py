@@ -68,6 +68,8 @@ HEADLINE: tuple[str, ...] = (
     "ann_topk_ivf",
     "embedding_near_dup_ivf",
     "embedding_hyperplane_lsh_pairs",
+    "embedding_cross_corpus_near",
+    "embedding_semantic_survivors",
     "media_metadata",
     # corpus hygiene + MIPS + SQL surface (round-3 extensions)
     "doc_decontamination",

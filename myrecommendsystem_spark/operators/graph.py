@@ -42,14 +42,26 @@ def _collect_edges_arrow(edges: DataFrame):
     boxed Row (~100+ bytes) to two primitive array slots, and
     self-destruct frees each Arrow batch as it converts, so the driver
     peak is ~one copy of the columnar data instead of several GB of Row
-    overhead near the cap.  The confs are runtime-settable and benign
-    session-wide (nothing else in the package calls ``toPandas``; the
-    tuned factory already enables Arrow — this covers the driver's bare
-    session)."""
+    overhead near the cap.  The two Arrow confs are set for THIS fetch
+    only and restored in a ``finally`` (round-7 ADVICE: a permanent
+    session-wide flip would silently change the behavior/dtypes of any
+    later user ``toPandas()`` on a session this package doesn't own)."""
     conf = edges.sparkSession.conf
-    conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
-    conf.set("spark.sql.execution.arrow.pyspark.selfDestruct.enabled", "true")
-    return edges.toPandas()
+    keys = (
+        "spark.sql.execution.arrow.pyspark.enabled",
+        "spark.sql.execution.arrow.pyspark.selfDestruct.enabled",
+    )
+    prior = {k: conf.get(k, None) for k in keys}
+    try:
+        for k in keys:
+            conf.set(k, "true")
+        return edges.toPandas()
+    finally:
+        for k, v in prior.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
 
 
 def _pagerank_inmem(

@@ -332,8 +332,15 @@ def _hp_prepare(
     """
     from functools import reduce
 
-    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    dim = int(first["d"]) if first is not None and first["d"] is not None else 0
+    # Null-safe dim probe (round-7 ADVICE): an arbitrary .first() row can
+    # be a null/short embedding, which silently emptied the whole family
+    # while the oracle still computed pairs over the remaining rows.
+    # max(size(v)) over non-null rows matches the population the oracle
+    # (and the zero-norm filter below) actually sees.
+    probe = df.filter(F.col(vec_col).isNotNull()).agg(
+        F.max(F.size(F.col(vec_col))).alias("d")
+    ).first()
+    dim = int(probe["d"]) if probe is not None and probe["d"] is not None else 0
     if dim <= 0:
         return None
     signs = hyperplane_signs(n_bits, dim, salt)

@@ -2632,12 +2632,35 @@ recs AS (
 _EVAL_SHARED: dict = {}
 
 
+def _evict_eval_shared() -> None:
+    """Drop the memoized eval build AND free its checkpoint blocks.
+
+    ``localCheckpoint`` pins the materialized rows in block storage; just
+    clearing the dict (the pre-r8 behavior) leaked those blocks until JVM
+    GC when callers alternate sf_dirs (round-7 ADVICE).  The checkpointed
+    relation's logical plan is a LogicalRDD whose ``rdd`` field IS the
+    cached RDD, so unpersisting it frees the blocks immediately; the
+    evicted entry is unusable afterwards by design (it is being dropped).
+    """
+    for old in _EVAL_SHARED.values():
+        for name in ("train", "sims", "recs"):
+            try:
+                old[name]._jdf.queryExecution().analyzed().rdd().unpersist(False)
+            except Exception:
+                pass  # session stopped or plan shape changed: nothing to free
+    _EVAL_SHARED.clear()
+
+
 def _eval_shared(spark: SparkSession, sf_dir: str) -> dict:
     from myrecommendsystem_spark.ml.itemcf import corating_similarities
     from myrecommendsystem_spark.operators.relational import top_k_per_group
     from myrecommendsystem_spark.operators.sampling import hash_key
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    # Session identity (id(spark)) is part of the key: two SparkSessions
+    # can share one applicationId (newSession/getActiveSession), and a
+    # checkpointed DataFrame is bound to the session that built it
+    # (round-7 ADVICE).
+    key = (spark.sparkContext.applicationId, id(spark), sf_dir)
     hit = _EVAL_SHARED.get(key)
     if hit is not None:
         return hit
@@ -2694,7 +2717,7 @@ def _eval_shared(spark: SparkSession, sf_dir: str) -> dict:
         .localCheckpoint(eager=True)
     )
     out = {"split": split, "train": train, "sims": sims, "recs": recs}
-    _EVAL_SHARED.clear()  # hold at most one build: bounded executor state
+    _evict_eval_shared()  # hold at most one build: bounded executor state
     _EVAL_SHARED[key] = out
     return out
 

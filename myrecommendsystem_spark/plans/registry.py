@@ -247,9 +247,75 @@ _DRIVER_WINDOW_R7 = [
     "embedding_near_dup_pairs",
 ]
 
+# Round 8: the first fully post-backlog rotation — the list below IS
+# ``expected_driver_window(8)`` verbatim (the r7 dry-run test rehearsed
+# exactly this derivation before the r07 artifact landed).  Tier 1: the
+# three round-7 LSH registrations (``since=7``, structurally excluded
+# from their own round's window), already replayed hash-green at sf0.01
+# locally.  Tiers 2-4 are empty (no never-verified rows-only, no
+# stale-oracle, no red-hash queries remain).  Tier 5 pads with the 47
+# stalest hash-green re-checks: the r1/r2-green streaming + media +
+# sampling trio block, then the full r3-green TPC-H sweep and
+# relational/LLM extensions (latest green round ascending, registration
+# order within).
+_DRIVER_WINDOW_R8 = [
+    # -- tier 1: never driver-verified, oracle-gated (since=7 front) --
+    "embedding_hyperplane_lsh_pairs",
+    "embedding_cross_corpus_near",
+    "embedding_semantic_survivors",
+    # -- tier 5 padding: stalest hash-green re-checks --
+    "sample_docs_stratified",
+    "stream_log_filter_parse",
+    "stream_recent_ratings",
+    "events_tumbling_hourly",
+    "events_sliding_counts",
+    "media_metadata",
+    "q4_order_priority_exists",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q21_late_exclusive_suppliers",
+    "q22_idle_rich_customers",
+    "cube_lineitem_status",
+    "lineitem_moments",
+    "q6_revenue_forecast",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_priority_linestatus",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_part_supplier_cnt",
+    "q19_disjunctive_revenue",
+    "q2_min_cost_supplier",
+    "q20_part_qty_suppliers",
+    "global_row_numbers",
+    "incremental_user_stats",
+    "orders_price_histogram",
+    "events_funnel_conversion",
+    "events_latest_per_user",
+    "doc_top_terms_global",
+    "events_distinct_products_two_phase",
+    "events_value_quantiles_by_type",
+    "lineitem_measures_unpivot",
+    "user_event_type_profile",
+    "events_hourly_gapfill",
+    "ratings_kfold_sizes",
+    "events_weighted_sample",
+    "orders_snapshot_diff",
+    "doc_clean_scrub",
+    "doc_pack_bins",
+    "embedding_label_centroids",
+    "embedding_vector_stats",
+    "events_view_purchase_attrib",
+    "events_view_conversion_outer",
+    "stats_rate_more_products",
+]
+
 # The window the driver verifies THIS round; tests pin invariants
 # against this alias so rotations touch one assignment.
-DRIVER_WINDOW = _DRIVER_WINDOW_R7
+DRIVER_WINDOW = _DRIVER_WINDOW_R8
 
 # Round 5 fronted the verification backlog (round-4 verdict item 1):
 # 47 oldest never-driver-verified oracle-gated queries in registration
@@ -453,7 +519,12 @@ def expected_driver_window(
     2. never driver-verified, rows-only (registration order);
     3. stale-oracle re-checks: gated NOW but every recorded driver row
        carries ``err == "no_oracle"`` (the row predates the hash gate);
-    4. padding to ``size``: hash-green re-checks, stalest first (latest
+    4. red-hash re-checks (round-7 ADVICE): gated queries with recorded
+       driver rows but NO hash-green row and not all ``no_oracle`` —
+       i.e. a hash gate that once FAILED (or errored) at the driver and
+       would otherwise never be rescheduled by tiers 1-3 (no green row
+       exists for the padding tier to pick up either);
+    5. padding to ``size``: hash-green re-checks, stalest first (latest
        green round ascending, registration order within a round).
 
     Deterministic given the committed artifacts, so
@@ -495,7 +566,15 @@ def expected_driver_window(
         and s.name in gated
         and all(row.get("err") == "no_oracle" for _, row in seen[s.name])
     ]
-    front = never_gated + never_rows + stale
+    red = [
+        s.name
+        for s in eligible
+        if s.name in seen
+        and s.name in gated
+        and s.name not in stale
+        and not any(row.get("hash_match") for _, row in seen[s.name])
+    ]
+    front = never_gated + never_rows + stale + red
     green = sorted(
         (max(r for r, row in rows if row.get("hash_match")), reg_idx[name], name)
         for name, rows in seen.items()

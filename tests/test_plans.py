@@ -366,21 +366,34 @@ def test_snapshot_diff_full_outer_hash_join(spark):
     assert "Python" not in plan
 
 
+def _correctness_artifacts():
+    """Committed CORRECTNESS_r{N}.json paths — the ``r*`` glob with a
+    regex round filter, NOT ``r0*`` (round-7 ADVICE: the single-digit
+    glob silently drops artifacts from round 10 on)."""
+    import glob
+    import re
+
+    return [
+        p
+        for p in sorted(glob.glob(str(REPO_ROOT / "CORRECTNESS_r*.json")))
+        if re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+    ]
+
+
 def _driver_verified_names():
     """Names with a recorded driver row in any committed CORRECTNESS
     artifact — the ground truth the window rotation is derived from."""
-    import glob
     import json
 
     seen = set()
-    for path in sorted(glob.glob(str(REPO_ROOT / "CORRECTNESS_r0*.json"))):
+    for path in _correctness_artifacts():
         with open(path) as f:
             seen |= set(json.load(f))
     return seen
 
 
 def test_driver_window_rotation_is_exact_prefix():
-    """The round-7 rotation must (a) name only real queries, (b) fill the
+    """The round-8 rotation must (a) name only real queries, (b) fill the
     driver's 50-entry window exactly, and (c) be the literal prefix of
     all_queries() — a regression here silently un-verifies queries."""
     names = [s.name for s in registry._ordered()]
@@ -393,13 +406,13 @@ def test_driver_window_matches_encoded_composition_rule():
     """Round-6 verdict item 2: the window composition rule lives in code
     (``registry.expected_driver_window``), not prose.  The committed
     window must equal the mechanical derivation from the CORRECTNESS
-    artifacts of rounds < 7 exactly: never-verified gated, then
-    never-verified rows-only, then stale-oracle re-checks (every prior
-    driver row recorded ``err == "no_oracle"``), then the stalest
-    hash-green re-checks.  The derivation is pinned to round 7, so this
-    stays reproducible after the r07 artifact lands; the NEXT rotation
-    bumps the round number and re-derives."""
-    derived = registry.expected_driver_window(7, artifact_dir=str(REPO_ROOT))
+    artifacts of rounds < 8 exactly: never-verified gated, then
+    never-verified rows-only, then stale-oracle re-checks, then red-hash
+    re-checks (round-7 ADVICE tier), then the stalest hash-green
+    re-checks.  The derivation is pinned to round 8, so this stays
+    reproducible after the r08 artifact lands; the NEXT rotation bumps
+    the round number and re-derives."""
+    derived = registry.expected_driver_window(8, artifact_dir=str(REPO_ROOT))
     assert registry.DRIVER_WINDOW == derived
 
 
@@ -429,18 +442,18 @@ def test_driver_window_derived_from_correctness_artifacts():
 
 
 def test_next_round_window_derivation_is_ready(tmp_path):
-    """Dry-run the r8 rotation before it happens: with a synthetic r07
+    """Dry-run the r9 rotation before it happens: with a synthetic r08
     artifact covering the committed window (hash rows for gated
-    members, rows-only rows for the rest), expected_driver_window(8)
-    must front the round-7 registration (`embedding_hyperplane_lsh_pairs`,
-    since=7 — the only eligible query without a driver row) and pad
-    with hash-green re-checks to exactly 50 unique real names.  If this
-    breaks, next round's rotation breaks."""
+    members, rows-only rows for the rest), expected_driver_window(9)
+    must front exactly the round-8 registrations (``since=8`` — no
+    driver row can exist for them by construction), gated before
+    rows-only, then pad with hash-green re-checks to exactly 50 unique
+    real names.  If this breaks, next round's rotation breaks."""
     import json
     import shutil
 
     gated = {s.name for s in registry.REGISTRY if s.oracle is not None}
-    for p in (REPO_ROOT).glob("CORRECTNESS_r0*.json"):
+    for p in map(Path, _correctness_artifacts()):
         shutil.copy(p, tmp_path / p.name)
     fake = {
         name: (
@@ -450,15 +463,49 @@ def test_next_round_window_derivation_is_ready(tmp_path):
         )
         for name in registry.DRIVER_WINDOW
     }
-    (tmp_path / "CORRECTNESS_r07.json").write_text(json.dumps(fake))
-    win8 = registry.expected_driver_window(8, artifact_dir=str(tmp_path))
+    (tmp_path / "CORRECTNESS_r08.json").write_text(json.dumps(fake))
+    win9 = registry.expected_driver_window(9, artifact_dir=str(tmp_path))
     names = {s.name for s in registry.REGISTRY}
-    assert len(win8) == 50
-    assert len(set(win8)) == 50
-    assert set(win8) <= names
-    assert win8[0] == "embedding_hyperplane_lsh_pairs"
+    expected_front = [
+        s.name for s in registry.REGISTRY if s.since == 8 and s.oracle is not None
+    ] + [s.name for s in registry.REGISTRY if s.since == 8 and s.oracle is None]
+    assert len(win9) == 50
+    assert len(set(win9)) == 50
+    assert set(win9) <= names
+    assert win9[: len(expected_front)] == expected_front
     # every padding entry is a genuine re-check with a hash-green row
-    assert all(n in names for n in win8[1:])
+    assert all(n in names for n in win9[len(expected_front) :])
+
+
+def test_red_hash_queries_are_rescheduled(tmp_path):
+    """Round-7 ADVICE (medium): a gated query whose only driver rows are
+    hash-RED (rows exist, not ``no_oracle``, never hash-green) must be
+    rescheduled by the mechanical rule — after the stale-oracle tier,
+    before the hash-green padding.  Synthetic artifacts: one green query,
+    one red query, one stale (``no_oracle``-only) query."""
+    import json
+
+    gated = [s.name for s in registry.REGISTRY if s.oracle is not None]
+    red, stale = gated[0], gated[1]
+    art = {}
+    for s in registry.REGISTRY:
+        if s.name == red:
+            art[s.name] = {"hash_match": False, "rows_match": True, "err": None}
+        elif s.name == stale or s.oracle is None:
+            art[s.name] = {
+                "hash_match": None,
+                "rows_match": True,
+                "err": "no_oracle",
+            }
+        else:
+            art[s.name] = {"hash_match": True, "rows_match": True, "err": None}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(art))
+    win = registry.expected_driver_window(99, artifact_dir=str(tmp_path))
+    # never-verified tiers are empty; stale fronts, red follows, then
+    # hash-green padding — pre-fix, `red` matched no tier and vanished
+    assert win[0] == stale
+    assert win[1] == red
+    assert len(win) == 50 and len(set(win)) == 50
 
 
 def test_driver_window_schemas_are_flat(spark, sf_dir):
