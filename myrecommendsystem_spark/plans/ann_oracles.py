@@ -1,0 +1,276 @@
+"""Lazy DuckDB oracles for the quantized-ANN family — round 8.
+
+The r7 hyperplane-LSH technique ("inline build-time constants into both
+engines") applied to DATA-DEPENDENT constants: the PQ codebooks and IVF
+centroids are deterministic, seed-pinned, bounded-sample fits
+(operators/similarity.fit_pq_codebooks / fit_ivf_centroids), so the
+oracle generator re-trains them OUTSIDE Spark — pyarrow reads the same
+parquet, applies the same deterministic sample + sort-by-id + normalize,
+and calls the SAME numpy fit kernels (similarity.kmeans_fit_mat /
+pq_fit_mat) — then inlines the trained matrices as literals into a SQL
+twin that replays every SEARCH stage: unit-normalize → encode (argmin
+over subspace codebooks) / cell-assign (argmax over centroids) → probe →
+ADC scan → shortlist → exact re-rank.  Only the numpy Lloyd fit itself
+stays outside SQL; assignment, encoding, scoring, and ranking are all
+hash-gated.  Verified: codes and final top-k match the Spark builders
+bit-for-bit at sf0.001 and sf0.01 (tests/test_registry_oracle.py replays
+per round).
+
+Because the inlined literals depend on the corpus, each oracle is a
+``Callable[[str], str]`` taking the sf_dir (registry.resolve_oracle);
+the driver contract resolves them at its fixed sf0.01
+(registry.DRIVER_ORACLE_SF_DIR) while local replays resolve at whatever
+scale they run — the oracle trains on the same rows the Spark builder
+trains on either way.
+
+Float-parity notes (why this hashes):
+
+- the training matrix is identical by construction: same parquet rows,
+  float32 → float64 widening is exact in both readers, same sort by id,
+  same numpy normalize — then literally the same fit function;
+- repr(float) literals round-trip doubles exactly, so the SQL sees the
+  identical codebooks;
+- per-subspace distances / dots differ from numpy only in summation
+  order (~1e-16); argmin/argmax margins of a Lloyd-converged quantizer
+  are vastly larger, and every emitted score is rounded to 4 decimals
+  on both sides (np.round in the kernels, ROUND here), so rank order
+  and hashes agree.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+import hashlib
+
+import numpy as np
+
+_DRIVER_DIM = 64  # embeddings.parquet contract (TESTDATA.md)
+
+
+@lru_cache(maxsize=8)
+def _unit_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, unit rows) — the pyarrow twin of the Spark fits' training
+    collect: all embedding rows sorted by vec_id, float64, unit-norm.
+    Mirrors fit_*'s bounded deterministic sample when n > max_train
+    (same md5 coordinate as operators/sampling.hash_key)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = t["vec_id"].to_numpy()
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)[order]
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    return ids, mat
+
+
+def _sample_ids(ids: np.ndarray, fraction: float, salt: str) -> np.ndarray:
+    """Boolean keep-mask — the pure-Python twin of sampling.sample_fraction
+    (md5(salt || key) first-8-hex < lexicographic cut)."""
+    if fraction >= 1.0:
+        return np.ones(len(ids), dtype=bool)
+    cut = format(int(round(fraction * 16**8)), "08x")
+    return np.array(
+        [
+            hashlib.md5(f"{salt}{int(i)}".encode()).hexdigest()[:8] < cut
+            for i in ids
+        ]
+    )
+
+
+def _train_matrix(sf_dir: str, salt: str, max_train: int = 100_000) -> np.ndarray:
+    ids, mat = _unit_matrix(sf_dir)
+    if len(ids) == 0:
+        raise ValueError(f"ann oracle: no embeddings at {sf_dir}")
+    if len(ids) > max_train:
+        mat = mat[_sample_ids(ids, max_train / len(ids), salt)]
+    return mat
+
+
+def _lit2(a: np.ndarray) -> str:
+    return (
+        "["
+        + ",".join(
+            "[" + ",".join(repr(float(x)) for x in row) + "]" for row in a
+        )
+        + "]"
+    )
+
+
+def _lit3(a: np.ndarray) -> str:
+    return "[" + ",".join(_lit2(plane) for plane in a) + "]"
+
+
+# Shared CTE text: unit-normalized corpus + the 10-query contract.
+_U_CTE = """
+emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+u AS (
+  SELECT vec_id,
+         [x / GREATEST(sqrt(list_sum([y*y for y in v])), 1e-12) for x in v] AS uv
+  FROM emb
+)
+""".strip()
+
+
+def _codes_cte(m: int, k_codes: int, sub: int, src: str = "u") -> str:
+    """codes: per-row PQ code list — argmin over the inlined subspace
+    codebooks with numpy's first-min tie-break (list_position of min)."""
+    return f"""
+codes AS (
+  SELECT vec_id, {"cell_id, " if src == "cells" else ""}
+     [ list_position(dl, list_min(dl)) - 1
+       for dl in [
+         [ list_sum([ pow(uv[(j-1)*{sub}+s] - bk[j][c][s], 2.0)
+                      for s in generate_series(1,{sub}) ])
+           for c in generate_series(1,{k_codes}) ]
+         for j in generate_series(1,{m}) ] ] AS cs
+  FROM {src} CROSS JOIN b
+)
+""".strip()
+
+
+def _adc_tail(m: int, sub: int, cand_sql: str, rerank: int, k: int) -> str:
+    """ADC score (query subvector · assigned subcentroid, summed over
+    subspaces, rounded 4) → per-query top-``rerank`` shortlist → exact
+    unit-dot re-rank → top-``k`` — the twin of similarity.pq_topk /
+    ivfpq_search stages 1-2 (_exact_rerank_topk)."""
+    return f"""
+adc AS (
+  SELECT q.query_id, c.vec_id,
+         ROUND(list_sum([
+             list_sum([ qu[(j-1)*{sub}+s] * bk[j][cs[j]+1][s]
+                        for s in generate_series(1,{sub}) ])
+             for j in generate_series(1,{m}) ]), 4) AS score
+  FROM {cand_sql}
+  WHERE c.vec_id != q.query_id
+),
+shortlist AS (
+  SELECT query_id, vec_id
+  FROM (SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, vec_id
+               ) AS adc_rnk
+        FROM adc)
+  WHERE adc_rnk <= {rerank}
+),
+exact AS (
+  SELECT s.query_id, s.vec_id,
+         ROUND(list_sum([cu.uv[i] * qu.uv[i]
+                         for i in generate_series(1, len(qu.uv))]), 4) AS score
+  FROM shortlist s
+  JOIN u cu ON cu.vec_id = s.vec_id
+  JOIN u qu ON qu.vec_id = s.query_id
+)
+SELECT query_id, vec_id, score, rnk FROM (
+  SELECT query_id, vec_id, score,
+         CAST(ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY score DESC, vec_id
+         ) AS INTEGER) AS rnk
+  FROM exact)
+WHERE rnk <= {k}
+""".strip()
+
+
+@lru_cache(maxsize=8)
+def pq_oracle(sf_dir: str) -> str:
+    """DuckDB twin of plans/text_queries.ann_topk_pq (similarity.pq_topk,
+    m=8, k_codes=16, k=5, rerank=50): pure ADC over the whole corpus —
+    no cells — then exact re-rank."""
+    from myrecommendsystem_spark.operators.similarity import pq_fit_mat
+
+    m, k_codes, k, rerank = 8, 16, 5, 50
+    books = pq_fit_mat(_train_matrix(sf_dir, "pq"), m=m, k=k_codes, seed=42)
+    sub = books.shape[2]
+    return f"""
+WITH b AS (SELECT {_lit3(books)}::DOUBLE[][][] AS bk),
+{_U_CTE},
+{_codes_cte(m, k_codes, sub)},
+q AS (SELECT vec_id AS query_id, uv AS qu FROM u WHERE vec_id < 10),
+{_adc_tail(m, sub, "codes c CROSS JOIN q CROSS JOIN b", rerank, k)}
+"""
+
+
+def _ivfpq_sql(books: np.ndarray, cents: np.ndarray) -> str:
+    m, k_codes, sub = books.shape
+    n_cells, dim = cents.shape
+    nprobe, k, rerank = 4, 5, 50
+    cand = (
+        "codes c JOIN qprobe p ON p.cell_id = c.cell_id "
+        "JOIN q ON q.query_id = p.query_id CROSS JOIN b"
+    )
+    return f"""
+WITH b AS (SELECT {_lit3(books)}::DOUBLE[][][] AS bk,
+                  {_lit2(cents)}::DOUBLE[][] AS ct),
+{_U_CTE},
+celldots AS (
+  SELECT vec_id, uv,
+         [ list_sum([ uv[s] * ct[c][s] for s in generate_series(1,{dim}) ])
+           for c in generate_series(1,{n_cells}) ] AS cd
+  FROM u CROSS JOIN b
+),
+cells AS (
+  SELECT vec_id, uv,
+         CAST(list_position(cd, list_max(cd)) - 1 AS INTEGER) AS cell_id
+  FROM celldots
+),
+{_codes_cte(m, k_codes, sub, src="cells")},
+qprobe AS (
+  SELECT query_id, cell_id FROM (
+    SELECT vec_id AS query_id, g.c - 1 AS cell_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY vec_id ORDER BY cd[g.c] DESC, g.c
+           ) AS pr
+    FROM celldots, (SELECT unnest(generate_series(1,{n_cells})) AS c) g
+    WHERE vec_id < 10
+  ) WHERE pr <= {nprobe}
+),
+q AS (SELECT vec_id AS query_id, uv AS qu FROM u WHERE vec_id < 10),
+{_adc_tail(m, sub, cand, rerank, k)}
+"""
+
+
+@lru_cache(maxsize=8)
+def ivfpq_oracle(sf_dir: str) -> str:
+    """DuckDB twin of ann_topk_ivfpq AND ann_topk_ivfpq_search — the two
+    builders run the identical quantizers (seed 42, same bounded sample)
+    and search parameters (n_cells=16, nprobe=4, m=8, k_codes=16, k=5,
+    rerank=50); the _search variant only amortizes the index build
+    through the save/load lifecycle, which round-trips the float64
+    matrices exactly.  Cell assignment: argmax unit-dot with numpy
+    stable-argsort's lowest-index tie-break (list_position of max);
+    query probing: top-nprobe cells by dot desc, cell asc."""
+    from myrecommendsystem_spark.operators.similarity import (
+        kmeans_fit_mat,
+        pq_fit_mat,
+    )
+
+    books = pq_fit_mat(_train_matrix(sf_dir, "pq"), m=8, k=16, seed=42)
+    cents = kmeans_fit_mat(_train_matrix(sf_dir, "ivf"), n_cells=16, seed=42)
+    return _ivfpq_sql(books, cents)
+
+
+@lru_cache(maxsize=8)
+def kmeans_clusters_oracle(sf_dir: str) -> str:
+    """DuckDB twin of plans/analytics_queries.embedding_kmeans_clusters:
+    the inlined 8-cell centroids (same fit), argmax-unit-dot assignment,
+    one grouped count."""
+    from myrecommendsystem_spark.operators.similarity import kmeans_fit_mat
+
+    cents = kmeans_fit_mat(_train_matrix(sf_dir, "ivf"), n_cells=8, seed=42)
+    n_cells, dim = cents.shape
+    return f"""
+WITH b AS (SELECT {_lit2(cents)}::DOUBLE[][] AS ct),
+{_U_CTE},
+cells AS (
+  SELECT vec_id,
+         CAST(list_position(cd, list_max(cd)) - 1 AS INTEGER) AS cluster_id
+  FROM (SELECT vec_id,
+               [ list_sum([ uv[s] * ct[c][s] for s in generate_series(1,{dim}) ])
+                 for c in generate_series(1,{n_cells}) ] AS cd
+        FROM u CROSS JOIN b)
+)
+SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_vectors
+FROM cells GROUP BY cluster_id ORDER BY cluster_id
+"""

@@ -42,11 +42,29 @@ ratings AS (
 """.strip()
 
 
+# The scale the external driver resolves oracles at (its CORRECTNESS
+# contract runs Spark and DuckDB side-by-side at sf0.01).  Data-dependent
+# lazy oracles (see plans/ann_oracles.py) train their inlined constants
+# from this directory when the driver calls oracle_sql(); local replays
+# resolve at their own sf_dir instead (resolve_oracle).
+DRIVER_ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
+
+def resolve_oracle(oracle, sf_dir: str) -> str | None:
+    """A QuerySpec oracle is a SQL string, None (rows-only), or a
+    ``Callable[[str], str]`` building the SQL for a given sf_dir — the
+    round-8 shape for oracles whose inlined constants are trained on
+    the data (quantized-ANN codebooks).  Resolve to a plain string."""
+    return oracle(sf_dir) if callable(oracle) else oracle
+
+
 @dataclass(frozen=True)
 class QuerySpec:
     name: str
     builder: Builder
-    oracle: str | None  # None → driver records rows-only check
+    # SQL string | Callable[[sf_dir], str] (lazy, data-dependent
+    # constants) | None → driver records rows-only check
+    oracle: str | Callable[[str], str] | None
     doc: str = ""
     defer: bool = False  # True → register behind the established gated set
     # Round the query was registered in (0 = pre-r7 era).  The window
@@ -62,7 +80,7 @@ REGISTRY: list[QuerySpec] = []
 
 def register(
     name: str,
-    oracle: str | None,
+    oracle: str | Callable[[str], str] | None,
     doc: str = "",
     defer: bool = False,
     since: int = 0,
@@ -252,17 +270,25 @@ _DRIVER_WINDOW_R7 = [
 # exactly this derivation before the r07 artifact landed).  Tier 1: the
 # three round-7 LSH registrations (``since=7``, structurally excluded
 # from their own round's window), already replayed hash-green at sf0.01
-# locally.  Tiers 2-4 are empty (no never-verified rows-only, no
-# stale-oracle, no red-hash queries remain).  Tier 5 pads with the 47
-# stalest hash-green re-checks: the r1/r2-green streaming + media +
-# sampling trio block, then the full r3-green TPC-H sweep and
-# relational/LLM extensions (latest green round ascending, registration
-# order within).
+# locally.  Tier 2 (never-verified rows-only) and tier 4 (red-hash) are
+# empty.  Tier 3: the quantized-ANN family upgraded rows-only →
+# hash-gated THIS round (r7 verdict item 2, the inlined-trained-
+# codebooks oracles in plans/ann_oracles.py) — every prior driver row
+# predates the hash gate, so the rule re-schedules them for hash-green
+# rows.  Tier 5 pads with the 43 stalest hash-green re-checks: the
+# r1/r2-green streaming + media + sampling trio block, then the
+# r3-green TPC-H sweep and relational/LLM extensions (latest green
+# round ascending, registration order within).
 _DRIVER_WINDOW_R8 = [
     # -- tier 1: never driver-verified, oracle-gated (since=7 front) --
     "embedding_hyperplane_lsh_pairs",
     "embedding_cross_corpus_near",
     "embedding_semantic_survivors",
+    # -- tier 3: stale-oracle re-checks (rows-only → hash-gated in r8) --
+    "ann_topk_pq",
+    "ann_topk_ivfpq",
+    "ann_topk_ivfpq_search",
+    "embedding_kmeans_clusters",
     # -- tier 5 padding: stalest hash-green re-checks --
     "sample_docs_stratified",
     "stream_log_filter_parse",
@@ -307,10 +333,6 @@ _DRIVER_WINDOW_R8 = [
     "doc_clean_scrub",
     "doc_pack_bins",
     "embedding_label_centroids",
-    "embedding_vector_stats",
-    "events_view_purchase_attrib",
-    "events_view_conversion_outer",
-    "stats_rate_more_products",
 ]
 
 # The window the driver verifies THIS round; tests pin invariants
@@ -613,7 +635,13 @@ def all_queries() -> dict[str, Builder]:
 
 
 def all_oracle_sql() -> dict[str, str]:
-    return {spec.name: spec.oracle for spec in _ordered() if spec.oracle is not None}
+    """Driver contract: plain SQL strings, lazy oracles resolved at the
+    driver's sf0.01 (the only scale the driver compares at)."""
+    return {
+        spec.name: resolve_oracle(spec.oracle, DRIVER_ORACLE_SF_DIR)
+        for spec in _ordered()
+        if spec.oracle is not None
+    }
 
 
 # ---------------------------------------------------------------------------

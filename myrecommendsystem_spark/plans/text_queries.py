@@ -16,6 +16,7 @@ from myrecommendsystem_spark.functions import text as TXT
 from myrecommendsystem_spark.functions.compat import round_stable, sql_round_stable
 from myrecommendsystem_spark.io import readers
 from myrecommendsystem_spark.operators import corpus_quality, dedup, similarity
+from myrecommendsystem_spark.plans import ann_oracles
 from myrecommendsystem_spark.plans.registry import register
 
 
@@ -1281,12 +1282,16 @@ def mips_topk_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_topk_pq",
-    None,
+    # hash-gated in round 8 (r7 verdict item 2): the seed-pinned codebook
+    # fit is replayed outside Spark and inlined as literals into a DuckDB
+    # twin of encode → ADC → shortlist → exact re-rank
+    ann_oracles.pq_oracle,
     doc="similarity search compressed path: product quantization (m=8 "
     "subspaces × 16 codes → 8 bytes/vector, 32× memory cut) with "
-    "asymmetric-distance scoring — rows-only (k-means codebooks not "
-    "SQL-expressible); recall vs brute force asserted in "
-    "tests/test_corpus_quality.py",
+    "asymmetric-distance scoring and exact re-rank — hash-gated since "
+    "round 8 via the inlined-trained-codebooks oracle "
+    "(plans/ann_oracles.pq_oracle); recall vs brute force additionally "
+    "asserted in tests/test_corpus_quality.py",
     defer=True,
 )
 def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1650,12 +1655,14 @@ def doc_decontaminated_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_topk_ivfpq",
-    None,
+    ann_oracles.ivfpq_oracle,
     doc="the full production ANN shape (IVF-PQ, faiss IndexIVFPQ): "
     "coarse cells bound WHICH vectors are scored (nprobe=4 of 16), PQ "
     "codes bound WHAT is scored (8 bytes/vector), exact re-rank of the "
-    "shortlist restores ranking — rows-only (quantizers not "
-    "SQL-expressible); recall vs brute force asserted in tests",
+    "shortlist restores ranking — hash-gated since round 8 via the "
+    "inlined-trained-quantizers oracle (plans/ann_oracles.ivfpq_oracle: "
+    "cell assign, probe, encode, ADC, shortlist, and re-rank all replay "
+    "in SQL); recall vs brute force additionally asserted in tests",
     defer=True,
 )
 def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1673,14 +1680,16 @@ _IVFPQ_INDEX_DIRS: dict[str, str] = {}
 
 @register(
     "ann_topk_ivfpq_search",
-    None,
+    # identical oracle to ann_topk_ivfpq: save/load round-trips the
+    # float64 quantizers exactly, so search output is the same relation
+    ann_oracles.ivfpq_oracle,
     doc="IVF-PQ SEARCH-ONLY cost: the index (cells + 8-byte codes + "
     "quantizers) is built and saved ONCE per session via the lifecycle "
     "API (similarity.build_ivfpq_index / IvfPqIndex.save); this query "
     "loads and searches it — the amortized per-query shape a production "
     "100 TB index serves, separating build cost (paid at ingest) from "
-    "search cost (paid per query; BASELINE.md round-4 note) — rows-only "
-    "(quantizers not SQL-expressible)",
+    "search cost (paid per query; BASELINE.md round-4 note) — hash-gated "
+    "since round 8 (plans/ann_oracles.ivfpq_oracle)",
     defer=True,
 )
 def ann_topk_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:

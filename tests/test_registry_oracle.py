@@ -17,7 +17,11 @@ ROWS_ONLY_SPECS = [s for s in registry.REGISTRY if s.oracle is None]
 
 @pytest.mark.parametrize("spec", ORACLE_SPECS, ids=[s.name for s in ORACLE_SPECS])
 def test_query_matches_oracle(spark, sf_dir, spec):
-    compare_query_to_oracle(spark, sf_dir, spec.builder, spec.oracle)
+    # lazy (data-dependent) oracles resolve at the replay's own sf_dir —
+    # both engines then train their inlined constants on the same rows
+    compare_query_to_oracle(
+        spark, sf_dir, spec.builder, registry.resolve_oracle(spec.oracle, sf_dir)
+    )
 
 
 @pytest.mark.parametrize(
@@ -61,9 +65,8 @@ def test_no_gated_query_is_vacuous_at_driver_scale():
     for spec in registry.REGISTRY:
         if spec.oracle is None:
             continue
-        n = con.execute(
-            f"SELECT COUNT(*) FROM ({spec.oracle})"
-        ).fetchone()[0]
+        sql = registry.resolve_oracle(spec.oracle, "/root/testdata/sf0.01")
+        n = con.execute(f"SELECT COUNT(*) FROM ({sql})").fetchone()[0]
         if n == 0:
             empty.append(spec.name)
     con.close()

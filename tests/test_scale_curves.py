@@ -95,3 +95,53 @@ def test_dedup_scales_subquadratically(spark, name, op, max_exponent):
         f"{name}: {times[lo]:.1f}s @{lo}x -> {times[hi]:.1f}s @{hi}x "
         f"(exponent {exponent:.2f})"
     )
+
+
+def _embedding_corpus(spark, n: int, dim: int = 64):
+    """Hash-derived pseudo-random unit-cube vectors — the embedding twin
+    of _corpus (deterministic, natural LSH collision structure)."""
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: (F.abs(F.xxhash64(F.col("id"), i, F.lit(7))) % 2000).cast(
+            "double"
+        )
+        / 1000.0
+        - 1.0,
+    )
+    return (
+        spark.range(n)
+        .select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+        .localCheckpoint(eager=True)
+    )
+
+
+def test_hyperplane_lsh_scales_subquadratically_when_occupancy_matched(spark):
+    """r8 scale point (SCALE.md): the hyperplane-LSH family run the way
+    it would be deployed at growing n — band width raised so expected
+    bucket occupancy stays constant (4x at 16 bits/8-bit bands vs 16x at
+    20 bits/10-bit bands, ~78 vectors/bucket both).  Measured exponent
+    0.60 (recorded, process-isolated); this probe fails on >= 1.5.
+    Fixed-config growth is deliberately NOT asserted sub-quadratic:
+    with 2^band_bits bucket values, candidate volume is quadratic by
+    LSH construction (measured 1.70) — that row exists in SCALE.md as
+    the justification for the tuning rule, not as a target."""
+    import time as _time
+
+    from myrecommendsystem_spark.operators import similarity
+
+    points = {4: dict(n_bits=16, band_bits=8), 16: dict(n_bits=20, band_bits=10)}
+    times = {}
+    for mult, cfg in points.items():
+        d = _embedding_corpus(spark, BASE_DOCS * mult)
+        best = float("inf")
+        for _ in range(2):
+            t0 = _time.perf_counter()
+            similarity.hyperplane_lsh_pairs(d, **cfg).count()
+            best = min(best, _time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        times[mult] = best
+    exponent = math.log(times[16] / times[4]) / math.log(4)
+    assert exponent < 1.5, (
+        f"hyperplane-lsh: {times[4]:.1f}s @4x -> {times[16]:.1f}s @16x "
+        f"(exponent {exponent:.2f})"
+    )
