@@ -800,6 +800,155 @@ def embedding_semantic_survivors(
     return keepers.unionByName(singletons).orderBy("vec_id")
 
 
+def _hp_fold_oracle(n_batches: int = 3) -> str:
+    """Sequential-fold oracle for embedding_incremental_survivors: K
+    ingest batches (vec_id %% K), each gated against the accumulated
+    survivor set through shared LSH buckets, then self-deduped by the
+    RECURSIVE min-id closure.  Bands per vector are computed ONCE per
+    batch (they are a pure function of the vector) and filtered to the
+    fresh/survivor populations — the same values the Spark fold
+    recomputes per step.  Caps mirror the kernels: gate caps the
+    REFERENCE side's buckets; self-dedup caps the fresh population's."""
+    cos = sql_round_stable("list_cosine_similarity(x.v, y.v)", 4)
+    parts = [
+        f"""elig AS MATERIALIZED (
+    SELECT vec_id, v FROM (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ) WHERE list_sum(list_transform(v, x -> x * x)) > 0
+)"""
+    ]
+    keeps = []
+    for b in range(n_batches):
+        parts.append(
+            f"b{b} AS MATERIALIZED (SELECT vec_id, v FROM elig WHERE vec_id % {n_batches} = {b})"
+        )
+        parts.append(f"dots{b} AS (SELECT vec_id, v, {_HP_DOTS_SQL} FROM b{b})")
+        parts.append(f"sig{b} AS (SELECT vec_id, {_HP_BANDS_SQL} FROM dots{b})")
+        parts.append(
+            f"""bands{b} AS MATERIALIZED (
+    SELECT vec_id, 0 AS band_idx, band0 AS band_val FROM sig{b}
+    UNION ALL
+    SELECT vec_id, 1 AS band_idx, band1 AS band_val FROM sig{b}
+)"""
+        )
+        if b == 0:
+            fresh = "b0"
+        else:
+            surv_bands = " UNION ALL ".join(
+                f"SELECT t.* FROM bands{p} t JOIN keep{p} USING (vec_id)"
+                for p in range(b)
+            )
+            parts.append(f"sbands{b} AS MATERIALIZED ({surv_bands})")
+            parts.append(
+                f"""oks{b} AS MATERIALIZED (
+    SELECT * FROM sbands{b}
+    QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_val) <= 1000
+)"""
+            )
+            parts.append(
+                f"""m{b} AS MATERIALIZED (
+    SELECT DISTINCT c.new_id AS vec_id
+    FROM (SELECT a.vec_id AS new_id, r.vec_id AS ref_id
+          FROM bands{b} a
+          JOIN oks{b} r ON a.band_idx = r.band_idx
+                       AND a.band_val = r.band_val
+          GROUP BY 1, 2) c
+    JOIN elig x ON x.vec_id = c.new_id
+    JOIN elig y ON y.vec_id = c.ref_id
+    WHERE {cos} >= 0.35
+)"""
+            )
+            parts.append(
+                f"f{b} AS MATERIALIZED (SELECT vec_id FROM b{b} "
+                f"WHERE vec_id NOT IN (SELECT vec_id FROM m{b}))"
+            )
+            fresh = f"f{b}"
+        parts.append(
+            f"""ok{b} AS MATERIALIZED (
+    SELECT * FROM (SELECT t.* FROM bands{b} t JOIN {fresh} USING (vec_id))
+    QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_val) <= 1000
+)"""
+        )
+        parts.append(
+            f"""pairs{b} AS MATERIALIZED (
+    SELECT c.id_a, c.id_b
+    FROM (SELECT a.vec_id AS id_a, p.vec_id AS id_b
+          FROM ok{b} a
+          JOIN ok{b} p ON a.band_idx = p.band_idx
+                      AND a.band_val = p.band_val
+                      AND a.vec_id < p.vec_id
+          GROUP BY 1, 2) c
+    JOIN elig x ON x.vec_id = c.id_a
+    JOIN elig y ON y.vec_id = c.id_b
+    WHERE {cos} >= 0.35
+)"""
+        )
+        parts.append(
+            f"""edges{b} AS MATERIALIZED (
+    SELECT id_a AS src, id_b AS dst FROM pairs{b}
+    UNION SELECT id_b, id_a FROM pairs{b}
+)"""
+        )
+        parts.append(
+            f"""reach{b} AS (
+        SELECT src AS a, src AS b FROM edges{b}
+    UNION
+        SELECT src, dst FROM edges{b}
+    UNION
+        SELECT r2.a, ed.dst FROM reach{b} r2 JOIN edges{b} ed ON ed.src = r2.b
+)"""
+        )
+        parts.append(
+            f"""keep{b} AS MATERIALIZED (
+    SELECT vec_id FROM {fresh}
+    WHERE vec_id NOT IN (
+        SELECT a FROM reach{b} GROUP BY a HAVING a <> MIN(b)
+    )
+)"""
+        )
+        keeps.append(
+            f"SELECT vec_id, {b} AS arrived_batch FROM keep{b}"
+        )
+    final = "\nUNION ALL\n".join(keeps)
+    return (
+        "WITH RECURSIVE\n"
+        + ",\n".join(parts)
+        + f"\nSELECT vec_id, CAST(arrived_batch AS INTEGER) AS arrived_batch"
+        f" FROM ({final})\nORDER BY vec_id"
+    )
+
+
+@register(
+    "embedding_incremental_survivors",
+    _hp_fold_oracle(3),
+    doc="INCREMENTAL maintenance of the semantic-dedup keep-list (the "
+    "streaming twin of embedding_semantic_survivors, r7 verdict item "
+    "6b): three ingest batches (vec_id % 3 as arrival order) fold "
+    "through streaming/semantic_dedup.incremental_semantic_survivors — "
+    "each batch is gated against the ACCUMULATED survivor set via "
+    "shared sign-bit LSH buckets (ref-side cap), the fresh remainder "
+    "self-dedups through the min-id component closure, and survivors "
+    "accumulate (localCheckpointed per step, the materialized-view "
+    "shape).  The oracle replays the whole fold as sequential CTEs: "
+    "per-batch band derivation computed once, gate joins, capped "
+    "self-pair closures (three RECURSIVE reaches), min-id keeps.  The "
+    "foreachBatch wiring persists the same accumulation via "
+    "upsert_by_key (e2e-tested in tests/test_streaming_semantic_dedup)",
+    defer=True,
+    since=8,
+)
+def embedding_incremental_survivors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from myrecommendsystem_spark.streaming.semantic_dedup import (
+        incremental_semantic_survivors,
+    )
+
+    emb = _emb(spark, sf_dir)
+    batches = [emb.filter(F.col("vec_id") % 3 == b) for b in range(3)]
+    return incremental_semantic_survivors(batches)
+
+
 @register(
     "doc_tfidf_top_terms",
     rf"""

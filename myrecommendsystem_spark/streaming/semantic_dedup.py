@@ -1,0 +1,179 @@
+"""Incremental semantic dedup — the streaming twin of the batch
+keep-list (round-7 verdict item 6b).
+
+``embedding_cross_corpus_near`` is the one-shot INGEST GATE: a batch of
+new vectors probed against a reference corpus through shared sign-bit
+LSH buckets.  This module closes the loop: a survivor table is
+MAINTAINED as batches arrive —
+
+1. gate: batch vectors with an exact-cosine-verified LSH match in the
+   accumulated survivor set are duplicates and dropped
+   (:func:`similarity.hyperplane_lsh_cross_pairs` — ref-side bucket cap,
+   the ingest batch is never silently filtered);
+2. within-batch self-dedup: the fresh remainder can contain its own
+   near-dup clusters (two copies arriving together match nothing in the
+   table), so it runs the same pairs → connected-components → min-id
+   survivor closure as the batch keep-list
+   (``embedding_semantic_survivors``);
+3. the surviving rows append into the survivor table.
+
+:func:`run_semantic_dedup_stream` wires the cycle into
+``writeStream.foreachBatch`` with :func:`recommender.upsert_by_key`
+(S10's hash-bucketed replace-by-key sink), so re-arriving vec_ids
+REPLACE their old rows and each trigger touches only the partitions its
+keys hash into.  At 100 TB the survivor table is the corpus-sized side:
+it is read bucket-pruned per trigger, the LSH probe shuffles bands only
+(never vectors twice), and all quantities per trigger are O(batch +
+matched buckets), not O(table).
+
+Deterministic by construction (hash-derived hyperplanes, md5 bucketing,
+min-id survivors), so the batch fold :func:`incremental_semantic_survivors`
+is DuckDB-replayable — registered as ``embedding_incremental_survivors``
+(plans/text_queries.py) with a sequential-fold oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from myrecommendsystem_spark.operators import similarity
+from myrecommendsystem_spark.operators.dedup import connected_components
+
+_SURVIVOR_SCHEMA = "vec_id bigint, embedding array<double>, arrived_batch int"
+
+
+def _eligible(batch: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Zero-norm vectors are ineligible on every path of the LSH family
+    (NaN cosine — see similarity._hp_prepare); they never match and
+    never become survivors."""
+    v = F.col(vec_col).cast("array<double>")
+    return batch.filter(similarity._dot(v, v) > 0).select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        v.alias("embedding"),
+    )
+
+
+def _self_survivors(
+    fresh: DataFrame,
+    threshold: float,
+    n_bits: int,
+    band_bits: int,
+    max_bucket: int,
+) -> DataFrame:
+    """Min-id-per-component survivors of one (already eligible)
+    population — the within-batch closure, identical semantics to the
+    batch ``embedding_semantic_survivors`` keep rule."""
+    pairs = similarity.hyperplane_lsh_pairs(
+        fresh,
+        threshold=threshold,
+        n_bits=n_bits,
+        band_bits=band_bits,
+        max_bucket=max_bucket,
+    )
+    comps = connected_components(pairs)
+    dropped = comps.filter(F.col("comp") != F.col("id")).select(
+        F.col("id").alias("vec_id")
+    )
+    return fresh.join(dropped, "vec_id", "left_anti")
+
+
+def semantic_ingest_step(
+    survivors: DataFrame | None,
+    batch: DataFrame,
+    threshold: float = 0.35,
+    n_bits: int = 16,
+    band_bits: int = 8,
+    max_bucket: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One maintenance cycle → the batch rows that become NEW survivors
+    (vec_id, embedding).  ``survivors`` is the accumulated set (or None
+    on the first batch)."""
+    elig = _eligible(batch, id_col, vec_col)
+    if survivors is not None:
+        matched = similarity.hyperplane_lsh_cross_pairs(
+            elig,
+            survivors,
+            threshold=threshold,
+            n_bits=n_bits,
+            band_bits=band_bits,
+            max_bucket=max_bucket,
+        ).select(F.col("new_id").alias("vec_id")).distinct()
+        elig = elig.join(matched, "vec_id", "left_anti")
+    return _self_survivors(elig, threshold, n_bits, band_bits, max_bucket)
+
+
+def incremental_semantic_survivors(
+    batches: list[DataFrame],
+    threshold: float = 0.35,
+    n_bits: int = 16,
+    band_bits: int = 8,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Fold :func:`semantic_ingest_step` over an ordered batch sequence →
+    the final survivor table (vec_id, arrived_batch).
+
+    The accumulated set is localCheckpointed per step — each step's
+    cross probe and the next accumulation read the SAME materialized
+    rows instead of replaying every earlier step's LSH pipeline through
+    a growing lineage (the recsys-eval materialized-view discipline;
+    without it the plan doubles per batch).  This is the DETERMINISTIC
+    batch twin the oracle replays; the streaming path persists the same
+    accumulation to parquet instead (:func:`run_semantic_dedup_stream`).
+    """
+    if not batches:
+        raise ValueError("incremental_semantic_survivors: no batches")
+    spark = batches[0].sparkSession
+    surv: DataFrame | None = None
+    for b, batch in enumerate(batches):
+        fresh = semantic_ingest_step(
+            surv, batch, threshold, n_bits, band_bits, max_bucket
+        ).withColumn("arrived_batch", F.lit(b).cast("int"))
+        surv = fresh if surv is None else surv.unionByName(fresh)
+        surv = surv.localCheckpoint(eager=True)
+    assert surv is not None
+    return surv.select("vec_id", "arrived_batch").orderBy("vec_id")
+
+
+def run_semantic_dedup_stream(
+    vectors_stream: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    threshold: float = 0.35,
+    n_bits: int = 16,
+    band_bits: int = 8,
+    max_bucket: int = 1000,
+    trigger: dict | None = None,
+):
+    """Maintain the survivor table from a vector stream (vec_id,
+    embedding): per micro-batch, gate against the CURRENT table, self-
+    dedup the remainder, and upsert the new survivors by vec_id
+    (hash-bucketed replace-by-key — re-arriving ids replace their rows,
+    untouched partitions are never rewritten)."""
+    from myrecommendsystem_spark.streaming.recommender import (
+        _fs_exists,
+        read_upserted,
+        upsert_by_key,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark: SparkSession = batch_df.sparkSession
+        surv = (
+            read_upserted(spark, out_path).select("vec_id", "embedding")
+            if _fs_exists(spark, out_path)
+            else None
+        )
+        fresh = semantic_ingest_step(
+            surv, batch_df, threshold, n_bits, band_bits, max_bucket
+        ).withColumn("arrived_batch", F.lit(batch_id).cast("int"))
+        if fresh.isEmpty():
+            return
+        upsert_by_key(spark, fresh, out_path, key="vec_id")
+
+    writer = vectors_stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

@@ -525,6 +525,54 @@ def test_driver_window_schemas_are_flat(spark, sf_dir):
         assert not bad, f"{name} returns nested columns {bad}"
 
 
+def test_headline_shuffle_counts_pinned(spark):
+    """Round-7 verdict item 6a: the per-query plan pins check SHAPES;
+    nothing caught a new shuffle sneaking into an unpinned query.  This
+    pins the number of shuffle Exchange nodes (BroadcastExchange is a
+    different token and deliberately NOT counted — broadcasts are the
+    cheap alternative this pin should never discourage) in every
+    headline query's executed plan at sf0.001 against the committed
+    tests/shuffle_counts.json.  A GROWN count fails — at 100 TB an
+    extra shuffle is the regression that matters most; a SHRUNK count
+    also fails, with instructions, so improvements get recorded rather
+    than silently eroding the pin.  Regenerate after an intentional
+    plan change:
+
+        MRS_REGEN_SHUFFLE_PINS=1 python -m pytest \\
+            tests/test_plans.py::test_headline_shuffle_counts_pinned
+    """
+    import json
+    import os
+    import re
+
+    import bench
+
+    pin_path = REPO_ROOT / "tests" / "shuffle_counts.json"
+    qs = registry.all_queries()
+    counts = {}
+    for name in bench.HEADLINE:
+        if name not in qs:
+            continue
+        plan = qs[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+        counts[name] = len(re.findall(r"\bExchange\b", plan))
+    if os.environ.get("MRS_REGEN_SHUFFLE_PINS"):
+        pin_path.write_text(json.dumps(counts, indent=1, sort_keys=True))
+        return
+    pins = json.loads(pin_path.read_text())
+    grown = {n: (pins[n], c) for n, c in counts.items() if n in pins and c > pins[n]}
+    assert not grown, f"shuffle count GREW (pinned, now): {grown}"
+    shrunk = {n: (pins[n], c) for n, c in counts.items() if n in pins and c < pins[n]}
+    assert not shrunk, (
+        f"shuffle count shrank (pinned, now): {shrunk} — nice, "
+        "re-pin with MRS_REGEN_SHUFFLE_PINS=1"
+    )
+    missing = [n for n in counts if n not in pins]
+    assert not missing, (
+        f"headline queries without a shuffle pin: {missing} — "
+        "re-pin with MRS_REGEN_SHUFFLE_PINS=1"
+    )
+
+
 def test_hygiene_funnel_reads_checkpointed_keep_sets(spark):
     """The corpus-hygiene keep-ID sets are localCheckpointed (ids only —
     payloads never enter checkpoint storage), so the funnel's four

@@ -1,0 +1,112 @@
+"""Incremental semantic-dedup maintenance — the streaming twin of the
+batch keep-list (round-8).
+
+Covers the three maintenance behaviors the batch queries cannot: a new
+vector matching an EXISTING survivor is gated out, within-batch
+near-dups collapse to the min-id, and the survivor table accumulates
+across triggers through the upsert sink.  The batch fold
+(``incremental_semantic_survivors``) is additionally DuckDB-hash-gated
+via the registry (``embedding_incremental_survivors``).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from myrecommendsystem_spark.streaming.semantic_dedup import (
+    incremental_semantic_survivors,
+    run_semantic_dedup_stream,
+    semantic_ingest_step,
+)
+
+DIM = 64
+
+
+def _vec(axis: int, eps_axis: int | None = None, eps: float = 0.01):
+    v = [0.0] * DIM
+    v[axis] = 1.0
+    if eps_axis is not None:
+        v[eps_axis] = eps
+    return v
+
+
+# batch 1: 1 and 2 are near-dups (cos≈1), 3 is orthogonal, 4 is zero-norm
+_BATCH1 = [
+    {"vec_id": 1, "embedding": _vec(0)},
+    {"vec_id": 2, "embedding": _vec(0, eps_axis=1)},
+    {"vec_id": 3, "embedding": _vec(1)},
+    {"vec_id": 4, "embedding": [0.0] * DIM},
+]
+# batch 2: 10 duplicates survivor 1; 11/12 are fresh near-dups of each other
+_BATCH2 = [
+    {"vec_id": 10, "embedding": _vec(0, eps_axis=2)},
+    {"vec_id": 11, "embedding": _vec(2)},
+    {"vec_id": 12, "embedding": _vec(2, eps_axis=3)},
+]
+
+_SCHEMA = "vec_id long, embedding array<double>"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(r["vec_id"], r["embedding"]) for r in rows], _SCHEMA
+    )
+
+
+def test_ingest_step_gates_and_self_dedups(spark):
+    surv0 = semantic_ingest_step(None, _df(spark, _BATCH1))
+    assert sorted(r.vec_id for r in surv0.collect()) == [1, 3]
+    surv1_new = semantic_ingest_step(surv0, _df(spark, _BATCH2))
+    assert sorted(r.vec_id for r in surv1_new.collect()) == [11]
+
+
+def test_batch_fold_accumulates_with_arrival_tags(spark):
+    out = incremental_semantic_survivors(
+        [_df(spark, _BATCH1), _df(spark, _BATCH2)]
+    ).collect()
+    assert [(r.vec_id, r.arrived_batch) for r in out] == [
+        (1, 0),
+        (3, 0),
+        (11, 1),
+    ]
+
+
+def test_streaming_maintenance_end_to_end(spark, tmp_path):
+    """File source → gate → self-dedup → upsert_by_key survivor table,
+    two sequential availableNow runs sharing one checkpoint (the second
+    run processes only the new file — real incremental semantics)."""
+    src = tmp_path / "vectors_in"
+    src.mkdir()
+    out_path = str(tmp_path / "survivors")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _run(rows, fname):
+        with open(src / fname, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        stream = spark.readStream.schema(_SCHEMA).json(str(src))
+        q = run_semantic_dedup_stream(
+            stream, out_path, ckpt, trigger={"availableNow": True}
+        )
+        q.awaitTermination(120)
+
+    _run(_BATCH1, "b1.json")
+    t1 = spark.read.parquet(out_path)
+    assert sorted(r.vec_id for r in t1.collect()) == [1, 3]
+
+    _run(_BATCH2, "b2.json")
+    t2 = spark.read.parquet(out_path).select(
+        "vec_id", "arrived_batch"
+    ).orderBy("vec_id")
+    rows = [(r.vec_id, r.arrived_batch) for r in t2.collect()]
+    # 10 gated out against survivor 1; 12 collapsed into 11 within-batch
+    assert [v for v, _ in rows] == [1, 3, 11]
+    # batch-0 survivors keep their original arrival tag (upsert did not
+    # rewrite them), the fresh survivor carries the second trigger's id
+    assert rows[0][1] == rows[1][1] == 0
+    assert rows[2][1] == 1
+    # survivor table keeps embeddings: future gates read it directly
+    emb = spark.read.parquet(out_path).filter(F.col("vec_id") == 11).first()
+    assert emb.embedding[2] == 1.0
