@@ -164,6 +164,42 @@ def minhash_near_duplicates(
     return eager_release(out, sigs)
 
 
+# Pair graphs at or under this edge count run min-label propagation
+# driver-side off one bounded Arrow fetch — the graph.py _DRIVER_EDGE_CAP
+# venue discipline applied to the dedup closure: a near-dup pair graph is
+# output-bounded (candidates are bucket-capped upstream), so virtually
+# every dedup closure takes the fast path, while a genuinely huge pair
+# graph takes the distributed loop.  The distributed loop costs ~4 jobs
+# per round (join, min, checkpoint, fixpoint count) — pure scheduling
+# overhead on a clump graph with a few thousand edges (measured ~4 s per
+# closure at sf0.1 vs ~0.3 s in-memory).  The venue CANNOT change the
+# answer: (id, min reachable id) is a graph property, and the numpy loop
+# converges to the identical fixpoint the relational loop does.
+_DRIVER_PAIR_CAP = 5_000_000
+
+
+def _components_inmem(src, dst) -> "tuple":
+    """Vectorized min-label propagation over (src, dst) id arrays →
+    (ids, comps).  Same arithmetic as the distributed loop: per round,
+    every node's label becomes min(own, min over in-neighbors); stops at
+    fixpoint.  Ids are handled via sorted-unique + searchsorted exactly
+    like graph._pagerank_inmem (dtype-agnostic)."""
+    import numpy as np
+
+    ids = np.unique(np.concatenate([src, dst]))
+    s = np.searchsorted(ids, src)
+    d = np.searchsorted(ids, dst)
+    comp = np.arange(len(ids))
+    while True:
+        new = comp.copy()
+        np.minimum.at(new, d, comp[s])
+        np.minimum.at(new, s, comp[d])
+        if (new == comp).all():
+            break
+        comp = new
+    return ids, ids[comp]
+
+
 def connected_components(
     pairs: DataFrame,
     max_iter: int = 20,
@@ -180,14 +216,53 @@ def connected_components(
     the lineage each round — without it the plan doubles per iteration
     and the job dies long before 100 TB does.
 
+    Pair graphs at or under ``_DRIVER_PAIR_CAP`` edges run the identical
+    propagation in numpy off one Arrow fetch (round 8) — see the cap's
+    comment; the result is venue-independent by construction.
+
     This is the step that turns near-dup PAIRS into dedup DECISIONS:
     survivors = min id per component (transitive closure), matching the
     exact-dup pass's min-id rule.
     """
-    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    # ONE run of the (often expensive) upstream pair pipeline feeds the
+    # venue decision, the driver fetch, AND the distributed loop's edge
+    # relation — pre-r8 the count and the fetch each re-executed it.
+    fwd = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).localCheckpoint(eager=True)
+
+    def _release() -> None:
+        try:
+            fwd._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            pass
+
+    n_edges = fwd.count()
+    if n_edges <= _DRIVER_PAIR_CAP:
+        from myrecommendsystem_spark.operators.graph import (
+            _collect_edges_arrow,
+        )
+
+        spark = pairs.sparkSession
+        id_type = pairs.schema[id_a].dataType.simpleString()
+        if n_edges == 0:
+            _release()
+            return spark.createDataFrame([], f"id {id_type}, comp {id_type}")
+        pdf = _collect_edges_arrow(fwd)
+        _release()
+        ids, comps = _components_inmem(
+            pdf["src"].to_numpy(), pdf["dst"].to_numpy()
+        )
+        import pandas as pd
+
+        return spark.createDataFrame(
+            pd.DataFrame({"id": ids, "comp": comps}),
+            schema=f"id {id_type}, comp {id_type}",
+        )
     edges = fwd.union(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().localCheckpoint()
+    ).distinct().localCheckpoint(eager=True)
+    _release()
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()

@@ -310,6 +310,7 @@ def _hp_prepare(
     id_col: str,
     vec_col: str,
     salt: str,
+    dim: int | None = None,
 ):
     """(base, bands) for the sign-bit LSH family, or None on empty/0-dim.
 
@@ -336,11 +337,20 @@ def _hp_prepare(
     # be a null/short embedding, which silently emptied the whole family
     # while the oracle still computed pairs over the remaining rows.
     # max(size(v)) over non-null rows matches the population the oracle
-    # (and the zero-norm filter below) actually sees.
-    probe = df.filter(F.col(vec_col).isNotNull()).agg(
-        F.max(F.size(F.col(vec_col))).alias("d")
-    ).first()
-    dim = int(probe["d"]) if probe is not None and probe["d"] is not None else 0
+    # (and the zero-norm filter below) actually sees.  The probe doubles
+    # as the empty-input check (None/0 on an empty relation), and
+    # callers that already know the corpus dim pass it to skip the job
+    # (the cross-pair gate probes its new side only — one corpus, one
+    # dim by contract).
+    if dim is None:
+        probe = df.filter(F.col(vec_col).isNotNull()).agg(
+            F.max(F.size(F.col(vec_col))).alias("d")
+        ).first()
+        dim = (
+            int(probe["d"])
+            if probe is not None and probe["d"] is not None
+            else 0
+        )
     if dim <= 0:
         return None
     signs = hyperplane_signs(n_bits, dim, salt)
@@ -430,12 +440,26 @@ def hyperplane_lsh_pairs(
     same tuning rule as any LSH index.
     """
     out_schema = "id_a bigint, id_b bigint, n_bands int, cos double"
-    if df.isEmpty():
-        return _empty_frame(df, out_schema)
+    # no isEmpty pre-check: the prepare's dim probe is the empty check
     prepared = _hp_prepare(df, n_bits, band_bits, id_col, vec_col, salt)
     if prepared is None:
         return _empty_frame(df, out_schema)
     base, bands = prepared
+    return hp_pairs_from_prepared(base, bands, threshold, max_bucket)
+
+
+def hp_pairs_from_prepared(
+    base: DataFrame,
+    bands: DataFrame,
+    threshold: float = 0.35,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Pair stage of :func:`hyperplane_lsh_pairs` over already-signed
+    relations (``base`` = (id, v), ``bands`` = (id, band_idx,
+    band_val)) — factored out in round 8 so incremental maintenance
+    (streaming/semantic_dedup.py) signs each vector ONCE and reuses the
+    bands across its gate and self-dedup stages, the way the fold
+    oracle's CTEs already do."""
     w = Window.partitionBy("band_idx", "band_val")
     ok = bands.withColumn("bucket_n", F.count(F.lit(1)).over(w)).filter(
         F.col("bucket_n") <= max_bucket
@@ -509,14 +533,85 @@ def hyperplane_lsh_cross_pairs(
     :func:`_hp_prepare`).
     """
     out_schema = "new_id bigint, ref_id bigint, n_bands int, cos double"
-    if new_df.isEmpty() or ref_df.isEmpty():
+    # ONE dim probe across both sides (one corpus, one dim by contract):
+    # probe the union's max size, then both prepares skip their own
+    # probe job.  An empty side simply contributes zero bands/candidates.
+    probe = (
+        new_df.select(F.col(vec_col).alias("v"))
+        .unionByName(ref_df.select(F.col(vec_col).alias("v")))
+        .filter(F.col("v").isNotNull())
+        .agg(F.max(F.size("v")).alias("d"))
+        .first()
+    )
+    dim = int(probe["d"]) if probe is not None and probe["d"] is not None else 0
+    if dim <= 0:
         return _empty_frame(new_df, out_schema)
-    new_prep = _hp_prepare(new_df, n_bits, band_bits, id_col, vec_col, salt)
-    ref_prep = _hp_prepare(ref_df, n_bits, band_bits, id_col, vec_col, salt)
-    if new_prep is None or ref_prep is None:
-        return _empty_frame(new_df, out_schema)
+    new_prep = _hp_prepare(
+        new_df, n_bits, band_bits, id_col, vec_col, salt, dim=dim
+    )
+    ref_prep = _hp_prepare(
+        ref_df, n_bits, band_bits, id_col, vec_col, salt, dim=dim
+    )
+    assert new_prep is not None and ref_prep is not None
     new_base, new_bands = new_prep
     ref_base, ref_bands = ref_prep
+    return hp_cross_pairs_from_prepared(
+        new_base, new_bands, ref_base, ref_bands, threshold, max_bucket
+    )
+
+
+def hyperplane_semantic_survivors(
+    df: DataFrame,
+    threshold: float = 0.35,
+    n_bits: int = 16,
+    band_bits: int = 8,
+    max_bucket: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "hp",
+) -> DataFrame:
+    """Semantic-dedup keep-list (SemDeDup-shaped) → (id_col,
+    cluster_size): sign-bit LSH pairs → connected components → one
+    min-id survivor per cosine-cluster, singletons riding along at
+    size 1.  ONE ``_hp_prepare`` feeds both the pair pipeline and the
+    eligible population (round 8 — the query-side composition ran the
+    signature scan and the eligibility filter as separate passes)."""
+    from myrecommendsystem_spark.operators.dedup import connected_components
+
+    out_schema = f"{id_col} bigint, cluster_size int"
+    prep = _hp_prepare(df, n_bits, band_bits, id_col, vec_col, salt)
+    if prep is None:
+        return _empty_frame(df, out_schema)
+    base, bands = prep
+    pairs = hp_pairs_from_prepared(base, bands, threshold, max_bucket)
+    comps = connected_components(pairs)
+    sizes = comps.groupBy("comp").agg(
+        F.count(F.lit(1)).cast("int").alias("cluster_size")
+    )
+    keepers = (
+        comps.join(sizes, "comp")
+        .filter(F.col("id") == F.col("comp"))
+        .select(F.col("id").alias(id_col), "cluster_size")
+    )
+    singletons = (
+        base.select(F.col("id").alias(id_col))
+        .join(comps.select(F.col("id").alias(id_col)), id_col, "left_anti")
+        .select(id_col, F.lit(1).cast("int").alias("cluster_size"))
+    )
+    return keepers.unionByName(singletons).orderBy(id_col)
+
+
+def hp_cross_pairs_from_prepared(
+    new_base: DataFrame,
+    new_bands: DataFrame,
+    ref_base: DataFrame,
+    ref_bands: DataFrame,
+    threshold: float = 0.35,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Cross-pair stage of :func:`hyperplane_lsh_cross_pairs` over
+    already-signed relations — the prepared-input twin of
+    :func:`hp_pairs_from_prepared` (same round-8 rationale)."""
     w = Window.partitionBy("band_idx", "band_val")
     ref_ok = ref_bands.withColumn(
         "bucket_n", F.count(F.lit(1)).over(w)

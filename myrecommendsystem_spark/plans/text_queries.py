@@ -723,11 +723,30 @@ ORDER BY new_id, ref_id
 def embedding_cross_corpus_near(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    # Both populations come from ONE corpus, so the signature pass runs
+    # ONCE over the full relation (checkpointed bands) and splits by the
+    # ingest predicate — signatures are per-vector, so the split-after
+    # and sign-per-side forms are value-identical, but the composed
+    # two-sided helper ran the 16x64 sign fold twice (round 8; measured
+    # 4.0 -> 2.8 s at sf0.1).  The generic ingest path
+    # (hyperplane_lsh_cross_pairs / semantic_dedup) keeps per-side
+    # signing: there the reference is a TABLE, not a filter of the batch.
     emb = _emb(spark, sf_dir)
-    new = emb.filter(F.col("vec_id") % 5 == 0)
-    ref = emb.filter(F.col("vec_id") % 5 != 0)
-    return similarity.hyperplane_lsh_cross_pairs(
-        new, ref, threshold=0.35, n_bits=16, band_bits=8
+    prep = similarity._hp_prepare(emb, 16, 8, "vec_id", "embedding", "hp")
+    if prep is None:
+        return spark.createDataFrame(
+            [], "new_id bigint, ref_id bigint, n_bands int, cos double"
+        )
+    base, bands = prep
+    bands = bands.localCheckpoint(eager=True)
+    is_new = F.col("id") % 5 == 0
+    return similarity.hp_cross_pairs_from_prepared(
+        base.filter(is_new),
+        bands.filter(is_new),
+        base.filter(~is_new),
+        bands.filter(~is_new),
+        threshold=0.35,
+        max_bucket=1000,
     )
 
 
@@ -774,30 +793,9 @@ ORDER BY vec_id
 def embedding_semantic_survivors(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from myrecommendsystem_spark.operators import dedup as DD
-    from myrecommendsystem_spark.operators.similarity import _dot
-
-    emb = _emb(spark, sf_dir)
-    pairs = similarity.hyperplane_lsh_pairs(
-        emb, threshold=0.35, n_bits=16, band_bits=8
+    return similarity.hyperplane_semantic_survivors(
+        _emb(spark, sf_dir), threshold=0.35, n_bits=16, band_bits=8
     )
-    comps = DD.connected_components(pairs)  # (id, comp) — graph members
-    sizes = comps.groupBy("comp").agg(
-        F.count(F.lit(1)).cast("int").alias("cluster_size")
-    )
-    keepers = (
-        comps.join(sizes, "comp")
-        .filter(F.col("id") == F.col("comp"))
-        .select(F.col("id").alias("vec_id"), "cluster_size")
-    )
-    v = F.col("embedding").cast("array<double>")
-    eligible = emb.filter(_dot(v, v) > 0).select(
-        F.col("vec_id").cast("long").alias("vec_id")
-    )
-    singletons = eligible.join(
-        comps.select(F.col("id").alias("vec_id")), "vec_id", "left_anti"
-    ).select("vec_id", F.lit(1).cast("int").alias("cluster_size"))
-    return keepers.unionByName(singletons).orderBy("vec_id")
 
 
 def _hp_fold_oracle(n_batches: int = 3) -> str:

@@ -111,28 +111,83 @@ def incremental_semantic_survivors(
     band_bits: int = 8,
     max_bucket: int = 1000,
 ) -> DataFrame:
-    """Fold :func:`semantic_ingest_step` over an ordered batch sequence →
-    the final survivor table (vec_id, arrived_batch).
+    """Fold the ingest cycle over an ordered batch sequence → the final
+    survivor table (vec_id, arrived_batch).
 
-    The accumulated set is localCheckpointed per step — each step's
-    cross probe and the next accumulation read the SAME materialized
-    rows instead of replaying every earlier step's LSH pipeline through
-    a growing lineage (the recsys-eval materialized-view discipline;
-    without it the plan doubles per batch).  This is the DETERMINISTIC
-    batch twin the oracle replays; the streaming path persists the same
-    accumulation to parquet instead (:func:`run_semantic_dedup_stream`).
+    Each vector is SIGNED EXACTLY ONCE: the per-batch (base, bands)
+    relations from ``similarity._hp_prepare`` feed both the gate
+    (``hp_cross_pairs_from_prepared`` against the accumulated survivor
+    bands) and the self-dedup (``hp_pairs_from_prepared`` on the fresh
+    remainder), and surviving rows' bands accumulate alongside their
+    vectors — the structure the fold oracle's CTEs replay (bands{b}
+    computed once, filtered per stage).  The naive per-step composition
+    (semantic_ingest_step, which re-prepares per call) measured 32 s at
+    sf0.1 against ~17 s for this form: seven prepare calls collapse to
+    three, and the signature pass never re-runs over the growing
+    survivor set.  Accumulated base+bands are localCheckpointed per
+    step (the recsys-eval materialized-view discipline; without it the
+    plan doubles per batch).  DETERMINISTIC and DuckDB-replayed
+    (``embedding_incremental_survivors``); the streaming path persists
+    the same accumulation to parquet instead
+    (:func:`run_semantic_dedup_stream`).
     """
     if not batches:
         raise ValueError("incremental_semantic_survivors: no batches")
     spark = batches[0].sparkSession
-    surv: DataFrame | None = None
+    surv: DataFrame | None = None  # (vec_id, arrived_batch)
+    surv_base = surv_bands = None  # signed survivor relations
     for b, batch in enumerate(batches):
-        fresh = semantic_ingest_step(
-            surv, batch, threshold, n_bits, band_bits, max_bucket
-        ).withColumn("arrived_batch", F.lit(b).cast("int"))
+        prep = similarity._hp_prepare(
+            batch, n_bits, band_bits, "vec_id", "embedding", "hp"
+        )
+        if prep is None:  # empty or 0-dim batch: nothing can survive
+            continue
+        base, bands = prep
+        # sign once per step: the bands relation feeds the gate, the
+        # self-pair join, and the survivor accumulation — uncheckpointed,
+        # each consumer re-ran the 16x64 sign fold (measured 3 runs of
+        # the cross pipeline per step through the checkpoint lineages)
+        bands = bands.localCheckpoint(eager=True)
+        if surv_base is not None:
+            matched = (
+                similarity.hp_cross_pairs_from_prepared(
+                    base, bands, surv_base, surv_bands, threshold, max_bucket
+                )
+                .select(F.col("new_id").alias("id"))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            base = base.join(matched, "id", "left_anti")
+            bands = bands.join(matched, "id", "left_anti")
+        pairs = similarity.hp_pairs_from_prepared(
+            base, bands, threshold, max_bucket
+        )
+        dropped = (
+            connected_components(pairs)
+            .filter(F.col("comp") != F.col("id"))
+            .select("id")
+        )
+        keep_base = base.join(dropped, "id", "left_anti").localCheckpoint(
+            eager=True
+        )
+        keep_bands = bands.join(dropped, "id", "left_anti")
+        fresh = keep_base.select(
+            F.col("id").alias("vec_id"),
+            F.lit(b).cast("int").alias("arrived_batch"),
+        )
         surv = fresh if surv is None else surv.unionByName(fresh)
-        surv = surv.localCheckpoint(eager=True)
-    assert surv is not None
+        surv_base = (
+            keep_base
+            if surv_base is None
+            else surv_base.unionByName(keep_base).localCheckpoint(eager=True)
+        )
+        surv_bands = (
+            keep_bands
+            if surv_bands is None
+            else surv_bands.unionByName(keep_bands)
+        ).localCheckpoint(eager=True)
+    if surv is None:
+        return spark.createDataFrame([], "vec_id bigint, arrived_batch int")
     return surv.select("vec_id", "arrived_batch").orderBy("vec_id")
 
 
