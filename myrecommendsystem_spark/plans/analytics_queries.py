@@ -6745,22 +6745,21 @@ def orders_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= s)
         .select("pa", "pb")
-        .localCheckpoint(eager=True)
     )
     # enumerate triples only where the leading (pa, pb) pair is frequent.
-    # The broadcast hint is SIZE-GATED (r7 verdict plan-audit watch-point):
-    # at the default support the frequent-pair set is small because
-    # support scales with data, but at a very low relative support it can
-    # outgrow executor broadcast memory — above the cap the prune joins
-    # as an ordinary shuffle join instead of failing the job.  The
-    # checkpoint makes the gate's count free and feeds both pair
-    # consumers one materialization.
-    n_pairs = pairs.count()
-    pair_rel = F.broadcast(pairs) if n_pairs <= 5_000_000 else pairs
+    # NO broadcast hint here — this is the r7 plan-audit watch-point
+    # (a hinted broadcast of the frequent-pair set could outgrow executor
+    # memory at very low relative support), resolved the Spark-first way:
+    # AQE observes the pair aggregate's RUNTIME size at the shuffle
+    # boundary and converts the join to a broadcast when it fits
+    # (adaptive.autoBroadcastJoinThreshold), keeping a shuffle join when
+    # it does not.  An explicit count()+gate form measured ~+1 s at
+    # sf0.1 (it materializes the pair pipeline twice); the AQE form
+    # costs nothing and scales the decision with the data.
     lead = (
         a.join(b2, "l_orderkey")
         .filter(F.col("pa") < F.col("pb"))
-        .join(pair_rel, ["pa", "pb"])
+        .join(pairs, ["pa", "pb"])
     )
     triples = (
         lead.join(c, "l_orderkey")
