@@ -784,6 +784,62 @@ def bm25_search(
     return top.withColumn("rnk", F.row_number().over(w).cast("int"))
 
 
+def cdc_cut_points(
+    data: bytes, divisor: int = 64, window: int = 16, max_size: int = 256
+) -> list[int]:
+    """Final CDC cut positions ``[0, ..., len(data)]`` for one document —
+    the pure per-doc kernel shared by :func:`content_defined_chunks`'
+    Arrow pass and the oracle generator (plans/ann_oracles.py trains the
+    RAG pipeline's quantizer on locally-recomputed chunks, so both paths
+    MUST cut identically).  Factored out in round 8; logic unchanged."""
+    import numpy as _np
+
+    powers = _np.array(
+        [pow(_RK_BASE, window - 1 - j, _RK_MOD) for j in range(window)],
+        dtype=_np.int64,
+    )
+    arr = _np.frombuffer(data, dtype=_np.uint8)
+    cuts = [0]
+    if arr.size >= window:
+        w_ = _np.lib.stride_tricks.sliding_window_view(arr, window)
+        hs = (w_.astype(_np.int64) * powers % _RK_MOD).sum(axis=1) % _RK_MOD
+        # hs[i] covers bytes [i, i+window); boundary AFTER that
+        bpos = _np.nonzero(hs % divisor == divisor - 1)[0] + window
+        last = 0
+        for p in bpos:
+            if p - last >= window:  # min chunk = one window
+                cuts.append(int(p))
+                last = int(p)
+
+    def snap(p: int) -> int:
+        # snap a cut BACK to a UTF-8 character start; applied at
+        # cut-GENERATION time so chunk i's end and chunk i+1's start are
+        # the SAME snapped position — no rune duplicated across chunks,
+        # max_size never exceeded
+        while p and (data[p] & 0xC0) == 0x80:
+            p -= 1
+        return p
+
+    # max_size forced splits, then the tail; every appended cut is
+    # pre-snapped and gaps are re-measured from the snapped point, so
+    # the size cap holds by construction
+    final, prev = [0], 0
+    for p in cuts[1:] + [len(data)]:
+        while p - prev > max_size:
+            nxt = snap(prev + max_size)
+            if nxt <= prev:  # pathological all-continuation run
+                break
+            prev = nxt
+            final.append(prev)
+        p = snap(p) if p != len(data) else p
+        if p > prev and p != len(data):
+            final.append(p)
+            prev = p
+    if len(data) and (not final or final[-1] != len(data)):
+        final.append(len(data))
+    return final
+
+
 def content_defined_chunks(
     docs,
     divisor: int = 64,
@@ -805,60 +861,15 @@ def content_defined_chunks(
     Arrow-batched kernel, one pass, no shuffle; emitted chunks are
     UTF-8-safe (boundaries snap back to character starts).
     """
-    import numpy as _np
     import pandas as _pd
     from pyspark.sql.functions import col as _col
-
-    powers = _np.array(
-        [pow(_RK_BASE, window - 1 - j, _RK_MOD) for j in range(window)],
-        dtype=_np.int64,
-    )
 
     def _kernel(batches):
         for pdf in batches:
             ids, idxs, chunks, sizes = [], [], [], []
             for did, t in zip(pdf["id"], pdf["text"]):
                 data = (t or "").encode("utf-8")
-                arr = _np.frombuffer(data, dtype=_np.uint8)
-                cuts = [0]
-                if arr.size >= window:
-                    w_ = _np.lib.stride_tricks.sliding_window_view(arr, window)
-                    hs = (w_.astype(_np.int64) * powers % _RK_MOD).sum(
-                        axis=1
-                    ) % _RK_MOD
-                    # hs[i] covers bytes [i, i+window); boundary AFTER that
-                    bpos = _np.nonzero(hs % divisor == divisor - 1)[0] + window
-                    last = 0
-                    for p in bpos:
-                        if p - last >= window:  # min chunk = one window
-                            cuts.append(int(p))
-                            last = int(p)
-                def snap(p: int) -> int:
-                    # snap a cut BACK to a UTF-8 character start; applied
-                    # at cut-GENERATION time so chunk i's end and chunk
-                    # i+1's start are the SAME snapped position — no rune
-                    # duplicated across chunks, max_size never exceeded
-                    while p and (data[p] & 0xC0) == 0x80:
-                        p -= 1
-                    return p
-
-                # max_size forced splits, then the tail; every appended
-                # cut is pre-snapped and gaps are re-measured from the
-                # snapped point, so the size cap holds by construction
-                final, prev = [0], 0
-                for p in cuts[1:] + [len(data)]:
-                    while p - prev > max_size:
-                        nxt = snap(prev + max_size)
-                        if nxt <= prev:  # pathological all-continuation run
-                            break
-                        prev = nxt
-                        final.append(prev)
-                    p = snap(p) if p != len(data) else p
-                    if p > prev and p != len(data):
-                        final.append(p)
-                        prev = p
-                if len(data) and (not final or final[-1] != len(data)):
-                    final.append(len(data))
+                final = cdc_cut_points(data, divisor, window, max_size)
                 for ci in range(len(final) - 1):
                     a, b = final[ci], final[ci + 1]
                     ids.append(did)
@@ -892,32 +903,38 @@ def hashing_embedding(
     """
     @pandas_udf("array<float>")
     def _embed(texts: pd.Series) -> pd.Series:
-        # vectorized polynomial rolling hash over the utf-8 byte stream:
-        # the whole batch stays in numpy (a per-n-gram Python hash loop
-        # measured ~8x slower on 300-char docs)
-        mult = np.uint64(1000003)
-        powers = np.array(
-            [int(pow(1000003, n - 1 - j, 2**64)) for j in range(n)],
-            dtype=np.uint64,
+        return pd.Series(
+            [hash_embed_one(t, dim, n, seed) for t in texts]
         )
-        out = []
-        for t in texts:
-            b = (t or "").lower().encode("utf-8")
-            if len(b) < n:
-                out.append([0.0] * dim)
-                continue
-            arr = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
-            h = np.zeros(len(arr) - n + 1, dtype=np.uint64)
-            for j in range(n):  # n=3 summands, each vectorized
-                h += (arr[j : len(arr) - n + 1 + j] + np.uint64(seed)) * powers[j]
-            v = np.zeros(dim, dtype=np.float64)
-            signs = np.where((h >> np.uint64(31)) & np.uint64(1) == 0, 1.0, -1.0)
-            np.add.at(v, (h % np.uint64(dim)).astype(np.int64), signs)
-            nrm = np.linalg.norm(v)
-            out.append((v / nrm if nrm > 0 else v).astype(np.float32).tolist())
-        return pd.Series(out)
 
     return _embed(text_col)
+
+
+def hash_embed_one(
+    t: str | None, dim: int = 64, n: int = 3, seed: int = 7
+) -> list[float]:
+    """One document's feature-hash embedding — the pure kernel shared by
+    :func:`hashing_embedding`'s Arrow pass and the oracle generator
+    (plans/ann_oracles.py), so both paths embed bit-identically
+    (round 8).  Vectorized polynomial rolling hash over the utf-8 byte
+    stream: the whole doc stays in numpy (a per-n-gram Python hash loop
+    measured ~8x slower on 300-char docs).  Logic unchanged."""
+    powers = np.array(
+        [int(pow(1000003, n - 1 - j, 2**64)) for j in range(n)],
+        dtype=np.uint64,
+    )
+    b = (t or "").lower().encode("utf-8")
+    if len(b) < n:
+        return [0.0] * dim
+    arr = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
+    h = np.zeros(len(arr) - n + 1, dtype=np.uint64)
+    for j in range(n):  # n=3 summands, each vectorized
+        h += (arr[j : len(arr) - n + 1 + j] + np.uint64(seed)) * powers[j]
+    v = np.zeros(dim, dtype=np.float64)
+    signs = np.where((h >> np.uint64(31)) & np.uint64(1) == 0, 1.0, -1.0)
+    np.add.at(v, (h % np.uint64(dim)).astype(np.int64), signs)
+    nrm = np.linalg.norm(v)
+    return (v / nrm if nrm > 0 else v).astype(np.float32).tolist()
 
 
 def hash_bytes(b: bytes, seed: int = 7) -> int:

@@ -252,6 +252,108 @@ def ivfpq_oracle(sf_dir: str) -> str:
 
 
 @lru_cache(maxsize=8)
+def rag_report_oracle(sf_dir: str) -> str:
+    """DuckDB twin of plans/text_queries.rag_ingest_pipeline — the whole
+    composed RAG ingestion job: CDC chunking (the shared byte-exact
+    ``cdc_chunks`` CTE chain from the doc_cdc_chunks oracle) → the
+    feature-hash embedding recomputed IN SQL (3-gram polynomial hash;
+    byte values ≤127 keep every hash < 2^47, so plain BIGINT arithmetic
+    — no wraparound to replay; sign = bit 31, slot = h % 64; the
+    64-slot ±1 sums are integers, so the L2 norm is bit-exact in any
+    summation order, and the float32 cast mirrors the kernel's
+    ``astype(np.float32)``) → IVF cell assignment against centroids the
+    generator trains on LOCALLY-recomputed chunk embeddings (the same
+    pure kernels the Spark pipeline runs: text.cdc_cut_points +
+    text.hash_embed_one, then the shared kmeans_fit_mat) → per-cell
+    chunk counts + byte volume."""
+    import pyarrow.parquet as pq
+
+    from myrecommendsystem_spark.functions.text import (
+        cdc_cut_points,
+        hash_embed_one,
+    )
+    from myrecommendsystem_spark.operators.similarity import kmeans_fit_mat
+    from myrecommendsystem_spark.plans.text_queries import _CDC_CHUNKS_CTES
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    rows = []
+    for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        data = (text or "").encode("utf-8")
+        cuts = cdc_cut_points(data)
+        for ci in range(len(cuts) - 1):
+            chunk = data[cuts[ci] : cuts[ci + 1]].decode("utf-8", "ignore")
+            rows.append((did * 10_000 + ci, hash_embed_one(chunk)))
+    if not rows:
+        raise ValueError(f"rag oracle: no chunks at {sf_dir}")
+    rows.sort(key=lambda r: r[0])
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    if len(ids) > 100_000:
+        keep = _sample_ids(ids, 100_000 / len(ids), "ivf")
+        mat = mat[keep]
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    cents = kmeans_fit_mat(mat, n_cells=8, seed=42)
+    n_cells, dim = cents.shape
+    p2, p1 = 1000003 * 1000003, 1000003
+    vsums = ",\n         ".join(
+        f"SUM(CASE WHEN slot = {k} THEN sgn ELSE 0 END) AS v{k}"
+        for k in range(dim)
+    )
+    sq = " + ".join(f"v{k}*v{k}" for k in range(dim))
+    elist = ", ".join(
+        f"CAST(CAST(v{k} / nrm AS REAL) AS DOUBLE)" for k in range(dim)
+    )
+    return f"""
+WITH RECURSIVE {_CDC_CHUNKS_CTES},
+b AS (SELECT {_lit2(cents)}::DOUBLE[][] AS ct),
+grams AS MATERIALIZED (
+  SELECT id, chunk_idx, h % 64 AS slot,
+         CASE WHEN (h // 2147483648) % 2 = 0 THEN 1.0 ELSE -1.0 END AS sgn
+  FROM (
+    SELECT id, chunk_idx,
+           unnest([ (cs2[i] + 7) * {p2} + (cs2[i+1] + 7) * {p1} + (cs2[i+2] + 7)
+                    for i in generate_series(1, len(cs2) - 2) ]) AS h
+    FROM (SELECT id, chunk_idx,
+                 [CAST(ord(ch) AS BIGINT)
+                  for ch in regexp_split_to_array(lower(chunk), '')] AS cs2
+          FROM cdc_chunks)
+  )
+),
+vecs AS MATERIALIZED (
+  SELECT id, chunk_idx,
+         {vsums}
+  FROM grams GROUP BY 1, 2
+),
+evecs AS MATERIALIZED (
+  SELECT c.id, c.chunk_idx, c.n_bytes,
+         CASE WHEN v.id IS NULL OR nrm = 0 THEN NULL ELSE [{elist}] END AS e
+  FROM cdc_chunks c
+  LEFT JOIN (SELECT *, sqrt({sq}) AS nrm FROM vecs) v
+    ON v.id = c.id AND v.chunk_idx = c.chunk_idx
+),
+cells AS (
+  SELECT id, chunk_idx, n_bytes,
+         CASE WHEN e IS NULL THEN 0
+              ELSE CAST(list_position(cd, list_max(cd)) - 1 AS INTEGER)
+         END AS cell_id
+  FROM (
+    SELECT id, chunk_idx, n_bytes, e,
+           [ list_sum([ e[s] / gn * ct[c][s]
+                        for s in generate_series(1, {dim}) ])
+             for c in generate_series(1, {n_cells}) ] AS cd
+    FROM (SELECT *,
+                 GREATEST(sqrt(list_sum([x*x for x in e])), 1e-12) AS gn
+          FROM evecs CROSS JOIN b)
+  )
+)
+SELECT CAST(cell_id AS INTEGER) AS cell_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(n_bytes) AS BIGINT) AS bytes
+FROM cells GROUP BY cell_id ORDER BY cell_id
+"""
+
+
+@lru_cache(maxsize=8)
 def kmeans_clusters_oracle(sf_dir: str) -> str:
     """DuckDB twin of plans/analytics_queries.embedding_kmeans_clusters:
     the inlined 8-cell centroids (same fit), argmax-unit-dot assignment,

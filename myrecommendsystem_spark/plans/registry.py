@@ -288,6 +288,7 @@ _DRIVER_WINDOW_R8 = [
     "ann_topk_pq",
     "ann_topk_ivfpq",
     "ann_topk_ivfpq_search",
+    "rag_ingest_pipeline",
     "embedding_kmeans_clusters",
     # -- tier 5 padding: stalest hash-green re-checks --
     "sample_docs_stratified",
@@ -332,7 +333,6 @@ _DRIVER_WINDOW_R8 = [
     "orders_snapshot_diff",
     "doc_clean_scrub",
     "doc_pack_bins",
-    "embedding_label_centroids",
 ]
 
 # The window the driver verifies THIS round; tests pin invariants

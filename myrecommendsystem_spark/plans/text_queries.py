@@ -1891,10 +1891,11 @@ def sample_docs_exact_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "doc_cdc_chunks",
-    """
-WITH RECURSIVE c AS (
+# Shared CDC chunk-extraction CTE chain: candidates -> sequential
+# min-gap fold (bounded recursion) -> max-size splits -> byte-exact
+# chunk strings (``cdc_chunks``).  Used by the doc_cdc_chunks oracle and
+# by plans/ann_oracles.rag_report_oracle (the composed RAG twin).
+_CDC_CHUNKS_CTES = """c AS (
     SELECT doc_id, [ord(ch) for ch in regexp_split_to_array(text, '')] AS cs
     FROM documents
 ),
@@ -1962,14 +1963,23 @@ pairs AS (
            LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS b,
            ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS idx
     FROM allcuts
-)
-SELECT CAST(p.doc_id AS BIGINT) AS id,
-       CAST(p.idx AS INTEGER) AS chunk_idx,
-       substr(d.text, CAST(p.a AS INTEGER) + 1, CAST(p.b - p.a AS INTEGER)) AS chunk,
-       CAST(p.b - p.a AS INTEGER) AS n_bytes
-FROM pairs p JOIN documents d USING (doc_id)
-WHERE p.b IS NOT NULL
-""".replace("{POW}", _RK_POWERS_SQL),
+),
+cdc_chunks AS MATERIALIZED (
+    SELECT CAST(p.doc_id AS BIGINT) AS id,
+           CAST(p.idx AS INTEGER) AS chunk_idx,
+           substr(d.text, CAST(p.a AS INTEGER) + 1, CAST(p.b - p.a AS INTEGER)) AS chunk,
+           CAST(p.b - p.a AS INTEGER) AS n_bytes
+    FROM pairs p JOIN documents d USING (doc_id)
+    WHERE p.b IS NOT NULL
+)""".replace("{POW}", _RK_POWERS_SQL)
+
+
+@register(
+    "doc_cdc_chunks",
+    f"""
+WITH RECURSIVE {_CDC_CHUNKS_CTES}
+SELECT id, chunk_idx, chunk, n_bytes FROM cdc_chunks
+""",
     doc="content-defined chunking: split docs where the 16-byte rolling "
     "hash hits the boundary pattern (expected ~64-byte chunks, 256-byte "
     "cap) — boundaries are functions of content, so head edits re-chunk "
@@ -2372,13 +2382,15 @@ def doc_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rag_ingest_pipeline",
-    None,  # composes chunking (Arrow kernel), feature-hash embedding
-    # (stand-in encoder, see functions/text.hashing_embedding), and
-    # IVF-PQ index build (k-means quantizers) — not SQL-expressible;
-    # component semantics are individually pinned (doc_cdc_chunks,
-    # ann_topk_ivfpq lifecycle tests) and the composition invariants
-    # (chunk coverage, cell assignment totals) by
-    # tests/test_analytics_round4d.py
+    # hash-gated in round 8: the composed job replays END-TO-END in SQL —
+    # the shared byte-exact cdc_chunks CTEs, the feature-hash embedding
+    # recomputed in SQL (BIGINT 3-gram hashes, bit-31 signs, integer-
+    # exact norms, float32 casts), and IVF assignment against centroids
+    # the generator trains on locally-recomputed chunk embeddings via
+    # the SAME pure kernels (text.cdc_cut_points / hash_embed_one +
+    # similarity.kmeans_fit_mat).  Composition invariants additionally
+    # pinned by tests/test_analytics_round4d.py
+    ann_oracles.rag_report_oracle,
     doc="the complete RAG ingestion job, composed from gated parts: "
     "content-defined chunking (re-chunk-stable boundaries) -> "
     "deterministic feature-hash embedding (the honest encoder "
