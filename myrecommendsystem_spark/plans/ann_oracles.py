@@ -251,6 +251,111 @@ def ivfpq_oracle(sf_dir: str) -> str:
     return _ivfpq_sql(books, cents)
 
 
+def _celldots_cte(cents: np.ndarray) -> str:
+    """Unit vectors + per-cell dots — the assignment substrate shared by
+    the IVF twins.  _U_CTE's uv IS the ivf_assign normalization
+    (x / max(||v||, 1e-12) over the RAW vector, applied once)."""
+    n_cells, dim = cents.shape
+    return f"""b AS (SELECT {_lit2(cents)}::DOUBLE[][] AS ct),
+{_U_CTE},
+un AS (SELECT vec_id, uv AS u FROM u),
+celldots AS MATERIALIZED (
+  SELECT vec_id, u,
+         [ list_sum([ u[s] * ct[c][s] for s in generate_series(1,{dim}) ])
+           for c in generate_series(1,{n_cells}) ] AS cd
+  FROM un CROSS JOIN b
+)"""
+
+
+@lru_cache(maxsize=8)
+def ivf_topk_oracle(sf_dir: str) -> str:
+    """DuckDB twin of ann_topk_ivf (similarity.ivf_topk, n_cells=16,
+    nprobe=4, k=5): corpus rows in their argmax cell, queries probe
+    their top-4 cells, candidates score exact unit-dot cosine
+    (round-stable), window top-5.  The u CTE here mirrors ivf_assign's
+    numpy normalization (max(norm, 1e-12)); the uv CTE's zero-norm
+    guard composes harmlessly (unit vectors are unit under both)."""
+    from myrecommendsystem_spark.operators.similarity import kmeans_fit_mat
+
+    cents = kmeans_fit_mat(_train_matrix(sf_dir, "ivf"), n_cells=16, seed=42)
+    n_cells = cents.shape[0]
+    cos = sql_round_stable_local(
+        "list_sum([a.u[i] * q.u[i] for i in generate_series(1, len(q.u))])"
+    )
+    return f"""
+WITH {_celldots_cte(cents)},
+cells AS (
+  SELECT vec_id, u,
+         CAST(list_position(cd, list_max(cd)) - 1 AS INTEGER) AS cell_id
+  FROM celldots
+),
+qprobe AS (
+  SELECT query_id, cell_id FROM (
+    SELECT vec_id AS query_id, g.c - 1 AS cell_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY vec_id ORDER BY cd[g.c] DESC, g.c
+           ) AS pr
+    FROM celldots, (SELECT unnest(generate_series(1,{n_cells})) AS c) g
+    WHERE vec_id < 10
+  ) WHERE pr <= 4
+),
+q AS (SELECT vec_id AS query_id, u FROM un WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, a.vec_id, {cos} AS cos
+  FROM cells a
+  JOIN qprobe p ON p.cell_id = a.cell_id
+  JOIN q ON q.query_id = p.query_id
+  WHERE a.vec_id != q.query_id
+)
+SELECT query_id, vec_id, cos, rnk FROM (
+  SELECT query_id, vec_id, cos,
+         CAST(ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY cos DESC, vec_id
+         ) AS INTEGER) AS rnk
+  FROM scored)
+WHERE rnk <= 5
+"""
+
+
+@lru_cache(maxsize=8)
+def ivf_near_dup_oracle(sf_dir: str) -> str:
+    """DuckDB twin of embedding_near_dup_ivf
+    (similarity.near_duplicate_pairs_ivf, n_cells=16, nprobe=2,
+    threshold=0.35): every vector multi-probes its top-2 cells, pairs
+    sharing ANY probed cell score exact unit-dot cosine (the kernel's
+    np.round(sims + 1e-9, 4) convention), id_a < id_b, duplicates from
+    double-shared cells collapse via DISTINCT."""
+    from myrecommendsystem_spark.operators.similarity import kmeans_fit_mat
+
+    cents = kmeans_fit_mat(_train_matrix(sf_dir, "ivf"), n_cells=16, seed=42)
+    n_cells = cents.shape[0]
+    cos = sql_round_stable_local(
+        "list_sum([a.u[i] * p2.u[i] for i in generate_series(1, len(a.u))])"
+    )
+    return f"""
+WITH {_celldots_cte(cents)},
+cells2 AS MATERIALIZED (
+  SELECT vec_id, u, cell_id FROM (
+    SELECT vec_id, u, g.c - 1 AS cell_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY vec_id ORDER BY cd[g.c] DESC, g.c
+           ) AS pr
+    FROM celldots, (SELECT unnest(generate_series(1,{n_cells})) AS c) g
+  ) WHERE pr <= 2
+)
+SELECT DISTINCT a.vec_id AS id_a, p2.vec_id AS id_b, {cos} AS cos
+FROM cells2 a
+JOIN cells2 p2 ON a.cell_id = p2.cell_id AND a.vec_id < p2.vec_id
+WHERE {cos} >= 0.35
+"""
+
+
+def sql_round_stable_local(expr: str, digits: int = 4) -> str:
+    """Local copy of functions.compat.sql_round_stable (avoids importing
+    Spark modules at oracle-generation time)."""
+    return f"ROUND(({expr}) + {10.0 ** -(digits + 5)!r}, {digits})"
+
+
 @lru_cache(maxsize=8)
 def rag_report_oracle(sf_dir: str) -> str:
     """DuckDB twin of plans/text_queries.rag_ingest_pipeline — the whole

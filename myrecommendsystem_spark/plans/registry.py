@@ -271,11 +271,12 @@ _DRIVER_WINDOW_R7 = [
 # three round-7 LSH registrations (``since=7``, structurally excluded
 # from their own round's window), already replayed hash-green at sf0.01
 # locally.  Tier 2 (never-verified rows-only) and tier 4 (red-hash) are
-# empty.  Tier 3: the quantized-ANN family upgraded rows-only →
-# hash-gated THIS round (r7 verdict item 2, the inlined-trained-
-# codebooks oracles in plans/ann_oracles.py) — every prior driver row
-# predates the hash gate, so the rule re-schedules them for hash-green
-# rows.  Tier 5 pads with the 43 stalest hash-green re-checks: the
+# empty.  Tier 3: the quantized/coarse-ANN family plus the composed
+# RAG pipeline, upgraded rows-only → hash-gated THIS round (r7 verdict
+# item 2 extended: the inlined-trained-codebooks/centroids oracles in
+# plans/ann_oracles.py) — every prior driver row predates the hash
+# gate, so the rule re-schedules them for hash-green rows.  Tier 5
+# pads with the 40 stalest hash-green re-checks: the
 # r1/r2-green streaming + media + sampling trio block, then the
 # r3-green TPC-H sweep and relational/LLM extensions (latest green
 # round ascending, registration order within).
@@ -285,6 +286,8 @@ _DRIVER_WINDOW_R8 = [
     "embedding_cross_corpus_near",
     "embedding_semantic_survivors",
     # -- tier 3: stale-oracle re-checks (rows-only → hash-gated in r8) --
+    "ann_topk_ivf",
+    "embedding_near_dup_ivf",
     "ann_topk_pq",
     "ann_topk_ivfpq",
     "ann_topk_ivfpq_search",
@@ -331,8 +334,6 @@ _DRIVER_WINDOW_R8 = [
     "ratings_kfold_sizes",
     "events_weighted_sample",
     "orders_snapshot_diff",
-    "doc_clean_scrub",
-    "doc_pack_bins",
 ]
 
 # The window the driver verifies THIS round; tests pin invariants

@@ -434,10 +434,12 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_topk_ivf",
-    None,
+    ann_oracles.ivf_topk_oracle,
     doc="similarity search scale path: IVF (KMeans coarse quantizer, "
-    "nprobe=4 of 16 cells) top-5 — rows-only (KMeans not SQL-expressible); "
-    "recall vs brute force asserted in tests",
+    "nprobe=4 of 16 cells) top-5 — hash-gated since round 8 "
+    "(plans/ann_oracles.ivf_topk_oracle: assignment, probing, and the "
+    "round-stable cosine ranking replay in SQL against the inlined "
+    "centroids); recall vs brute force additionally asserted in tests",
 )
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
@@ -558,10 +560,12 @@ def dedup_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_near_dup_ivf",
-    None,
+    ann_oracles.ivf_near_dup_oracle,
     doc="embedding near-dup scale path: multi-probe IVF bucketed self-join "
-    "(nprobe=2 of 16 KMeans cells) — rows-only (KMeans); recall vs the "
-    "exact join asserted in tests",
+    "(nprobe=2 of 16 KMeans cells) — hash-gated since round 8 "
+    "(plans/ann_oracles.ivf_near_dup_oracle: top-2 probing, shared-cell "
+    "pairing with DISTINCT collapse, the kernel's round-stable cosine); "
+    "recall vs the exact join additionally asserted in tests",
 )
 def embedding_near_dup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.near_duplicate_pairs_ivf(
