@@ -147,6 +147,7 @@ HEADLINE: tuple[str, ...] = (
     "parts_skyline",
     "events_audience_overlap",
     "embedding_pca_spectrum",
+    "embedding_kmeans_clusters",
     "orders_chi2_status_priority",
     "events_cusum_alarms",
     "doc_collocations_pmi",
