@@ -336,9 +336,75 @@ _DRIVER_WINDOW_R8 = [
     "orders_snapshot_diff",
 ]
 
+# Round-9 window == ``expected_driver_window(9)`` verbatim.  Tier 1:
+# embedding_incremental_survivors (since=8, the r8 incremental
+# semantic-dedup fold — structurally excluded from its own round's
+# window), already replayed hash-green at sf0.01 locally.  Tiers 2-4
+# (never-verified rows-only / stale-oracle / red-hash) are empty: the
+# whole registry has driver rows and every gated query's latest row is
+# hash-green.  Tier 5 pads with the 49 stalest hash-green re-checks
+# (latest green round ascending, registration order within a round):
+# the r3-green doc_clean_scrub/doc_pack_bins/embedding-stats block,
+# the r4-green relational/stats sweep, then r5-green LLM-corpus
+# entries through stream_recs_batch.
+_DRIVER_WINDOW_R9 = [
+    # -- tier 1: never driver-verified, oracle-gated (since=8 front) --
+    "embedding_incremental_survivors",
+    # -- tier 5 padding: stalest hash-green re-checks --
+    "doc_clean_scrub",
+    "doc_pack_bins",
+    "embedding_label_centroids",
+    "embedding_vector_stats",
+    "events_view_purchase_attrib",
+    "events_view_conversion_outer",
+    "stats_rate_more_products",
+    "ingest_products_delimited",
+    "product_category_counts",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "anti_join_unseen",
+    "rmse_vs_product_mean",
+    "topk_orders_per_customer",
+    "scalar_text_funcs",
+    "revenue_by_nation",
+    "sample_users_deterministic",
+    "orders_ntile_deciles",
+    "customer_acctbal_ranks",
+    "orders_intersect_both_status",
+    "revenue_grouping_sets",
+    "events_value_winsorized",
+    "events_type_transitions",
+    "events_value_zscores",
+    "events_user_retention_cohorts",
+    "lineitem_correlations",
+    "events_top_paths",
+    "ratings_next_item_examples",
+    "product_cooccurrence_pmi",
+    "ratings_session_examples",
+    "doc_quality_scores",
+    "doc_lang_id",
+    "dedup_exact_groups",
+    "ann_topk_bruteforce",
+    "doc_tfidf_top_terms",
+    "doc_decontamination",
+    "doc_repetition_signals",
+    "dedup_cross_corpus",
+    "mips_topk_dot",
+    "docs_shard_manifest",
+    "dedup_tfidf_cosine",
+    "doc_bm25_search",
+    "corpus_mixture_report",
+    "doc_decontaminated_survivors",
+    "sample_docs_exact_n",
+    "doc_quality_top_half",
+    "corpus_drift_terms",
+    "itemcf_similarities",
+    "stream_recs_batch",
+]
+
 # The window the driver verifies THIS round; tests pin invariants
 # against this alias so rotations touch one assignment.
-DRIVER_WINDOW = _DRIVER_WINDOW_R8
+DRIVER_WINDOW = _DRIVER_WINDOW_R9
 
 # Round 5 fronted the verification backlog (round-4 verdict item 1):
 # 47 oldest never-driver-verified oracle-gated queries in registration

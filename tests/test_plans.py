@@ -409,10 +409,10 @@ def test_driver_window_matches_encoded_composition_rule():
     artifacts of rounds < 8 exactly: never-verified gated, then
     never-verified rows-only, then stale-oracle re-checks, then red-hash
     re-checks (round-7 ADVICE tier), then the stalest hash-green
-    re-checks.  The derivation is pinned to round 8, so this stays
-    reproducible after the r08 artifact lands; the NEXT rotation bumps
+    re-checks.  The derivation is pinned to round 9, so this stays
+    reproducible after the r09 artifact lands; the NEXT rotation bumps
     the round number and re-derives."""
-    derived = registry.expected_driver_window(8, artifact_dir=str(REPO_ROOT))
+    derived = registry.expected_driver_window(9, artifact_dir=str(REPO_ROOT))
     assert registry.DRIVER_WINDOW == derived
 
 
@@ -442,10 +442,10 @@ def test_driver_window_derived_from_correctness_artifacts():
 
 
 def test_next_round_window_derivation_is_ready(tmp_path):
-    """Dry-run the r9 rotation before it happens: with a synthetic r08
+    """Dry-run the r10 rotation before it happens: with a synthetic r09
     artifact covering the committed window (hash rows for gated
-    members, rows-only rows for the rest), expected_driver_window(9)
-    must front exactly the round-8 registrations (``since=8`` — no
+    members, rows-only rows for the rest), expected_driver_window(10)
+    must front exactly the round-9 registrations (``since=9`` — no
     driver row can exist for them by construction), gated before
     rows-only, then pad with hash-green re-checks to exactly 50 unique
     real names.  If this breaks, next round's rotation breaks."""
@@ -463,18 +463,42 @@ def test_next_round_window_derivation_is_ready(tmp_path):
         )
         for name in registry.DRIVER_WINDOW
     }
-    (tmp_path / "CORRECTNESS_r08.json").write_text(json.dumps(fake))
-    win9 = registry.expected_driver_window(9, artifact_dir=str(tmp_path))
+    (tmp_path / "CORRECTNESS_r09.json").write_text(json.dumps(fake))
+    win10 = registry.expected_driver_window(10, artifact_dir=str(tmp_path))
     names = {s.name for s in registry.REGISTRY}
     expected_front = [
-        s.name for s in registry.REGISTRY if s.since == 8 and s.oracle is not None
-    ] + [s.name for s in registry.REGISTRY if s.since == 8 and s.oracle is None]
-    assert len(win9) == 50
-    assert len(set(win9)) == 50
-    assert set(win9) <= names
-    assert win9[: len(expected_front)] == expected_front
+        s.name for s in registry.REGISTRY if s.since == 9 and s.oracle is not None
+    ] + [s.name for s in registry.REGISTRY if s.since == 9 and s.oracle is None]
+    assert len(win10) == 50
+    assert len(set(win10)) == 50
+    assert set(win10) <= names
+    assert win10[: len(expected_front)] == expected_front
     # every padding entry is a genuine re-check with a hash-green row
-    assert all(n in names for n in win9[len(expected_front) :])
+    assert all(n in names for n in win10[len(expected_front) :])
+
+
+def test_two_digit_round_artifacts_are_parsed(tmp_path):
+    """Round-8 verdict item 7: from round 10 on the artifact filenames
+    grow a second digit (CORRECTNESS_r10.json).  The derivation's glob +
+    regex must pick them up — a green row recorded ONLY in a two-digit
+    artifact must keep its query out of the never-verified front and
+    rank it FRESHEST in the padding tier (latest green round = 10 beats
+    the synthetic round-1 rows)."""
+    import json
+
+    gated = [s.name for s in registry.REGISTRY if s.oracle is not None]
+    target = gated[0]
+    green = {"hash_match": True, "rows_match": True, "err": None}
+    # every query green in round 1 EXCEPT the target...
+    art1 = {s.name: green for s in registry.REGISTRY if s.name != target}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(art1))
+    # ...which is green only in the two-digit round-10 artifact
+    (tmp_path / "CORRECTNESS_r10.json").write_text(json.dumps({target: green}))
+    win = registry.expected_driver_window(11, artifact_dir=str(tmp_path))
+    assert len(win) == 50 and len(set(win)) == 50
+    # parsed: target is verified (not fronted) and, being the freshest
+    # green (round 10 vs round 1), is NOT picked as stalest padding
+    assert target not in win
 
 
 def test_red_hash_queries_are_rescheduled(tmp_path):
