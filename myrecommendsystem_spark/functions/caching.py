@@ -34,3 +34,26 @@ def eager_release(result: DataFrame, *cached: DataFrame) -> DataFrame:
     for df in cached:
         df.unpersist()
     return out
+
+
+def release_checkpoint(*checkpointed: DataFrame | None) -> None:
+    """Free the pinned storage blocks behind ``localCheckpoint``-ed
+    DataFrames (round-8 ADVICE: iterative accumulators that re-checkpoint
+    per step must release the superseded checkpoints, or pinned block
+    storage grows with the step count).
+
+    ``DataFrame.unpersist()`` only drops CacheManager entries, not the
+    RDD blocks a local checkpoint pins — those need the RDD-level
+    unpersist on the analyzed plan (the ``dedup.connected_components``
+    release pattern).  Only call this on DataFrames whose blocks no
+    downstream plan will read again: a released checkpoint has no
+    lineage to recompute from.  ``None`` entries and release failures
+    are ignored (best-effort memory hygiene, never correctness).
+    """
+    for df in checkpointed:
+        if df is None:
+            continue
+        try:
+            df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            pass

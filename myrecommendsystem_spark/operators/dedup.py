@@ -172,32 +172,58 @@ def minhash_near_duplicates(
 # graph takes the distributed loop.  The distributed loop costs ~4 jobs
 # per round (join, min, checkpoint, fixpoint count) — pure scheduling
 # overhead on a clump graph with a few thousand edges (measured ~4 s per
-# closure at sf0.1 vs ~0.3 s in-memory).  The venue CANNOT change the
-# answer: (id, min reachable id) is a graph property, and the numpy loop
-# converges to the identical fixpoint the relational loop does.
+# closure at sf0.1 vs ~0.3 s in-memory).  The venue cannot change a
+# CONVERGED answer — (id, min reachable id) is a graph property — but the
+# distributed loop truncates at ``max_iter`` rounds while the in-memory
+# loop always converges (pointer jumping, O(log V) rounds), so on a
+# >cap-edge graph with diameter > ``max_iter`` the distributed labels
+# can be unconverged where the driver path's never are (round-8 ADVICE).
 _DRIVER_PAIR_CAP = 5_000_000
 
 
 def _components_inmem(src, dst) -> "tuple":
-    """Vectorized min-label propagation over (src, dst) id arrays →
-    (ids, comps).  Same arithmetic as the distributed loop: per round,
-    every node's label becomes min(own, min over in-neighbors); stops at
-    fixpoint.  Ids are handled via sorted-unique + searchsorted exactly
-    like graph._pagerank_inmem (dtype-agnostic)."""
+    """Vectorized FastSV (Shiloach-Vishkin with stochastic + aggressive
+    hooking and shortcutting — Zhang/Azad/Hu, "FastSV", and Kiveris et
+    al.'s star-contraction family) over (src, dst) id arrays → (ids,
+    comps).  Plain one-hop min-label propagation moves a label one hop
+    per round — a 5M-edge CHAIN would need millions of O(E) rounds, the
+    round-8 ADVICE hang.  FastSV hooks each vertex (and its parent)
+    under its neighbor's GRANDPARENT and then shortcuts the parent
+    forest, contracting tree depth geometrically: O(log V) rounds on any
+    graph shape (a 200k chain converges in ~20 regardless of id order).
+    Parents only decrease and stay within the component, so the fixpoint
+    labels every vertex with its component's minimum id — the same
+    answer the distributed loop converges to.  Ids are handled via
+    sorted-unique + searchsorted exactly like graph._pagerank_inmem
+    (dtype-agnostic)."""
     import numpy as np
 
     ids = np.unique(np.concatenate([src, dst]))
     s = np.searchsorted(ids, src)
     d = np.searchsorted(ids, dst)
-    comp = np.arange(len(ids))
-    while True:
-        new = comp.copy()
-        np.minimum.at(new, d, comp[s])
-        np.minimum.at(new, s, comp[d])
-        if (new == comp).all():
-            break
-        comp = new
-    return ids, ids[comp]
+    f = np.arange(len(ids))
+    # explicit monotone-progress bound (round-8 ADVICE: never spin
+    # unbounded): geometric contraction converges in ≤ ~log2(V) + small
+    # constant rounds; 128 covers any representable V with huge margin
+    for _ in range(128):
+        fold = f.copy()
+        gf = fold[fold]
+        # stochastic hooking: parent(u) hooks under grandparent(v)
+        np.minimum.at(f, fold[s], gf[d])
+        np.minimum.at(f, fold[d], gf[s])
+        # aggressive hooking: u itself hooks under grandparent(v)
+        np.minimum.at(f, s, gf[d])
+        np.minimum.at(f, d, gf[s])
+        # shortcutting: u hooks under its own grandparent
+        f = np.minimum(f, gf)
+        if (f == fold).all():
+            # compress the converged star forest to its roots
+            while True:
+                g = f[f]
+                if (g == f).all():
+                    return ids, ids[f]
+                f = g
+    raise AssertionError("components_inmem failed to converge in 128 rounds")
 
 
 def connected_components(
@@ -218,7 +244,10 @@ def connected_components(
 
     Pair graphs at or under ``_DRIVER_PAIR_CAP`` edges run the identical
     propagation in numpy off one Arrow fetch (round 8) — see the cap's
-    comment; the result is venue-independent by construction.
+    comment; both venues converge to the same fixpoint, but only the
+    driver path is guaranteed to REACH it on any shape (pointer jumping)
+    — the distributed loop stops after ``max_iter`` rounds, i.e. graphs
+    over the cap with diameter > ``max_iter`` may come back unconverged.
 
     This is the step that turns near-dup PAIRS into dedup DECISIONS:
     survivors = min id per component (transitive closure), matching the

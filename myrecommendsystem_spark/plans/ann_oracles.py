@@ -383,6 +383,18 @@ def rag_report_oracle(sf_dir: str) -> str:
     t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     rows = []
     for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        # The SQL twin hashes per-CHARACTER codepoints (ord over
+        # regexp_split_to_array) while text.hash_embed_one hashes the
+        # utf-8 BYTE stream — identical only while the corpus is pure
+        # ASCII (true for the committed testdata; same contract the
+        # doc_cdc_chunks oracle leans on).  Fail loudly at oracle-build
+        # time instead of as a mysterious red hash (round-8 ADVICE).
+        if text is not None and not text.isascii():
+            raise ValueError(
+                f"rag oracle: non-ASCII text in doc_id={did} at {sf_dir} "
+                "breaks the codepoint==byte contract between the SQL "
+                "twin and text.hash_embed_one"
+            )
         data = (text or "").encode("utf-8")
         cuts = cdc_cut_points(data)
         for ci in range(len(cuts) - 1):

@@ -46,8 +46,13 @@ ratings AS (
 # contract runs Spark and DuckDB side-by-side at sf0.01).  Data-dependent
 # lazy oracles (see plans/ann_oracles.py) train their inlined constants
 # from this directory when the driver calls oracle_sql(); local replays
-# resolve at their own sf_dir instead (resolve_oracle).
-DRIVER_ORACLE_SF_DIR = "/root/testdata/sf0.01"
+# resolve at their own sf_dir instead (resolve_oracle).  Overridable for
+# hosts with the testdata elsewhere (round-8 ADVICE).
+import os as _os
+
+DRIVER_ORACLE_SF_DIR = _os.environ.get(
+    "DRIVER_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+)
 
 
 def resolve_oracle(oracle, sf_dir: str) -> str | None:
@@ -703,12 +708,29 @@ def all_queries() -> dict[str, Builder]:
 
 def all_oracle_sql() -> dict[str, str]:
     """Driver contract: plain SQL strings, lazy oracles resolved at the
-    driver's sf0.01 (the only scale the driver compares at)."""
-    return {
-        spec.name: resolve_oracle(spec.oracle, DRIVER_ORACLE_SF_DIR)
-        for spec in _ordered()
-        if spec.oracle is not None
-    }
+    driver's sf0.01 (the only scale the driver compares at; path
+    overridable via $DRIVER_ORACLE_SF_DIR).
+
+    A lazy oracle that fails to resolve — testdata missing/empty on this
+    host — degrades THAT entry to rows-only (omitted here, exactly as if
+    ``oracle=None``) instead of poisoning the whole enumeration: one
+    unreadable file must not turn every gated query red (round-8
+    ADVICE)."""
+    out: dict[str, str] = {}
+    for spec in _ordered():
+        if spec.oracle is None:
+            continue
+        try:
+            out[spec.name] = resolve_oracle(spec.oracle, DRIVER_ORACLE_SF_DIR)
+        except Exception as exc:  # noqa: BLE001 — degrade, don't poison
+            import sys
+
+            print(
+                f"all_oracle_sql: {spec.name} degraded to rows-only "
+                f"(lazy oracle failed to resolve: {exc})",
+                file=sys.stderr,
+            )
+    return out
 
 
 # ---------------------------------------------------------------------------

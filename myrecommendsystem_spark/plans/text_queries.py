@@ -744,14 +744,21 @@ def embedding_cross_corpus_near(
     base, bands = prep
     bands = bands.localCheckpoint(eager=True)
     is_new = F.col("id") % 5 == 0
-    return similarity.hp_cross_pairs_from_prepared(
+    out = similarity.hp_cross_pairs_from_prepared(
         base.filter(is_new),
         bands.filter(is_new),
         base.filter(~is_new),
         bands.filter(~is_new),
         threshold=0.35,
         max_bucket=1000,
-    )
+    ).localCheckpoint(eager=True)
+    # the (small, thresholded) result is materialized — release the
+    # corpus-sized signature checkpoint instead of pinning it for the
+    # session (round-8 ADVICE; eager_release discipline)
+    from myrecommendsystem_spark.functions.caching import release_checkpoint
+
+    release_checkpoint(bands)
+    return out
 
 
 @register(

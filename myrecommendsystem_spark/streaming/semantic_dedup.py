@@ -36,6 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from myrecommendsystem_spark.functions.caching import release_checkpoint
 from myrecommendsystem_spark.operators import similarity
 from myrecommendsystem_spark.operators.dedup import connected_components
 
@@ -136,6 +137,7 @@ def incremental_semantic_survivors(
     spark = batches[0].sparkSession
     surv: DataFrame | None = None  # (vec_id, arrived_batch)
     surv_base = surv_bands = None  # signed survivor relations
+    surv_is_ckpt = False  # surv is lazy until the second contributing step
     for b, batch in enumerate(batches):
         prep = similarity._hp_prepare(
             batch, n_bits, band_bits, "vec_id", "embedding", "hp"
@@ -147,7 +149,8 @@ def incremental_semantic_survivors(
         # self-pair join, and the survivor accumulation — uncheckpointed,
         # each consumer re-ran the 16x64 sign fold (measured 3 runs of
         # the cross pipeline per step through the checkpoint lineages)
-        bands = bands.localCheckpoint(eager=True)
+        bands = step_bands = bands.localCheckpoint(eager=True)
+        matched = None
         if surv_base is not None:
             matched = (
                 similarity.hp_cross_pairs_from_prepared(
@@ -175,20 +178,49 @@ def incremental_semantic_survivors(
             F.col("id").alias("vec_id"),
             F.lit(b).cast("int").alias("arrived_batch"),
         )
-        surv = fresh if surv is None else surv.unionByName(fresh)
-        surv_base = (
-            keep_base
-            if surv_base is None
-            else surv_base.unionByName(keep_base).localCheckpoint(eager=True)
-        )
+        prev_surv, prev_base, prev_bands = surv, surv_base, surv_bands
+        first = surv_base is None
+        if first:
+            # fresh stays lazy over keep_base — the accumulator itself;
+            # nothing to retire yet
+            surv = fresh
+            surv_base = keep_base
+        else:
+            # the step's keep_base folds into BOTH new checkpoints below,
+            # after which it (and the superseded accumulators) is dead
+            surv = surv.unionByName(fresh).localCheckpoint(eager=True)
+            surv_base = surv_base.unionByName(keep_base).localCheckpoint(
+                eager=True
+            )
         surv_bands = (
             keep_bands
             if surv_bands is None
             else surv_bands.unionByName(keep_bands)
         ).localCheckpoint(eager=True)
+        # every step output is materialized now → free the superseded
+        # accumulator checkpoints and the step-local ones (round-8
+        # ADVICE: without this, pinned block storage grows per batch).
+        # prev_surv is only a checkpoint from the second union on — at
+        # step 1 it is the lazy fresh_0 (skip; release is ckpt-only).
+        release_checkpoint(step_bands, matched)
+        if not first:
+            release_checkpoint(prev_base, prev_bands, keep_base)
+            if surv_is_ckpt:
+                release_checkpoint(prev_surv)
+            surv_is_ckpt = True
     if surv is None:
         return spark.createDataFrame([], "vec_id bigint, arrived_batch int")
-    return surv.select("vec_id", "arrived_batch").orderBy("vec_id")
+    # materialize the result, then release the final accumulators — the
+    # only blocks that outlive the call are the (small) result's own
+    out = (
+        surv.select("vec_id", "arrived_batch")
+        .orderBy("vec_id")
+        .localCheckpoint(eager=True)
+    )
+    release_checkpoint(surv_bands, surv_base)
+    if surv_is_ckpt:  # surv itself is a checkpoint after ≥2 steps
+        release_checkpoint(surv)
+    return out
 
 
 def run_semantic_dedup_stream(

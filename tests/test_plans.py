@@ -501,6 +501,29 @@ def test_two_digit_round_artifacts_are_parsed(tmp_path):
     assert target not in win
 
 
+def test_oracle_enumeration_degrades_per_entry_not_globally(monkeypatch):
+    """Round-8 ADVICE: a lazy (data-dependent) oracle that cannot resolve
+    — testdata dir missing on this host — must degrade only ITS entry to
+    rows-only, never poison the whole ``all_oracle_sql()`` map.  With the
+    resolution dir pointed at a nonexistent path, every static-SQL entry
+    must still enumerate and every lazy entry must be dropped (not
+    raised); the dir is env-overridable for hosts with data elsewhere."""
+    lazy = {s.name for s in registry.REGISTRY if callable(s.oracle)}
+    static = {
+        s.name
+        for s in registry.REGISTRY
+        if s.oracle is not None and not callable(s.oracle)
+    }
+    assert lazy, "expected data-dependent lazy oracles in the registry"
+    monkeypatch.setattr(
+        registry, "DRIVER_ORACLE_SF_DIR", "/nonexistent/sfX"
+    )
+    got = registry.all_oracle_sql()  # pre-fix: raised FileNotFoundError
+    assert static <= set(got)
+    assert not (lazy & set(got))
+    assert all(isinstance(v, str) for v in got.values())
+
+
 def test_red_hash_queries_are_rescheduled(tmp_path):
     """Round-7 ADVICE (medium): a gated query whose only driver rows are
     hash-RED (rows exist, not ``no_oracle``, never hash-green) must be

@@ -73,6 +73,30 @@ def test_batch_fold_accumulates_with_arrival_tags(spark):
     ]
 
 
+def test_batch_fold_releases_superseded_checkpoints(spark):
+    """Round-8 ADVICE: the fold re-checkpoints its survivor accumulators
+    every batch — the SUPERSEDED checkpoints must be unpersisted, or
+    pinned block storage grows linearly with the batch count.  Pin the
+    post-fold persisted-RDD count to the pre-fold baseline plus the
+    materialized result itself, across enough batches that a leak (≳4
+    pinned RDDs per extra batch pre-fix) is unmistakable."""
+
+    def _pinned() -> int:
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    spark.sparkContext._jvm.System.gc()
+    before = _pinned()
+    batches = [_df(spark, _BATCH1), _df(spark, _BATCH2)] * 3
+    out = incremental_semantic_survivors(batches)
+    assert [r.vec_id for r in out.collect()] == [1, 3, 11]
+    # the result's own checkpoint (and nothing per-batch) may remain;
+    # connected_components' internal driver-path fetch pins nothing
+    assert _pinned() <= before + 2, (
+        f"pinned RDDs grew {before} -> {_pinned()} across "
+        f"{len(batches)} batches: superseded fold checkpoints leaked"
+    )
+
+
 def test_streaming_maintenance_end_to_end(spark, tmp_path):
     """File source → gate → self-dedup → upsert_by_key survivor table,
     two sequential availableNow runs sharing one checkpoint (the second

@@ -322,6 +322,29 @@ def test_connected_components_matches_transitive_closure(spark):
     }
 
 
+def test_components_inmem_long_chain_converges_fast():
+    """Round-8 ADVICE (medium): a chain-shaped pair graph is the worst
+    case for plain min-label propagation (one hop per round — a long
+    chain under the 5M-edge driver cap would effectively hang).  The
+    pointer-jumping loop must converge in O(log V) rounds and still
+    return the exact min-label answer: every node labelled with the
+    chain's minimum id."""
+    import numpy as np
+
+    from myrecommendsystem_spark.operators.dedup import _components_inmem
+
+    n = 200_000  # chain a0~a1~...~a_n: diameter n, far past any hop budget
+    src = np.arange(n, dtype=np.int64)
+    dst = src + 1
+    ids, comps = _components_inmem(src, dst)  # raises after 128 rounds
+    assert len(ids) == n + 1
+    assert (comps == 0).all()
+    # shuffled ids exercise the searchsorted remap under jumping too
+    perm = np.random.default_rng(7).permutation(n + 1) * 13 + 5
+    ids2, comps2 = _components_inmem(perm[src], perm[dst])
+    assert (comps2 == perm.min()).all()
+
+
 def test_dedup_near_survivors_transitive(spark):
     """A~B and B~C near-dups (A and C differ more) must still collapse to
     ONE survivor via the component step."""
