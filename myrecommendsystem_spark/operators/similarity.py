@@ -1429,28 +1429,64 @@ def pca_covariance(
     return n, mean, cov
 
 
-def pca_spectrum(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    """Eigen-spectrum of the embedding covariance: one row per principal
-    component — eigenvalue, explained-variance ratio, cumulative ratio,
-    and the dimension with the largest |loading| (sign-free, so the
-    eigenvector sign ambiguity cannot leak into the output).
-
-    The eigendecomposition runs on the driver over the d×d covariance —
-    O(d^3) with d=64, O(1) in corpus size — exactly how Spark MLlib's
-    own ``RowMatrix.computePrincipalComponents`` does it.
-    """
-    if df.isEmpty():
-        return _empty_frame(
-            df,
-            "component int, eigenvalue double, explained_var double, "
-            "cum_explained double, top_dim int, top_loading_abs double",
-        )
-    spark = df.sparkSession
-    n, _mean, cov = pca_covariance(df, vec_col)
+def pca_fit_mat(mat: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(mean, eigenvalues desc ≥0, eigenvectors as columns) of the
+    unbiased sample covariance of a RAW (n, d) float64 matrix — the PURE
+    numpy fit shared by the Spark path (:func:`fit_pca_sample`) and the
+    DuckDB-oracle twin (plans/ann_oracles.py), the ``kmeans_fit_mat``
+    discipline applied to PCA (round 9): same rows + same single-call
+    numpy reductions ⇒ bit-identical basis in both engines.  (The
+    DISTRIBUTED covariance (:func:`pca_covariance`) cannot be gated this
+    way: partition-order summation noise rotates eigenvectors freely
+    wherever the spectrum is near-degenerate.)"""
+    n = len(mat)
+    mean = mat.sum(axis=0) / n
+    c = mat - mean
+    cov = (c.T @ c) / max(n - 1, 1)
     evals, evecs = np.linalg.eigh(cov)
     order = np.argsort(evals)[::-1]
-    evals = np.clip(evals[order], 0.0, None)
-    evecs = evecs[:, order]
+    return mean, np.clip(evals[order], 0.0, None), evecs[:, order]
+
+
+def fit_pca_sample(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_train: int = 100_000,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Deterministic bounded-sample PCA fit → (mean, evals, evecs).
+
+    The fit_ivf_centroids discipline: a hash-keyed ≤``max_train``
+    deterministic sample (same rows at any parallelism), collected in
+    id order so the driver-side numpy fit is bit-reproducible outside
+    Spark — O(1) in corpus size at 100 TB while projection stays fully
+    distributed.  RAW vectors: PCA mean-centers, it does not normalize.
+    """
+    if df.isEmpty():
+        raise ValueError("fit_pca_sample: empty input — nothing to fit")
+    raw = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    n = raw.count()
+    if n > max_train:
+        from myrecommendsystem_spark.operators.sampling import sample_fraction
+
+        raw = sample_fraction(raw, "id", max_train / n, salt="pca")
+    mat = np.array(
+        [r.vec for r in raw.orderBy("id").collect()], dtype=np.float64
+    )
+    return pca_fit_mat(mat)
+
+
+def pca_spectrum_rows(
+    evals: np.ndarray, evecs: np.ndarray
+) -> list[tuple]:
+    """Spectrum output rows from a fitted basis — shared by the Spark
+    builder and the oracle generator so the inlined per-component
+    constants (top_dim, top_loading_abs) are literally the same values.
+    Rounding is the round_stable (+eps) convention: the SQL twin
+    recomputes eigenvalue/explained/cum from the DATA (projection
+    variance onto the inlined eigenvectors), so both sides must land on
+    the same side of every rounding boundary."""
+    eps = 10.0 ** -11  # functions.compat._eps(6)
     total = float(evals.sum()) or 1.0
     cum = 0.0
     rows = []
@@ -1459,15 +1495,43 @@ def pca_spectrum(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
         rows.append(
             (
                 i + 1,
-                round(float(lam), 6),
-                round(float(lam) / total, 6),
-                round(cum, 6),
+                round(float(lam) + eps, 6),
+                round(float(lam) / total + eps, 6),
+                round(cum + eps, 6),
                 int(np.argmax(np.abs(evecs[:, i]))),
-                round(float(np.max(np.abs(evecs[:, i]))), 6),
+                round(float(np.max(np.abs(evecs[:, i]))) + eps, 6),
             )
         )
+    return rows
+
+
+def pca_spectrum(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Eigen-spectrum of the embedding covariance: one row per principal
+    component — eigenvalue, explained-variance ratio, cumulative ratio,
+    and the dimension with the largest |loading| (sign-free, so the
+    eigenvector sign ambiguity cannot leak into the output).
+
+    The basis comes from :func:`fit_pca_sample` — a bounded
+    deterministic sample, O(1) driver work in corpus size (the faiss
+    quantizer-training shape; at 100 TB the spectrum is estimated from
+    ≤100k rows exactly like the IVF/PQ codebooks).  That determinism is
+    what makes this DuckDB-gateable (plans/ann_oracles.pca_spectrum_
+    oracle): the oracle inlines the eigenvectors and re-derives each
+    eigenvalue from the data as the projection variance.  The fully
+    distributed covariance remains available as :func:`pca_covariance`
+    for exact-spectrum runs."""
+    if df.isEmpty():
+        return _empty_frame(
+            df,
+            "component int, eigenvalue double, explained_var double, "
+            "cum_explained double, top_dim int, top_loading_abs double",
+        )
+    spark = df.sparkSession
+    _mean, evals, evecs = fit_pca_sample(df, id_col=id_col, vec_col=vec_col)
     return spark.createDataFrame(
-        rows,
+        pca_spectrum_rows(evals, evecs),
         "component int, eigenvalue double, explained_var double, "
         "cum_explained double, top_dim int, top_loading_abs double",
     )
@@ -1515,18 +1579,18 @@ def pca_topk(
     dominant variance), so reduced-space top-N recall is high when the
     spectrum decays — the property pca_spectrum measures first.
 
-    Scale: covariance + eigh are O(d^2)-driver (pca_covariance);
-    projection is one map-only Arrow pass; the reduced-space scan
-    moves r-dim vectors only; the re-rank tail is the shared bounded
-    numpy pass.
+    Scale: the basis is a bounded-sample deterministic driver fit
+    (fit_pca_sample — O(1) in corpus size, and what makes the search
+    DuckDB-gateable with inlined components, round 9); projection is
+    one map-only Arrow pass; the reduced-space scan moves r-dim vectors
+    only; the re-rank tail is the shared bounded numpy pass.
     """
     if corpus.isEmpty():
         return _empty_frame(
             corpus, "query_id bigint, vec_id bigint, score double, rnk int"
         )
-    _n, mean, cov = pca_covariance(corpus, vec_col)
-    evals, evecs = np.linalg.eigh(cov)
-    comps = evecs[:, np.argsort(evals)[::-1]][:, :n_components].T
+    mean, _evals, evecs = fit_pca_sample(corpus, id_col, vec_col)
+    comps = evecs[:, :n_components].T
     red_c = pca_project(corpus, comps, mean, vec_col, out_col="red").select(
         F.col(id_col).alias("id"), "red"
     )
@@ -1551,7 +1615,10 @@ def pca_topk(
             mat = mat / np.maximum(
                 np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
             )
-            sims = mat @ q_norm.T  # (batch, Q)
+            # 4-dp convention (ann_oracles): the rounded score + vec_id
+            # tie-break make the shortlist cut deterministic, so the SQL
+            # twin replays it exactly
+            sims = np.round(mat @ q_norm.T, 4)  # (batch, Q)
             ids = pdf["id"].to_numpy(dtype=np.int64)
             out = {
                 "query_id": np.repeat(q_ids, len(ids)),

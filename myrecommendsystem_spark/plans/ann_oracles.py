@@ -89,6 +89,27 @@ def _train_matrix(sf_dir: str, salt: str, max_train: int = 100_000) -> np.ndarra
     return mat
 
 
+@lru_cache(maxsize=8)
+def _raw_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, RAW float64 rows sorted by vec_id) — the pyarrow twin of
+    fit_pca_sample's training collect (PCA mean-centers, it does not
+    normalize — contrast _unit_matrix)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = t["vec_id"].to_numpy()
+    order = np.argsort(ids, kind="stable")
+    return ids[order], np.array(t["embedding"].to_pylist(), dtype=np.float64)[
+        order
+    ]
+
+
+def _lit1(a: np.ndarray) -> str:
+    return "[" + ",".join(repr(float(x)) for x in a) + "]"
+
+
 def _lit2(a: np.ndarray) -> str:
     return (
         "["
@@ -492,4 +513,150 @@ cells AS (
 )
 SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_vectors
 FROM cells GROUP BY cluster_id ORDER BY cluster_id
+"""
+
+
+@lru_cache(maxsize=8)
+def pca_spectrum_oracle(sf_dir: str) -> str:
+    """DuckDB twin of plans/text_queries.embedding_pca_spectrum
+    (similarity.pca_spectrum over the fit_pca_sample basis, round 9).
+
+    The generator runs the SAME shared fit (pca_fit_mat on the
+    bit-identical raw matrix) and inlines the EIGENVECTORS; the SQL then
+    re-derives every eigenvalue FROM THE DATA as the unbiased variance
+    of the projection onto that eigenvector — the textbook identity
+    λ_i = Var(e_iᵀx) — plus explained/cumulative ratios from the
+    SQL-side sums.  Only top_dim / top_loading_abs (pure functions of
+    the inlined basis) ride along as literals, via the shared
+    pca_spectrum_rows so the rounding convention is identical.
+    Projection variance is centering-invariant, so the SQL skips the
+    mean subtraction the Spark fit performs."""
+    from myrecommendsystem_spark.operators.similarity import (
+        pca_fit_mat,
+        pca_spectrum_rows,
+    )
+
+    ids, mat = _raw_matrix(sf_dir)
+    if len(ids) == 0:
+        raise ValueError(f"pca oracle: no embeddings at {sf_dir}")
+    if len(ids) > 100_000:
+        # past the fit's sample cap the SQL population (all rows) would
+        # diverge from the fit population (the hash sample) — refuse
+        # loudly; every committed sf is far below the cap
+        raise ValueError(
+            f"pca oracle: {len(ids)} rows exceeds the 100k fit sample cap"
+        )
+    _mean, evals, evecs = pca_fit_mat(mat)
+    rows = pca_spectrum_rows(evals, evecs)
+    d = evecs.shape[0]
+    vals = ",\n  ".join(
+        f"({comp}, {_lit1(evecs[:, comp - 1])}::DOUBLE[], {td}, {tl!r})"
+        for comp, _lam, _ev, _cum, td, tl in rows
+    )
+    eps = 10.0 ** -11  # compat._eps(6) — pca_spectrum_rows convention
+    return f"""
+WITH comps(component, evec, top_dim, top_loading_abs) AS (VALUES
+  {vals}
+),
+emb AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+proj AS (
+  SELECT c.component, c.top_dim, c.top_loading_abs,
+         list_sum([ e.v[i] * c.evec[i]
+                    for i in generate_series(1, {d}) ]) AS p
+  FROM emb e CROSS JOIN comps c
+),
+var AS (
+  SELECT component, top_dim, top_loading_abs,
+         GREATEST(
+           (SUM(p*p) - COUNT(*) * AVG(p) * AVG(p)) / (COUNT(*) - 1),
+           0.0) AS lam
+  FROM proj GROUP BY 1, 2, 3
+),
+tot AS (SELECT CASE WHEN SUM(lam) = 0 THEN 1.0 ELSE SUM(lam) END AS t
+        FROM var)
+SELECT CAST(component AS INTEGER) AS component,
+       ROUND(lam + {eps!r}, 6) AS eigenvalue,
+       ROUND(lam / t + {eps!r}, 6) AS explained_var,
+       ROUND(SUM(lam / t) OVER (ORDER BY component) + {eps!r}, 6)
+           AS cum_explained,
+       CAST(top_dim AS INTEGER) AS top_dim,
+       CAST(top_loading_abs AS DOUBLE) AS top_loading_abs
+FROM var CROSS JOIN tot
+ORDER BY component
+"""
+
+
+@lru_cache(maxsize=8)
+def pca_topk_oracle(sf_dir: str) -> str:
+    """DuckDB twin of plans/text_queries.ann_topk_pca
+    (similarity.pca_topk, n_components=32, k=5, shortlist_factor=8):
+    inlined mean + top-32 components from the shared deterministic fit,
+    then every SEARCH stage replayed in SQL — center+project, reduced
+    unit-cosine (4-dp, vec_id tie-break — the kernel's np.round
+    convention), per-query top-40 shortlist, exact unit-dot re-rank on
+    TRUE vectors, top-5."""
+    from myrecommendsystem_spark.operators.similarity import pca_fit_mat
+
+    n_components, k, shortlist = 32, 5, 40
+    ids, mat = _raw_matrix(sf_dir)
+    if len(ids) == 0:
+        raise ValueError(f"pca oracle: no embeddings at {sf_dir}")
+    if len(ids) > 100_000:
+        raise ValueError(
+            f"pca oracle: {len(ids)} rows exceeds the 100k fit sample cap"
+        )
+    mean, _evals, evecs = pca_fit_mat(mat)
+    comps = evecs[:, :n_components].T  # (r, d)
+    d = comps.shape[1]
+    return f"""
+WITH pc AS (SELECT {_lit2(comps)}::DOUBLE[][] AS pm,
+                   {_lit1(mean)}::DOUBLE[] AS mu),
+{_U_CTE},
+red AS MATERIALIZED (
+  SELECT vec_id,
+         [ list_sum([ (v[s] - mu[s]) * pm[c][s]
+                      for s in generate_series(1, {d}) ])
+           for c in generate_series(1, {n_components}) ] AS r
+  FROM emb CROSS JOIN pc
+),
+rn AS MATERIALIZED (
+  SELECT vec_id,
+         [x / GREATEST(sqrt(list_sum([y*y for y in r])), 1e-12)
+          for x in r] AS rv
+  FROM red
+),
+qs AS (SELECT vec_id AS query_id, rv AS qv FROM rn WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         ROUND(list_sum([ c.rv[i] * q.qv[i]
+                          for i in generate_series(1, {n_components}) ]),
+               4) AS red_score
+  FROM rn c CROSS JOIN qs q
+  WHERE c.vec_id != q.query_id
+),
+shortlist AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY red_score DESC, vec_id
+           ) AS srnk
+    FROM scored)
+  WHERE srnk <= {shortlist}
+),
+exact AS (
+  SELECT s.query_id, s.vec_id,
+         ROUND(list_sum([cu.uv[i] * qu.uv[i]
+                         for i in generate_series(1, len(qu.uv))]), 4)
+             AS score
+  FROM shortlist s
+  JOIN u cu ON cu.vec_id = s.vec_id
+  JOIN u qu ON qu.vec_id = s.query_id
+)
+SELECT query_id, vec_id, score, rnk FROM (
+  SELECT query_id, vec_id, score,
+         CAST(ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY score DESC, vec_id
+         ) AS INTEGER) AS rnk
+  FROM exact)
+WHERE rnk <= {k}
 """

@@ -2141,17 +2141,21 @@ def corpus_drift_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_pca_spectrum",
-    None,  # eigendecomposition — not SQL-expressible; numerics pinned
-    # against numpy full-matrix PCA in tests/test_analytics_round4d.py
-    doc="distributed PCA spectrum of the embedding covariance "
-    "(operators/similarity.pca_spectrum): executors emit O(d^2) Arrow "
-    "partials (count, sum, sum-of-outer-products) per partition, one "
-    "grouped sum reduces them, the driver eigendecomposes the d x d "
-    "covariance — O(1) driver work in corpus size, the RowMatrix./"
-    "tall-skinny shape.  Output per component: eigenvalue, explained "
-    "variance, cumulative, argmax-|loading| dim (sign-free).  The "
-    "corpus-QA pass that detects collapsed/anisotropic embedding "
-    "spaces before an ANN index or clustering run",
+    # hash-gated since round 9: the basis is a deterministic
+    # bounded-sample fit (fit_pca_sample — the quantizer discipline), so
+    # the oracle inlines the eigenvectors and re-derives each eigenvalue
+    # FROM THE DATA as the projection variance
+    ann_oracles.pca_spectrum_oracle,
+    doc="PCA spectrum of the embedding covariance "
+    "(operators/similarity.pca_spectrum): basis from a bounded "
+    "deterministic sample (≤100k rows, hash-keyed — O(1) driver fit in "
+    "corpus size, the faiss quantizer-training shape; the fully "
+    "distributed covariance stays available as pca_covariance), driver "
+    "eigendecomposes the d x d covariance.  Output per component: "
+    "eigenvalue, explained variance, cumulative, argmax-|loading| dim "
+    "(sign-free).  The corpus-QA pass that detects "
+    "collapsed/anisotropic embedding spaces before an ANN index or "
+    "clustering run",
     defer=True,
 )
 def embedding_pca_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2480,8 +2484,12 @@ def doc_compression_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_topk_pca",
-    None,  # eigendecomposition-based reduction — rows-only; recall vs
-    # the exact brute-force path asserted in tests/test_analytics_round4d.py
+    # hash-gated since round 9: inlined mean + top-32 components from
+    # the deterministic bounded-sample fit; projection, reduced cosine,
+    # shortlist, and exact re-rank all replay in SQL
+    # (plans/ann_oracles.pca_topk_oracle); recall vs the exact
+    # brute-force path additionally asserted in tests
+    ann_oracles.pca_topk_oracle,
     doc="dimension-reduced ANN (operators/similarity.pca_topk): search "
     "in the top-32 PCA subspace (halved floats; the synthetic corpus "
     "spectrum is deliberately flat — cum-EVR(32)=0.65 — so the config "
