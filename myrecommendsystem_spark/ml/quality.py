@@ -3,164 +3,171 @@
 The production pattern behind fastText-style quality/language filters
 (GPT-3 §2.2 "quality classifier", CCNet, RedPajama): take WEAK labels
 from a cheap heuristic or a curated subset, train a linear model on
-hashed character-n-gram features, then score the whole corpus with the
+hashed character-bigram features, then score the whole corpus with the
 model and gate on the probability.  The value over the raw heuristic is
 calibration + generalization: the model smooths over individual rule
 misfires and emits a continuous score a pipeline can threshold per use
 case.
 
-Spark shape:
+Spark shape (round 9 — redesigned DuckDB-gateable, the quantizer-fit
+discipline):
 
-- featurization is JVM-side end-to-end: char bigrams via
-  ``sequence``+``transform`` (codegen) feeding MLlib ``HashingTF``
-  (hashing trick — fixed 256-dim vectors, no vocabulary state to ship);
+- featurization is a pure Catalyst expression: char-bigram slots via a
+  31·ord(c1)+ord(c2) mod 256 rolling hash (NOT MurmurHash HashingTF —
+  an engine-internal hash can never be replayed by the SQL oracle; the
+  31/256 slotting is the classic hashing trick with a cross-engine
+  reproducible kernel, the functions/text.hash_embed_one precedent);
 - weak labels come from the existing heuristic language-ID
   (``functions.text.predicted_lang``) — no human labels anywhere;
-- ``LogisticRegression`` fit is MLlib's distributed L-BFGS (the same
-  treeAggregate gradient shape ALS uses), scoring is one ``transform``
-  — model broadcast, corpus never shuffles.
+- the fit is a DETERMINISTIC driver-side IRLS (Newton) logistic
+  regression on a bounded md5-ranked sample — the 100 TB discipline
+  (fit on ≤``max_train`` rows, score everything) and what lets
+  plans/ann_oracles.quality_model_oracle re-train bit-identical weights
+  outside Spark and replay SCORING entirely in SQL;
+- scoring is one codegen expression per document: margin = bias +
+  Σ w[slot(gram)] over the document's bigram stream (the per-occurrence
+  fold equals w·counts without ever materializing the count vector),
+  sigmoid, round-stable.  The weight vector is 257 inlined literals —
+  model broadcast by constant folding, corpus never shuffles.
 
-At 100 TB you fit on a bounded deterministic sample (same discipline as
-the ANN quantizer trainers) and score the full corpus; the fit here
-uses the whole (tiny) table.
+Reference parity note: the reference has no quality model; this is the
+LLM-pipeline extension brief (training-data quality filtering).
 """
 
 from __future__ import annotations
 
-from pyspark.ml.classification import LogisticRegression
-from pyspark.ml.feature import HashingTF
-from pyspark.sql import DataFrame, functions as F
+import numpy as np
+from pyspark.sql import Column, DataFrame, functions as F
 
 from myrecommendsystem_spark.functions import text as TXT
 from myrecommendsystem_spark.functions.compat import round_stable
 
 _N_FEATURES = 256
+_MAX_TRAIN = 20_000
+_REG = 0.01
+_N_ITER = 8
 
 
-def _char_bigrams(col: str) -> F.Column:
-    """Array of character bigrams, JVM-side and O(len) per document:
-    split to chars once, zip the array with its own shift-by-one.  (A
-    per-index ``substr`` of the full string is O(len^2) char copying —
-    measured 2x slower on 300-char docs.)"""
-    s = F.lower(F.trim(F.col(col)))
+def bigram_slots(col: Column) -> Column:
+    """array<int> of hashed char-bigram slots, one entry PER OCCURRENCE:
+    slot = (31·ord(c1) + ord(c2)) mod 256 over lower(trim(text)).  Pure
+    codegen (split + sequence + transform); docs shorter than 2 chars
+    yield an empty array.  The DuckDB twin is the same comprehension
+    over ``regexp_split_to_array``; the numpy fit twin is
+    :func:`bigram_count_mat` (counts of the same slots)."""
+    s = F.lower(F.trim(col))
     cs = F.split(s, "")
     n = F.size(cs)
-    return F.zip_with(
-        F.slice(cs, 1, F.greatest(n - 1, F.lit(1))),
-        F.slice(cs, 2, F.greatest(n - 1, F.lit(1))),
-        lambda a, b: F.concat(a, F.coalesce(b, F.lit(""))),
+    slot = lambda i: (  # noqa: E731 — tiny expression helper
+        F.ascii(F.element_at(cs, i)) * 31 + F.ascii(F.element_at(cs, i + 1))
+    ) % _N_FEATURES
+    return F.when(n >= 2, F.transform(F.sequence(F.lit(1), n - 1), slot)).otherwise(
+        F.array().cast("array<int>")
     )
 
 
-def featurize(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    grams = docs.withColumn("grams", _char_bigrams(text_col))
-    tf = HashingTF(
-        inputCol="grams", outputCol="features", numFeatures=_N_FEATURES
-    )
-    return tf.transform(grams).drop("grams")
+def bigram_count_mat(texts: list[str]) -> np.ndarray:
+    """(n, 256) float64 bigram-count matrix — the pure numpy twin of
+    :func:`bigram_slots` (counts instead of the occurrence stream),
+    shared by the Spark fit path and the oracle generator so both train
+    on bit-identical features.  ``strip(' ')`` mirrors SQL trim (spaces
+    only), matching the Catalyst expression exactly."""
+    X = np.zeros((len(texts), _N_FEATURES))
+    for r, t in enumerate(texts):
+        s = (t or "").lower().strip(" ")
+        for i in range(len(s) - 1):
+            X[r, (ord(s[i]) * 31 + ord(s[i + 1])) % _N_FEATURES] += 1.0
+    return X
 
 
-def train_quality_model(
+def logreg_fit_mat(
+    X: np.ndarray,
+    y: np.ndarray,
+    reg: float = _REG,
+    n_iter: int = _N_ITER,
+) -> tuple[np.ndarray, float]:
+    """(weights, bias) — deterministic L2-regularized logistic regression:
+    zero init, ``n_iter`` full Newton (IRLS) steps, no RNG, no early
+    stop.  The pure numpy fit kernel shared with the oracle generator
+    (the kmeans_fit_mat discipline): same rows in the same order ⇒
+    bit-identical weights in both engines.  λ = reg·n on the weights
+    (the MLlib regParam convention on summed loss), bias unpenalized."""
+    n, d = X.shape
+    Xb = np.hstack([X, np.ones((n, 1))])
+    lam = np.full(d + 1, reg * n)
+    lam[-1] = 0.0
+    w = np.zeros(d + 1)
+    for _ in range(n_iter):
+        z = np.clip(Xb @ w, -30.0, 30.0)
+        p = 1.0 / (1.0 + np.exp(-z))
+        wt = np.maximum(p * (1.0 - p), 1e-6)
+        g = Xb.T @ (y - p) - lam * w
+        H = (Xb * wt[:, None]).T @ Xb + np.diag(lam + 1e-8)
+        w = w + np.linalg.solve(H, g)
+    return w[:-1], float(w[-1])
+
+
+def fit_quality_weights(
     docs: DataFrame,
     text_col: str = "text",
+    id_col: str = "doc_id",
     target_lang: str = "en",
-    max_train: int = 20_000,
-):
-    """Fit LR on weak labels: heuristic language-ID == ``target_lang``.
-
-    Two scale disciplines: the training set is a bounded DETERMINISTIC
-    sample (md5-ranked, like the ANN quantizer trainers — the fit cost
-    is O(max_train), not O(corpus)), and the featurized frame is
-    persisted for the L-BFGS iterations — without the cache every
-    gradient pass re-runs the char-gram featurization (measured 27.6 s
-    → ~3 s at sf0.1).
-    """
-    train = docs.select(text_col)
-    if max_train is not None:
-        train = (
-            train.withColumn("__r", F.md5(F.col(text_col)))
-            .orderBy("__r")
-            .limit(max_train)
-            .drop("__r")
-        )
-    labeled = (
-        featurize(train, text_col)
-        .withColumn(
-            "label",
+    max_train: int = _MAX_TRAIN,
+) -> tuple[np.ndarray, float]:
+    """Train the quality model from weak language-ID labels on a bounded
+    DETERMINISTIC sample: rows ranked by (md5(text), doc_id) — the
+    md5-ranked cut of the ANN quantizer trainers with an explicit id
+    tie-break so duplicate texts cannot reorder across engines — then
+    the shared numpy kernels.  Fit cost is O(max_train), not O(corpus);
+    the collect order IS the fit's float-summation order, so the oracle
+    generator reproduces the weights bit-for-bit."""
+    rows = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.col(text_col).alias("txt"),
             (TXT.predicted_lang(F.col(text_col)) == target_lang)
-            .cast("double"),
+            .cast("double")
+            .alias("label"),
         )
-        .select("features", "label")
-        .persist()
+        .orderBy(F.md5(F.col("txt")), F.col("id"))
+        .limit(max_train)
+        .collect()
     )
-    labeled.count()  # materialize before the iterative fit
-    lr = LogisticRegression(
-        featuresCol="features",
-        labelCol="label",
-        regParam=0.01,
-        maxIter=12,
-    )
-    try:
-        return lr.fit(labeled)
-    finally:
-        labeled.unpersist()
+    if not rows:
+        raise ValueError("fit_quality_weights: empty input")
+    X = bigram_count_mat([r.txt for r in rows])
+    y = np.array([r.label for r in rows], dtype=np.float64)
+    return logreg_fit_mat(X, y)
 
 
 def score_documents(
     docs: DataFrame,
-    model=None,
+    weights: tuple[np.ndarray, float] | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     target_lang: str = "en",
 ) -> DataFrame:
     """(doc_id, weak_label, p_target) for every document.
 
-    ``model=None`` trains on the input itself (the sf-test path); pass a
-    pre-fit model to reproduce the 100 TB sample-fit/full-score split.
-    The self-train path featurizes ONCE: the scored frame is persisted
-    and the training sample is carved out of it, instead of running the
-    char-gram + langid expressions a second time.
-    """
-    feat = featurize(docs, text_col).withColumn(
-        "weak_label",
-        (TXT.predicted_lang(F.col(text_col)) == target_lang).cast("int"),
+    ``weights=None`` fits on the input itself (the sf-test path); pass a
+    pre-fit (w, b) to reproduce the 100 TB sample-fit/full-score split.
+    Scoring never shuffles and never runs Python: the 257 weights are
+    inlined literals, the per-document margin is one codegen fold over
+    the bigram stream, and the output is a map-only projection."""
+    if weights is None:
+        weights = fit_quality_weights(docs, text_col, id_col, target_lang)
+    w, b = weights
+    w_arr = F.array(*[F.lit(float(x)) for x in w])
+    margin = F.aggregate(
+        bigram_slots(F.col(text_col)),
+        F.lit(float(b)),
+        lambda acc, s: acc + F.element_at(w_arr, s + 1),
     )
-    cached = None
-    if model is None:
-        cached = feat.persist()
-        cached.count()
-        # bounded deterministic training sample (same md5-ranked cut as
-        # train_quality_model) — the fit stays O(max_train) even when
-        # scoring the whole corpus
-        labeled = (
-            cached.orderBy(F.md5(F.col(text_col)))
-            .limit(20_000)
-            .select(
-                "features", F.col("weak_label").cast("double").alias("label")
-            )
-        )
-        lr = LogisticRegression(
-            featuresCol="features",
-            labelCol="label",
-            regParam=0.01,
-            maxIter=12,
-        )
-        model = lr.fit(labeled)
-        feat = cached
-    from pyspark.ml.functions import vector_to_array
-
-    p1 = F.element_at(vector_to_array(F.col("probability")), 2).cast("double")
-    out = (
-        model.transform(feat)
-        .select(
-            F.col(id_col).cast("bigint").alias(id_col),
-            "weak_label",
-            round_stable(p1, 4).alias("p_target"),
-        )
-        .orderBy(id_col)
-    )
-    if cached is not None:
-        from myrecommendsystem_spark.functions.caching import eager_release
-
-        return eager_release(out, cached).orderBy(id_col)
-    return out
+    p1 = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+    return docs.select(
+        F.col(id_col).cast("bigint").alias(id_col),
+        (TXT.predicted_lang(F.col(text_col)) == target_lang)
+        .cast("int")
+        .alias("weak_label"),
+        round_stable(p1, 4).alias("p_target"),
+    ).orderBy(id_col)

@@ -660,3 +660,102 @@ SELECT query_id, vec_id, score, rnk FROM (
   FROM exact)
 WHERE rnk <= {k}
 """
+
+
+def _langid_ctes() -> str:
+    """The doc_lang_id oracle's CTE chain + a weak-label projection —
+    shared text so the quality-model twin labels documents with the
+    EXACT SQL the (hash-green) doc_lang_id gate verifies."""
+    from myrecommendsystem_spark.plans.text_queries import _LEX_VALUES
+
+    return rf"""
+lex(lang, tok) AS (VALUES {_LEX_VALUES}),
+toks AS (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+    FROM documents
+),
+hits AS (
+    SELECT doc_id, lang, COUNT(*) AS cnt
+    FROM toks JOIN lex USING (tok)
+    GROUP BY doc_id, lang
+),
+best AS (
+    SELECT doc_id, lang,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, lang) AS r
+    FROM hits
+),
+lab AS (
+    SELECT d.doc_id,
+           CASE WHEN COALESCE(b.lang, 'und') = 'en' THEN 1 ELSE 0 END
+               AS weak_label
+    FROM documents d
+    LEFT JOIN (SELECT doc_id, lang FROM best WHERE r = 1) b USING (doc_id)
+)""".strip()
+
+
+@lru_cache(maxsize=8)
+def quality_model_oracle(sf_dir: str) -> str:
+    """DuckDB twin of plans/text_queries.doc_quality_model_scores
+    (ml/quality.score_documents, round 9).
+
+    The generator re-trains the logistic weights OUTSIDE Spark: weak
+    labels come from DuckDB itself running the hash-green doc_lang_id
+    CTE chain, the fit sample is the same (md5(text), doc_id)-ranked
+    cut, features and Newton steps are the SHARED numpy kernels
+    (quality.bigram_count_mat / logreg_fit_mat) in the same row order —
+    bit-identical (w, b).  The SQL then replays SCORING over every
+    document: hashed-bigram slot stream, margin = bias + Σ w[slot],
+    sigmoid, round-stable — plus the weak label from the same lang-ID
+    chain the Spark side computes with predicted_lang."""
+    import duckdb
+
+    from myrecommendsystem_spark.ml.quality import (
+        _MAX_TRAIN,
+        _N_FEATURES,
+        bigram_count_mat,
+        logreg_fit_mat,
+    )
+
+    ctes = _langid_ctes()
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')"
+        )
+        lab_rows = con.execute(
+            f"WITH {ctes} SELECT d.doc_id, d.text, l.weak_label "
+            "FROM documents d JOIN lab l USING (doc_id)"
+        ).fetchall()
+    finally:
+        con.close()
+    if not lab_rows:
+        raise ValueError(f"quality oracle: no documents at {sf_dir}")
+    sample = sorted(
+        lab_rows,
+        key=lambda r: (hashlib.md5((r[1] or "").encode()).hexdigest(), r[0]),
+    )[:_MAX_TRAIN]
+    X = bigram_count_mat([r[1] for r in sample])
+    y = np.array([float(r[2]) for r in sample], dtype=np.float64)
+    w, b = logreg_fit_mat(X, y)
+    return f"""
+WITH {ctes},
+wv AS (SELECT {_lit1(w)}::DOUBLE[] AS w),
+sl AS (
+  SELECT doc_id,
+         [ (ord(cs[i]) * 31 + ord(cs[i+1])) % {_N_FEATURES}
+           for i in generate_series(1, len(cs) - 1) ] AS slots
+  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '') AS cs
+        FROM documents)
+),
+m AS (
+  SELECT doc_id,
+         {b!r} + COALESCE(list_sum([w[s + 1] for s in slots]), 0.0) AS margin
+  FROM sl CROSS JOIN wv
+)
+SELECT CAST(m.doc_id AS BIGINT) AS doc_id,
+       CAST(l.weak_label AS INTEGER) AS weak_label,
+       ROUND(1.0 / (1.0 + exp(-margin)) + 1e-09, 4) AS p_target
+FROM m JOIN lab l USING (doc_id)
+ORDER BY doc_id
+"""

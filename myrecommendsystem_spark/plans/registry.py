@@ -344,17 +344,25 @@ _DRIVER_WINDOW_R8 = [
 # Round-9 window == ``expected_driver_window(9)`` verbatim.  Tier 1:
 # embedding_incremental_survivors (since=8, the r8 incremental
 # semantic-dedup fold — structurally excluded from its own round's
-# window), already replayed hash-green at sf0.01 locally.  Tiers 2-4
-# (never-verified rows-only / stale-oracle / red-hash) are empty: the
-# whole registry has driver rows and every gated query's latest row is
-# hash-green.  Tier 5 pads with the 49 stalest hash-green re-checks
-# (latest green round ascending, registration order within a round):
-# the r3-green doc_clean_scrub/doc_pack_bins/embedding-stats block,
-# the r4-green relational/stats sweep, then r5-green LLM-corpus
-# entries through stream_recs_batch.
+# window), already replayed hash-green at sf0.01 locally.  Tier 2
+# (never-verified rows-only) and tier 4 (red-hash) are empty.  Tier 3:
+# embedding_pca_spectrum, doc_quality_model_scores, and ann_topk_pca —
+# upgraded rows-only → hash-gated THIS round (r8 verdict item 3: the
+# inlined-constants technique extended to the deterministic
+# bounded-sample PCA basis and the Newton-fit logistic weights) — every
+# prior driver row predates the hash gate, so the rule re-schedules
+# them for hash-green rows.  Tier 5 pads with the 46 stalest hash-green
+# re-checks (latest green round ascending, registration order within a
+# round): the r3-green doc_clean_scrub/doc_pack_bins/embedding-stats
+# block, the r4-green relational/stats sweep, then r5-green LLM-corpus
+# entries through doc_quality_top_half.
 _DRIVER_WINDOW_R9 = [
     # -- tier 1: never driver-verified, oracle-gated (since=8 front) --
     "embedding_incremental_survivors",
+    # -- tier 3: stale-oracle re-checks (rows-only → hash-gated in r9) --
+    "embedding_pca_spectrum",
+    "doc_quality_model_scores",
+    "ann_topk_pca",
     # -- tier 5 padding: stalest hash-green re-checks --
     "doc_clean_scrub",
     "doc_pack_bins",
@@ -402,9 +410,6 @@ _DRIVER_WINDOW_R9 = [
     "doc_decontaminated_survivors",
     "sample_docs_exact_n",
     "doc_quality_top_half",
-    "corpus_drift_terms",
-    "itemcf_similarities",
-    "stream_recs_batch",
 ]
 
 # The window the driver verifies THIS round; tests pin invariants

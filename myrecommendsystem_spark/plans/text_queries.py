@@ -2164,17 +2164,22 @@ def embedding_pca_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_quality_model_scores",
-    None,  # L-BFGS-fit logistic weights are engine-specific — rows-only;
-    # discrimination vs the TRUE lang column (never seen in training)
-    # is asserted in tests/test_analytics_round4d.py (AUC bound)
+    # hash-gated since round 9: deterministic driver-side IRLS fit on a
+    # bounded md5-ranked sample (shared numpy kernels), labels from the
+    # hash-green lang-ID chain run by DuckDB itself, scoring replayed
+    # in SQL against the inlined 257 weights
+    ann_oracles.quality_model_oracle,
     doc="model-based corpus filter (ml/quality.py): logistic regression "
-    "on hashed char-bigram features, trained on WEAK labels from the "
-    "heuristic language-ID, scoring every document with a calibrated "
-    "P(target).  The fastText-classifier deployment shape (GPT-3 "
-    "quality filtering, CCNet): featurization is codegen char-grams + "
-    "MLlib HashingTF (no vocabulary state), the fit is distributed "
-    "L-BFGS, scoring broadcasts the model and never shuffles the "
-    "corpus.  At 100 TB: fit on a bounded sample, score everything",
+    "on hashed char-bigram features (31·ord rolling slots — a "
+    "cross-engine-reproducible hashing trick, not engine-internal "
+    "MurmurHash), trained on WEAK labels from the heuristic "
+    "language-ID, scoring every document with a calibrated P(target).  "
+    "The fastText-classifier deployment shape (GPT-3 quality "
+    "filtering, CCNet): the fit is a deterministic bounded-sample "
+    "Newton solve (the ANN-quantizer discipline — O(max_train) at any "
+    "corpus size), scoring inlines the weights into one codegen fold "
+    "and never shuffles the corpus.  At 100 TB: fit on a bounded "
+    "sample, score everything",
     defer=True,
 )
 def doc_quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
