@@ -216,6 +216,10 @@ HEADLINE: tuple[str, ...] = (
     # driver window — every window-front query has a bench row by the
     # time it earns a driver row)
     "embedding_incremental_survivors",
+    # round-9: media near-dup (dHash through the SimHash banding
+    # pipeline) — the r10 window front, benched on registration
+    "media_near_dup_pairs",
+    "media_dedup_survivors",
     # rag_ingest_pipeline / doc_quality_model_scores intentionally NOT in
     # the headline: both are build/fit-dominated (index build ~7 s, LR
     # fit ~6 s at any sf — amortized once in production); their families

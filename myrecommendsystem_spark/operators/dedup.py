@@ -459,12 +459,33 @@ def simhash_near_duplicates(
     dropped buckets only ever lose pairs the remaining 7 bands can still
     recover unless the docs disagree in every band.
     """
-    bits_per_band = 64 // bands
-    mask = (1 << bits_per_band) - 1
     fp = widen_for_kernel(df).select(
         F.col(id_col).alias("id"),
         TXT.simhash64(F.col(text_col)).alias("fp"),
     )
+    return fingerprint_near_duplicates(fp, max_hamming, bands, max_bucket)
+
+
+def fingerprint_near_duplicates(
+    fp: DataFrame,
+    max_hamming: int,
+    bands: int = 8,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Banded near-dup pairs over ANY (id, fp) 64-bit fingerprint
+    relation → (id_a, id_b, hamming ≤ max_hamming).
+
+    The fingerprint-agnostic tail of :func:`simhash_near_duplicates`
+    (factored round 9 so image dHash reuses the identical pipeline):
+    byte-band bucketing (shiftright & mask), max_bucket skew cap,
+    bucket self-join, ``bit_count(a XOR b)`` verify.  Everything after
+    the fingerprint is codegen; the only shuffle is on
+    (band_idx, band_val).  Note the pigeonhole guarantee (recall 1.0)
+    needs max_hamming < bands; above it the bands are a recall/cost
+    dial exactly like MinHash-LSH banding.
+    """
+    bits_per_band = 64 // bands
+    mask = (1 << bits_per_band) - 1
     banded = fp.select(
         "id",
         "fp",

@@ -43,6 +43,8 @@ RESIZE_SCHEMA = (
 
 FRAME_SCHEMA = "media_id bigint, frame_idx int, frame_checksum bigint"
 
+DHASH_SCHEMA = "media_id bigint, dhash bigint"
+
 _HIST_BINS = 16
 
 
@@ -129,6 +131,60 @@ def image_features(media: DataFrame, bins: int = _HIST_BINS) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.select("media_id", "payload", "meta").mapInPandas(compute, schema)
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """Perceptual difference-hash (dHash) per image → (media_id, dhash).
+
+    The standard near-dup fingerprint for images (pHash family): decode,
+    grayscale, nearest-neighbor resize to 9×8, then one bit per adjacent
+    horizontal pixel pair — bit(r, j) = gray(r, j) < gray(r, j+1) — packed
+    into ONE signed 64-bit integer, most-significant bit first.  Crops,
+    re-encodes, and brightness shifts barely move the bits, so hamming
+    distance ≤ t finds near-duplicate images the way SimHash finds
+    near-duplicate text — and the downstream banding/verify pipeline IS
+    the SimHash one (dedup.fingerprint_near_duplicates).
+
+    Two determinism choices keep this DuckDB-replayable on the stubbed
+    decode (the media_image_features precedent):
+
+    - grayscale is the integer CHANNEL SUM, not the float mean — the
+      compared pixels share a channel count, so the bit is identical,
+      and integer sums are exact in both engines;
+    - the resize grid is the same ``(i·in)//out`` nearest-neighbor rule
+      as :func:`resize_images`.
+
+    One Arrow pass, no shuffle; a real codec swap changes only
+    ``_decode_payload``."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for mid, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                h, w = int(meta["height"]), int(meta["width"])
+                img = _decode_payload(payload, w, h, meta["channels"])
+                g = img.astype(np.int64).sum(axis=2)
+                gg = g[(np.arange(8) * h) // 8][:, (np.arange(9) * w) // 9]
+                bits = (gg[:, :8] < gg[:, 1:9]).reshape(-1)
+                fp = 0
+                for bit in bits:
+                    fp = (fp << 1) | int(bit)
+                if fp >= 1 << 63:  # two's-complement → signed BIGINT
+                    fp -= 1 << 64
+                ids.append(mid)
+                fps.append(fp)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "dhash": pd.Series(fps, dtype="int64"),
+                }
+            )
+
+    return media.select("media_id", "payload", "meta").mapInPandas(
+        compute, DHASH_SCHEMA
+    )
 
 
 def resize_images(media: DataFrame, out_width: int, out_height: int) -> DataFrame:

@@ -188,3 +188,173 @@ def media_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fp")
     )
+
+
+# ---------------------------------------------------------------------------
+# Media NEAR-dup (round 9): perceptual dHash, banded like SimHash
+# ---------------------------------------------------------------------------
+
+_P2 = "[" + ",".join(f"{1 << b}::HUGEINT" for b in range(64)) + "]"
+_P8 = "[" + ",".join(f"{1 << (8 * b)}::HUGEINT" for b in range(8)) + "]"
+
+# dHash twin in closed form over the stub decode (the
+# media_image_features technique): tiled pixel (y, x, ch) is
+# codes[((y*w + x)*c + ch) % L]; grayscale is the integer channel SUM
+# (exact in both engines — the compared pixels share c); the 8x9
+# nearest-neighbor grid is (i*in)//out; bit b (row r=b//8, col j=b%8)
+# compares columns j and j+1 and contributes 2^(63-b).
+_DHASH_CTES = f"""
+m AS MATERIALIZED (
+    SELECT doc_id,
+           doc_id % 48 + 16 AS w,
+           (doc_id * 7) % 48 + 16 AS h,
+           CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS c,
+           CASE WHEN length(text) = 0 THEN [0]
+                ELSE [ord(ch) for ch in regexp_split_to_array(text, '')]
+           END AS codes
+    FROM documents
+),
+fps AS MATERIALIZED (
+    SELECT doc_id,
+           list_sum([
+             CASE WHEN
+               list_sum([ codes[(((((b//8)*h)//8)*w + (((b%8)*w)//9)) * c + ch)
+                                % len(codes) + 1]
+                          for ch in generate_series(0, c-1) ])
+               <
+               list_sum([ codes[(((((b//8)*h)//8)*w + ((((b%8)+1)*w)//9)) * c + ch)
+                                % len(codes) + 1]
+                          for ch in generate_series(0, c-1) ])
+             THEN ({_P2})[64 - b] ELSE 0::HUGEINT END
+             for b in generate_series(0, 63) ]) AS fp_u
+    FROM m
+),
+banded AS (
+    SELECT doc_id, band_idx,
+           CAST((fp_u // ({_P8})[band_idx+1]) % 256 AS BIGINT) AS band_val,
+           fp_u
+    FROM fps CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS band_idx)
+),
+ok AS (
+    SELECT band_idx, band_val, doc_id, fp_u FROM banded
+    QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_val) <= 1000
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.fp_u AS ua, b.fp_u AS ub
+    FROM ok a JOIN ok b ON a.band_idx = b.band_idx
+                       AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+),
+signed AS (
+    SELECT id_a, id_b,
+           CASE WHEN ua >= 9223372036854775808::HUGEINT
+                THEN CAST(ua - 18446744073709551616::HUGEINT AS BIGINT)
+                ELSE CAST(ua AS BIGINT) END AS sa,
+           CASE WHEN ub >= 9223372036854775808::HUGEINT
+                THEN CAST(ub - 18446744073709551616::HUGEINT AS BIGINT)
+                ELSE CAST(ub AS BIGINT) END AS sb
+    FROM cand
+),
+npairs AS MATERIALIZED (
+    SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+    FROM signed WHERE bit_count(xor(sa, sb)) <= 16
+)
+""".strip()
+
+
+@register(
+    "media_near_dup_pairs",
+    f"""
+WITH {_DHASH_CTES}
+SELECT id_a, id_b, hamming FROM npairs
+ORDER BY id_a, id_b
+""",
+    doc="image NEAR-dup pairs: perceptual difference-hash per image "
+    "(operators/multimodal.image_dhash — decode, integer-gray, 9x8 "
+    "nearest resize, adjacent-pixel bits packed to one signed BIGINT) "
+    "through the SimHash banding pipeline "
+    "(dedup.fingerprint_near_duplicates: 8 byte-bands, max_bucket skew "
+    "cap, bit_count(xor) <= 16 verify).  The missing modality in the "
+    "dedup story (text MinHash/SimHash + embedding LSH existed; media "
+    "did not): at 100 TB only 8-byte fingerprints shuffle, payloads "
+    "never move after the one decode pass.  Oracle recomputes the "
+    "dHash in closed form over the stubbed tiled decode "
+    "(media_image_features precedent) and replays banding + verify "
+    "(dedup_simhash_pairs precedent); a real codec swap returns this "
+    "to rows-only",
+    defer=True,
+    since=9,
+)
+def media_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myrecommendsystem_spark.operators import dedup
+
+    fp = multimodal.image_dhash(_media(spark, sf_dir)).select(
+        F.col("media_id").alias("id"), F.col("dhash").alias("fp")
+    )
+    return dedup.fingerprint_near_duplicates(fp, max_hamming=16).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@register(
+    "media_dedup_survivors",
+    f"""
+WITH RECURSIVE {_DHASH_CTES},
+edges2 AS (
+    SELECT id_a AS src, id_b AS dst FROM npairs
+    UNION SELECT id_b, id_a FROM npairs
+),
+reach AS (
+        SELECT src AS a, src AS b FROM edges2
+    UNION
+        SELECT src, dst FROM edges2
+    UNION
+        SELECT r2.a, ed.dst FROM reach r2 JOIN edges2 ed ON ed.src = r2.b
+),
+comp AS (SELECT a AS id, MIN(b) AS comp FROM reach GROUP BY a),
+csize AS (
+    SELECT comp, CAST(COUNT(*) AS INTEGER) AS cluster_size
+    FROM comp GROUP BY comp
+)
+SELECT CAST(c.id AS BIGINT) AS media_id, s.cluster_size
+FROM comp c JOIN csize s ON c.comp = s.comp
+WHERE c.id = c.comp
+UNION ALL
+SELECT CAST(doc_id AS BIGINT) AS media_id, CAST(1 AS INTEGER) AS cluster_size
+FROM documents WHERE doc_id NOT IN (SELECT id FROM comp)
+ORDER BY media_id
+""",
+    doc="media dedup keep-list: dHash near-dup pairs -> connected "
+    "components (dedup.connected_components min-label propagation) -> "
+    "one min-id survivor per perceptual cluster with its cluster size, "
+    "singletons riding along at size 1 — the "
+    "hyperplane_semantic_survivors shape applied to the image "
+    "modality.  Oracle: the shared closed-form dHash CTEs + the "
+    "RECURSIVE reachability closure (embedding_semantic_survivors "
+    "precedent, MATERIALIZED hints on the recursion-feeding CTEs)",
+    defer=True,
+    since=9,
+)
+def media_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myrecommendsystem_spark.operators import dedup
+
+    media = _media(spark, sf_dir)
+    fp = multimodal.image_dhash(media).select(
+        F.col("media_id").alias("id"), F.col("dhash").alias("fp")
+    )
+    pairs = dedup.fingerprint_near_duplicates(fp, max_hamming=16)
+    comps = dedup.connected_components(pairs)
+    sizes = comps.groupBy("comp").agg(
+        F.count(F.lit(1)).cast("int").alias("cluster_size")
+    )
+    keepers = (
+        comps.join(sizes, "comp")
+        .filter(F.col("id") == F.col("comp"))
+        .select(F.col("id").alias("media_id"), "cluster_size")
+    )
+    singletons = (
+        media.select("media_id")
+        .join(comps.select(F.col("id").alias("media_id")), "media_id", "left_anti")
+        .select("media_id", F.lit(1).cast("int").alias("cluster_size"))
+    )
+    return keepers.unionByName(singletons).orderBy("media_id")

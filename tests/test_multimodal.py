@@ -139,3 +139,88 @@ def test_metadata_prune_before_decode(spark):
     filter_pos = plan.find("width")
     map_pos = plan.find("MapInPandas")
     assert filter_pos > map_pos >= 0
+
+
+def _fixture_media(spark):
+    """Constructed near-dup fixture: 3 base 'images' (seeded random
+    payloads, identical 32x32x1 meta) each with 2 perturbed clones
+    (±1 on a handful of bytes — tiny exact intensity distance), plus
+    the unrelated bases.  Ground truth: clone pairs are near-dups,
+    cross-base pairs are not."""
+    rng = np.random.default_rng(97)
+    rows = []
+    truth = set()
+    mid = 0
+    for base in range(3):
+        payload = rng.integers(0, 256, size=500, dtype=np.uint8)
+        members = []
+        for clone in range(3):  # original + 2 perturbed
+            p = payload.copy()
+            if clone:
+                idx = rng.choice(500, size=5, replace=False)
+                p[idx] = np.clip(p[idx].astype(int) + clone, 0, 255)
+            rows.append((mid, "image", bytes(p.tobytes()), (32, 32, 1, "rawi", 1)))
+            members.append(mid)
+            mid += 1
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                truth.add((members[i], members[j]))
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    return df, truth
+
+
+def _exact_intensity_distance(rows_by_id, a, b):
+    """Mean absolute pixel difference of the stub-decoded images — the
+    exact reference the dHash pipeline approximates."""
+    def img(mid):
+        _, _, payload, meta = rows_by_id[mid]
+        return multimodal._decode_payload(
+            payload, meta[0], meta[1], meta[2]
+        ).astype(np.int64)
+
+    return float(np.abs(img(a) - img(b)).mean())
+
+
+def test_media_near_dup_recall_vs_exact_intensity(spark):
+    """Round-8 verdict item 4's 'Done' bar: on the fixture corpus the
+    banded dHash pipeline must (a) recover every constructed near-dup
+    pair — pairs whose EXACT intensity distance is tiny — and (b) admit
+    no cross-base pair, whose exact distance is ~85x larger."""
+    from myrecommendsystem_spark.operators import dedup
+
+    df, truth = _fixture_media(spark)
+    rows_by_id = {
+        r[0]: (r[0], r[1], bytes(r[2]), r[3])
+        for r in df.collect()
+    }
+    fp = multimodal.image_dhash(df).select(
+        F.col("media_id").alias("id"), F.col("dhash").alias("fp")
+    )
+    found = {
+        (r.id_a, r.id_b)
+        for r in dedup.fingerprint_near_duplicates(fp, max_hamming=16).collect()
+    }
+    assert truth <= found, f"missed near-dups: {truth - found}"
+    for a, b in truth:
+        assert _exact_intensity_distance(rows_by_id, a, b) < 1.0
+    for a, b in found - truth:
+        raise AssertionError(
+            f"false positive ({a},{b}): exact distance "
+            f"{_exact_intensity_distance(rows_by_id, a, b):.1f}"
+        )
+
+
+def test_image_dhash_invariants(spark):
+    """dHash semantics pinned: identical payload+meta → identical hash;
+    one flipped pixel pair → small hamming; the fingerprint is a plain
+    signed BIGINT (banding/bit_count compatible)."""
+    df, _ = _fixture_media(spark)
+    fps = {r.media_id: r.dhash for r in multimodal.image_dhash(df).collect()}
+    assert all(isinstance(v, int) for v in fps.values())
+    # clones of base 0 are ids 0,1,2 — hamming(0, clone) must be small
+    def ham(a, b):
+        return bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1")
+
+    assert ham(0, 1) <= 16 and ham(0, 2) <= 16
+    # cross-base images are far apart
+    assert ham(0, 3) > 16 and ham(0, 6) > 16
