@@ -232,31 +232,122 @@ def run_semantic_dedup_stream(
     band_bits: int = 8,
     max_bucket: int = 1000,
     trigger: dict | None = None,
+    bands_path: str | None = None,
 ):
     """Maintain the survivor table from a vector stream (vec_id,
     embedding): per micro-batch, gate against the CURRENT table, self-
     dedup the remainder, and upsert the new survivors by vec_id
     (hash-bucketed replace-by-key — re-arriving ids replace their rows,
-    untouched partitions are never rewritten)."""
+    untouched partitions are never rewritten).
+
+    Round 9: each survivor's BAND SIGNATURE persists alongside the
+    vectors (``bands_path``, default ``out_path + "_bands"`` — same
+    upsert-by-key layout), so the per-trigger signature work is the
+    BATCH's alone.  The v1 path re-signed the whole accumulated table
+    every trigger — O(S·n_bits·d) float work growing without bound (the
+    measured marginal cost is small at 80k survivors, ~0.05 ms/vector,
+    but it is the one per-trigger term that scales with table size
+    rather than batch size; at 10^9 survivors it IS the trigger).  With
+    stored bands the survivor side contributes only a band-column scan
+    + the bucket join, and exact-cosine verification touches only
+    matched candidates' vectors — the O(batch + matched buckets)
+    contract, now structural.  The two tables are upserted vectors
+    first, bands second; foreachBatch replay after a crash between the
+    writes re-upserts both idempotently (same keys, same rows)."""
     from myrecommendsystem_spark.streaming.recommender import (
         _fs_exists,
         read_upserted,
         upsert_by_key,
     )
 
+    bands_path = bands_path or out_path + "_bands"
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark: SparkSession = batch_df.sparkSession
-        surv = (
-            read_upserted(spark, out_path).select("vec_id", "embedding")
-            if _fs_exists(spark, out_path)
-            else None
+        elig = _eligible(batch_df, "vec_id", "embedding")
+        prep = similarity._hp_prepare(
+            elig, n_bits, band_bits, "vec_id", "embedding", "hp"
         )
-        fresh = semantic_ingest_step(
-            surv, batch_df, threshold, n_bits, band_bits, max_bucket
-        ).withColumn("arrived_batch", F.lit(batch_id).cast("int"))
-        if fresh.isEmpty():
+        if prep is None:  # empty or 0-dim batch
             return
-        upsert_by_key(spark, fresh, out_path, key="vec_id")
+        base_b, bands_b = prep
+        matched = None
+        # sign the batch ONCE; the checkpoint feeds the gate, the
+        # self-pair join, and the fresh-band upsert
+        step_bands = bands_b = bands_b.localCheckpoint(eager=True)
+        if _fs_exists(spark, out_path):
+            surv_base = read_upserted(spark, out_path).select(
+                F.col("vec_id").alias("id"),
+                F.col("embedding").cast("array<double>").alias("v"),
+            )
+            if _fs_exists(spark, bands_path):
+                surv_bands = read_upserted(spark, bands_path).select(
+                    F.col("vec_id").alias("id"), "band_idx", "band_val"
+                )
+            else:
+                # migration: a v1 table without stored bands — sign the
+                # accumulated set ONCE, persist, never again
+                sprep = similarity._hp_prepare(
+                    read_upserted(spark, out_path),
+                    n_bits,
+                    band_bits,
+                    "vec_id",
+                    "embedding",
+                    "hp",
+                )
+                surv_bands = sprep[1]
+                upsert_by_key(
+                    spark,
+                    surv_bands.select(
+                        F.col("id").alias("vec_id"), "band_idx", "band_val"
+                    ),
+                    bands_path,
+                    key="vec_id",
+                )
+                surv_bands = read_upserted(spark, bands_path).select(
+                    F.col("vec_id").alias("id"), "band_idx", "band_val"
+                )
+            # materialized: everything downstream (incl. the fresh-band
+            # upsert) must NOT lazily re-read the survivor tables after
+            # the vector upsert below overwrites their partitions
+            matched = (
+                similarity.hp_cross_pairs_from_prepared(
+                    base_b, bands_b, surv_base, surv_bands,
+                    threshold, max_bucket,
+                )
+                .select(F.col("new_id").alias("id"))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            base_b = base_b.join(matched, "id", "left_anti")
+            bands_b = bands_b.join(matched, "id", "left_anti")
+        pairs = similarity.hp_pairs_from_prepared(
+            base_b, bands_b, threshold, max_bucket
+        )
+        dropped = (
+            connected_components(pairs)
+            .filter(F.col("comp") != F.col("id"))
+            .select("id")
+        )
+        fresh = (
+            base_b.join(dropped, "id", "left_anti")
+            .select(
+                F.col("id").alias("vec_id"),
+                F.col("v").alias("embedding"),
+                F.lit(batch_id).cast("int").alias("arrived_batch"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        try:
+            if fresh.isEmpty():
+                return
+            upsert_by_key(spark, fresh, out_path, key="vec_id")
+            fresh_bands = bands_b.join(dropped, "id", "left_anti").select(
+                F.col("id").alias("vec_id"), "band_idx", "band_val"
+            )
+            upsert_by_key(spark, fresh_bands, bands_path, key="vec_id")
+        finally:
+            release_checkpoint(step_bands, fresh, matched)
 
     writer = vectors_stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint

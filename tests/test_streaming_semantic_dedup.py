@@ -134,3 +134,44 @@ def test_streaming_maintenance_end_to_end(spark, tmp_path):
     # survivor table keeps embeddings: future gates read it directly
     emb = spark.read.parquet(out_path).filter(F.col("vec_id") == 11).first()
     assert emb.embedding[2] == 1.0
+
+
+def test_streaming_v1_table_migrates_to_stored_bands(spark, tmp_path):
+    """A pre-round-9 survivor table (vectors only, no bands table) must
+    keep working: the first trigger signs the accumulated set ONCE,
+    persists the bands table, and gating behaves identically — new
+    dup of an old survivor still gated out."""
+    import json as _json
+
+    from myrecommendsystem_spark.streaming.recommender import upsert_by_key
+
+    out_path = str(tmp_path / "survivors")
+    bands_path = out_path + "_bands"
+    # v1 state: survivors 1 and 3 with vectors, NO bands table
+    v1 = spark.createDataFrame(
+        [(1, _vec(0), 0), (3, _vec(1), 0)],
+        "vec_id long, embedding array<double>, arrived_batch int",
+    )
+    upsert_by_key(spark, v1, out_path, key="vec_id")
+    import os
+
+    assert not os.path.exists(bands_path)
+
+    src = tmp_path / "vectors_in"
+    src.mkdir()
+    with open(src / "b2.json", "w") as f:
+        for r in _BATCH2:
+            f.write(_json.dumps(r) + "\n")
+    stream = spark.readStream.schema(_SCHEMA).json(str(src))
+    q = run_semantic_dedup_stream(
+        stream, out_path, str(tmp_path / "ckpt"), trigger={"availableNow": True}
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        r.vec_id for r in spark.read.parquet(out_path).collect()
+    )
+    # 10 gated out against migrated survivor 1; 12 collapsed into 11
+    assert got == [1, 3, 11]
+    # the bands table now exists and covers every survivor
+    bands = spark.read.parquet(bands_path)
+    assert sorted(set(r.vec_id for r in bands.collect())) == [1, 3, 11]
