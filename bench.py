@@ -220,11 +220,15 @@ HEADLINE: tuple[str, ...] = (
     # pipeline) — the r10 window front, benched on registration
     "media_near_dup_pairs",
     "media_dedup_survivors",
-    # rag_ingest_pipeline / doc_quality_model_scores intentionally NOT in
-    # the headline: both are build/fit-dominated (index build ~7 s, LR
-    # fit ~6 s at any sf — amortized once in production); their families
-    # are represented by ann_topk_ivfpq(+_search) and als_user_recs.
-    # The registry sweep still covers both.
+    # round-9: the quality model joined the headline when its fit moved
+    # from MLlib L-BFGS (~6 s at any sf) to the deterministic
+    # bounded-sample Newton solve (sub-second) — the old fit-dominated
+    # exclusion no longer applies
+    "doc_quality_model_scores",
+    # rag_ingest_pipeline intentionally NOT in the headline: index-build
+    # dominated (~7 s at any sf — amortized once in production); its
+    # family is represented by ann_topk_ivfpq(+_search).  The registry
+    # sweep still covers it.
 )
 
 
