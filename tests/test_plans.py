@@ -620,6 +620,31 @@ def test_headline_shuffle_counts_pinned(spark):
     )
 
 
+def test_media_near_dup_python_is_fingerprint_only(spark):
+    """The image near-dup pipeline's ONE Python stage is the dHash
+    kernel (the decode boundary); everything downstream — banding,
+    bucket cap, pair join, bit_count verify — must be codegen.  The
+    plan shows exactly one MapInPandas and shuffles only on the band
+    bucket (no corpus-sized join keys, no cartesian)."""
+    plan = _executed(spark, "media_near_dup_pairs")
+    assert plan.count("MapInPandas") == 1, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the pair self-join keys on the band bucket
+    assert "band_idx" in plan and "band_val" in plan
+
+
+def test_quality_model_scoring_is_pure_codegen(spark):
+    """Round-9 quality-model contract: SCORING never runs Python — the
+    257 weights fold through one codegen aggregate per document (the
+    fit is a bounded driver-side collect, invisible to this plan)."""
+    plan = _executed(spark, "doc_quality_model_scores")
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, f"scoring gained a Python stage: {marker}"
+
+
 def test_hygiene_funnel_reads_checkpointed_keep_sets(spark):
     """The corpus-hygiene keep-ID sets are localCheckpointed (ids only —
     payloads never enter checkpoint storage), so the funnel's four
