@@ -220,6 +220,12 @@ HEADLINE: tuple[str, ...] = (
     # pipeline) — the r10 window front, benched on registration
     "media_near_dup_pairs",
     "media_dedup_survivors",
+    # round-9: audio near-dup (HK fingerprint, same banding) + the
+    # deterministic sketch twins — r10 window front, benched on
+    # registration
+    "audio_near_dup_pairs",
+    "approx_distinct_users_kmv",
+    "events_cms_replay_counts",
     # round-9: the quality model joined the headline when its fit moved
     # from MLlib L-BFGS (~6 s at any sf) to the deterministic
     # bounded-sample Newton solve (sub-second) — the old fit-dominated

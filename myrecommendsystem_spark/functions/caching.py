@@ -19,7 +19,29 @@ DataFrame is garbage collected.  Policy documented in SCALE.md §caching.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
+
+_KEEP_LAZY = False
+
+
+@contextmanager
+def lazy_plans():
+    """Plan-inspection hook (tests only): inside this context
+    :func:`eager_release` returns the LAZY result — no checkpoint, feeder
+    caches left warm — so plan-pin tests can read the true dataflow
+    through operators that normally materialize (a ``localCheckpoint``
+    collapses the executed plan to ``ExistingRDD``, hiding every stage
+    the pin is about).  Results built under this context leak their
+    feeder caches by design; callers clear them
+    (``spark.catalog.clearCache()``) after inspection."""
+    global _KEEP_LAZY
+    _KEEP_LAZY = True
+    try:
+        yield
+    finally:
+        _KEEP_LAZY = False
 
 
 def eager_release(result: DataFrame, *cached: DataFrame) -> DataFrame:
@@ -30,6 +52,8 @@ def eager_release(result: DataFrame, *cached: DataFrame) -> DataFrame:
     compose with it exactly as with the lazy plan (same schema, same
     rows; row order is partition order, callers needing order sort).
     """
+    if _KEEP_LAZY:
+        return result
     out = result.localCheckpoint(eager=True)
     for df in cached:
         df.unpersist()

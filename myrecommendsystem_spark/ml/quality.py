@@ -56,14 +56,24 @@ def bigram_slots(col: Column) -> Column:
     over ``regexp_split_to_array``; the numpy fit twin is
     :func:`bigram_count_mat` (counts of the same slots)."""
     s = F.lower(F.trim(col))
-    cs = F.split(s, "")
-    n = F.size(cs)
-    slot = lambda i: (  # noqa: E731 — tiny expression helper
-        F.ascii(F.element_at(cs, i)) * 31 + F.ascii(F.element_at(cs, i + 1))
-    ) % _N_FEATURES
-    return F.when(n >= 2, F.transform(F.sequence(F.lit(1), n - 1), slot)).otherwise(
-        F.array().cast("array<int>")
-    )
+    # adjacent pairs via zip_with over two slices of ONE codepoint array.
+    # NOT sequence+transform with element_at(split(...), i): an
+    # expression referenced INSIDE a lambda body is re-evaluated per
+    # element (HOF lambdas see no common-subexpression elimination), so
+    # that shape re-splits the whole string per character — O(L²) per
+    # document, measured 57 s for sf0.1's 1.5M bigrams vs ~1 s for this
+    # form, where split/slice are lambda ARGUMENTS evaluated once per row
+    # and the lambdas touch only their own variables.
+    cps = F.transform(F.split(s, ""), lambda c: F.ascii(c))
+    n = F.size(cps)
+    return F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(cps, 1, n - 1),
+            F.slice(cps, 2, n - 1),
+            lambda a, b: (a * 31 + b) % _N_FEATURES,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
 
 
 def bigram_count_mat(texts: list[str]) -> np.ndarray:
@@ -75,8 +85,23 @@ def bigram_count_mat(texts: list[str]) -> np.ndarray:
     X = np.zeros((len(texts), _N_FEATURES))
     for r, t in enumerate(texts):
         s = (t or "").lower().strip(" ")
-        for i in range(len(s) - 1):
-            X[r, (ord(s[i]) * 31 + ord(s[i + 1])) % _N_FEATURES] += 1.0
+        if len(s) < 2:
+            continue
+        # vectorized codepoint stream (the per-char Python loop was the
+        # round-9 bench's worst entry: ~100M interpreter iterations at
+        # sf0.1's 20k-doc fit sample).  utf-16-le yields one uint16 per
+        # BMP codepoint == ord(); the ASCII corpus contract keeps it
+        # surrogate-free, and the guard keeps the fallback exact beyond
+        # BMP.  Counts are integer-valued floats either way, so the
+        # trained weights are bit-identical to the loop version's.
+        try:
+            o = np.frombuffer(s.encode("utf-16-le"), dtype=np.uint16)
+            if ((o >= 0xD800) & (o < 0xE000)).any():  # surrogate pair
+                raise UnicodeEncodeError("utf-16", s, 0, 1, "non-BMP")
+        except UnicodeEncodeError:
+            o = np.fromiter(map(ord, s), dtype=np.int64, count=len(s))
+        slots = (o[:-1].astype(np.int64) * 31 + o[1:]) % _N_FEATURES
+        np.add.at(X[r], slots, 1.0)
     return X
 
 
@@ -157,14 +182,20 @@ def score_documents(
     if weights is None:
         weights = fit_quality_weights(docs, text_col, id_col, target_lang)
     w, b = weights
+    # the 257-literal weight array is materialized ONCE PER ROW as a
+    # plain column and the fold lambda reads it by attribute reference —
+    # embedding the CreateArray literal in the lambda body re-evaluates
+    # it per ELEMENT (no constant folding inside HOF lambdas; measured
+    # ~3 s of pure allocation at sf0.1's 1.5M bigrams)
     w_arr = F.array(*[F.lit(float(x)) for x in w])
+    with_w = docs.withColumn("__w", w_arr)
     margin = F.aggregate(
         bigram_slots(F.col(text_col)),
         F.lit(float(b)),
-        lambda acc, s: acc + F.element_at(w_arr, s + 1),
+        lambda acc, s: acc + F.element_at(F.col("__w"), s + 1),
     )
     p1 = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
-    return docs.select(
+    return with_w.select(
         F.col(id_col).cast("bigint").alias(id_col),
         (TXT.predicted_lang(F.col(text_col)) == target_lang)
         .cast("int")

@@ -45,6 +45,13 @@ FRAME_SCHEMA = "media_id bigint, frame_idx int, frame_checksum bigint"
 
 DHASH_SCHEMA = "media_id bigint, dhash bigint"
 
+AUDIO_SCHEMA = (
+    "media_id bigint, payload binary, "
+    "meta struct<sample_rate:int, n_samples:int, format:string>"
+)
+
+AFP_SCHEMA = "media_id bigint, afp bigint"
+
 _HIST_BINS = 16
 
 
@@ -184,6 +191,107 @@ def image_dhash(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "payload", "meta").mapInPandas(
         compute, DHASH_SCHEMA
+    )
+
+
+def synthesize_audio(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic fake audio table from the documents corpus.
+
+    The audio twin of :func:`synthesize_media`: payload is the utf-8 text
+    bytes (an opaque compressed stream to Catalyst), metadata is
+    arithmetic on the id so the oracle reproduces every field.  Sample
+    counts are deliberately stub-small (32..127) to keep the DuckDB twin
+    cheap — a real ingest swaps ``_decode_payload`` for libav/soundfile
+    and the counts come from the container header instead.
+    """
+    doc_id = F.col(id_col).cast("bigint")
+    return docs.select(
+        doc_id.alias("media_id"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.struct(
+            (8000 + F.pmod(doc_id, 4) * 4000).cast("int").alias("sample_rate"),
+            (F.pmod(doc_id, 96) + 32).cast("int").alias("n_samples"),
+            F.lit("rawa").alias("format"),
+        ).alias("meta"),
+    )
+
+
+_AFP_FRAMES = 9  # frames 0..8; bits compare consecutive frames → 8 rows
+_AFP_BANDS = 9  # band energies 0..8; bits compare adjacent bands → 8 cols
+
+
+def audio_fingerprint(media: DataFrame) -> DataFrame:
+    """Acoustic fingerprint per clip → (media_id, afp) — one signed BIGINT.
+
+    The Haitsma–Kalker shape (the classic robust-audio-hash / Shazam-family
+    fingerprint, and what Chromaprint computes per frame): split the clip
+    into 9 frames, reduce each frame to 9 band energies, difference
+    adjacent bands, and take one bit per (frame, band) from whether that
+    difference GREW vs the previous frame:
+
+        bit(f, b) = [E(f,b) - E(f,b+1)] > [E(f-1,b) - E(f-1,b+1)]
+
+    f ∈ 1..8 × b ∈ 0..7 → 64 bits packed MSB-first into one signed
+    BIGINT, so the downstream near-dup machinery is EXACTLY the SimHash /
+    dHash banding pipeline (``dedup.fingerprint_near_duplicates``).
+
+    Determinism choices (the image_dhash precedent) keep this
+    DuckDB-replayable on the stubbed decode:
+
+    - band "energy" is the INTEGER SUM of decoded samples over the band's
+      time slice (the spectral transform is part of the stubbed decode
+      step — a real implementation FFTs the frame first; bit layout and
+      everything downstream are unchanged);
+    - frame/band boundaries use the same ``(i*n)//k`` grid as
+      :func:`resize_images`, so both engines cut identical slices.
+
+    One Arrow pass, no shuffle; only 8-byte fingerprints move afterwards.
+    """
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for mid, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                n = int(meta["n_samples"])
+                wave = _decode_payload(payload, n, 1, 1).reshape(-1).astype(
+                    np.int64
+                )
+                # boundary k = f*9 + b (f=0..9, b=0..8): frame starts at
+                # (f*n)//9, band b splits the frame by the same rule
+                starts = (np.arange(_AFP_FRAMES + 1) * n) // _AFP_FRAMES
+                bounds = np.empty(_AFP_FRAMES * _AFP_BANDS + 1, dtype=np.int64)
+                for f in range(_AFP_FRAMES):
+                    flen = starts[f + 1] - starts[f]
+                    for b in range(_AFP_BANDS):
+                        bounds[f * _AFP_BANDS + b] = (
+                            starts[f] + (b * flen) // _AFP_BANDS
+                        )
+                bounds[-1] = n
+                pref = np.concatenate(([0], np.cumsum(wave)))
+                seg = pref[bounds[1:]] - pref[bounds[:-1]]  # E flat: f*9+b
+                e = seg.reshape(_AFP_FRAMES, _AFP_BANDS)
+                d = e[:, :8] - e[:, 1:9]  # D(f, b), 9x8
+                bits = (d[1:, :] > d[:-1, :]).reshape(-1)  # f=1..8 × b=0..7
+                fp = 0
+                for bit in bits:
+                    fp = (fp << 1) | int(bit)
+                if fp >= 1 << 63:  # two's-complement → signed BIGINT
+                    fp -= 1 << 64
+                ids.append(mid)
+                fps.append(fp)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "afp": pd.Series(fps, dtype="int64"),
+                }
+            )
+
+    return media.select("media_id", "payload", "meta").mapInPandas(
+        compute, AFP_SCHEMA
     )
 
 

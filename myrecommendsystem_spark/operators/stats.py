@@ -222,6 +222,73 @@ def count_min_sketch(
     return grid.reshape(depth, width)
 
 
+KMV_A = 2654435761  # Knuth multiplicative-hash constant (2^32 * phi)
+KMV_M = 4294967296  # 2^32 hash range
+
+# Fixed universal-hash rows for the REPLAYABLE count-min sketch (mod-p
+# affine family, p = 2^31-1): unlike count_min_sketch's xxhash64 grid,
+# these are pure integer arithmetic both Spark and DuckDB evaluate
+# identically, so the whole sketch is oracle-replayable.
+CMS_REPLAY_P = 2147483647
+CMS_REPLAY_WIDTH = 512
+CMS_REPLAY_PARAMS = (
+    (0, 1103515245, 12345),
+    (1, 1588635695, 987654321),
+    (2, 1203248318, 55555),
+    (3, 567890123, 1357924680),
+)
+
+
+def kmv_smallest_hashes(df: DataFrame, key_col: str, k: int = 64) -> DataFrame:
+    """The k smallest DISTINCT Knuth-hash values of ``key_col`` — the
+    KMV (k-minimum-values) distinct-count sketch state (Bar-Yossef et
+    al. 2002).  ``orderBy(...).limit(k)`` compiles to
+    TakeOrderedAndProject: each partition keeps its own k smallest and
+    only k rows per partition reach the driver-side merge — no global
+    sort, no full shuffle, which is the whole point at 100 TB.  The
+    k-th smallest hash h_(k) estimates distinct ≈ (k-1) * M / h_(k)."""
+    hv = (F.col(key_col).cast("bigint") * F.lit(KMV_A)) % F.lit(KMV_M)
+    return (
+        df.select(hv.alias("hv")).distinct().orderBy("hv").limit(k)
+    )
+
+
+def cms_replay_bucket(key, a: int, b: int, width: int = CMS_REPLAY_WIDTH):
+    """Bucket index of one replayable-CMS row: ((key*a + b) mod p) mod w,
+    exact BIGINT arithmetic (key*a < 2^63 for any 32-bit key)."""
+    return (
+        (key.cast("bigint") * F.lit(a) + F.lit(b)) % F.lit(CMS_REPLAY_P)
+    ) % F.lit(width)
+
+
+def cms_replay_cells(
+    df: DataFrame, key_col: str, width: int = CMS_REPLAY_WIDTH
+) -> DataFrame:
+    """Replayable count-min sketch as a RELATION (j, bucket, cnt): each
+    event explodes to its depth=4 (row, bucket) pairs, then one grouped
+    count.  Partial aggregation caps every map task's output at
+    depth*width cells regardless of input size, so the shuffle carries
+    O(tasks * 2048) rows — the sketch never sees a per-key shuffle.
+    Kept as a DataFrame (not a driver grid) so estimation is a plain
+    broadcast join and the whole pipeline stays oracle-replayable."""
+    key = F.col(key_col)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                cms_replay_bucket(key, a, b, width).alias("bucket"),
+            )
+            for j, a, b in CMS_REPLAY_PARAMS
+        ]
+    )
+    return (
+        df.select(F.explode(pairs).alias("x"))
+        .select("x.j", "x.bucket")
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def cms_estimate_col(grid, key, depth: int = 5, width: int = 256):
     """JVM column expression estimating the frequency of ``key`` (a
     Column) from a count-min grid: min over rows of the seeded-hash

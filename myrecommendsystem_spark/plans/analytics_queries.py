@@ -5387,6 +5387,147 @@ def events_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Deterministic sketch twins (round 9): the xxhash/datasketches sketches
+# above are engine-specific and stay rows-only; these two replay the SAME
+# sketch algorithms with pure-integer hashing both engines compute
+# identically, so the whole family is hash-gated end to end.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "approx_distinct_users_kmv",
+    f"""
+WITH h AS (
+    SELECT DISTINCT (CAST(user_id AS BIGINT) * {stats.KMV_A}) % {stats.KMV_M}
+        AS hv
+    FROM events
+),
+topk AS (SELECT hv FROM h ORDER BY hv LIMIT 64),
+kth AS (SELECT MAX(hv) AS kth_hash, COUNT(*) AS k FROM topk),
+ex AS (SELECT COUNT(DISTINCT user_id) AS exact_users FROM events)
+SELECT CAST(k AS INTEGER) AS k,
+       CAST(kth_hash AS BIGINT) AS kth_hash,
+       {sql_round_stable(f'(k - 1) * {float(stats.KMV_M)} / kth_hash', 4)}
+           AS est_users,
+       CAST(exact_users AS BIGINT) AS exact_users
+FROM kth, ex
+""",
+    doc="KMV (k-minimum-values) distinct-count sketch, the "
+    "DETERMINISTIC twin of approx_distinct_users' HLL: Knuth-hash each "
+    "user id, keep the k=64 smallest distinct hash values, estimate "
+    "distinct ≈ (k-1)·2^32 / h_(k) (Bar-Yossef et al. 2002).  "
+    "orderBy+limit compiles to TakeOrderedAndProject — every partition "
+    "forwards only its own 64 smallest, no global sort — and the "
+    "sketch state (64 longs) is mergeable by min-union, the same "
+    "100 TB maintenance shape as the HLL entry.  Pure integer "
+    "arithmetic, so the oracle replays the hash, the top-k, and the "
+    "estimate exactly; the exact distinct count rides along as the "
+    "validation readout",
+    defer=True,
+    since=9,
+)
+def approx_distinct_users_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    topk = stats.kmv_smallest_hashes(ev, "user_id", k=64)
+    kth = topk.agg(
+        F.count(F.lit(1)).cast("int").alias("k"),
+        F.max("hv").alias("kth_hash"),
+    )
+    exact = ev.agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_users")
+    )
+    return kth.crossJoin(exact).select(
+        "k",
+        "kth_hash",
+        round_stable(
+            (F.col("k") - 1) * F.lit(float(stats.KMV_M)) / F.col("kth_hash"), 4
+        ).alias("est_users"),
+        "exact_users",
+    )
+
+
+@register(
+    "events_cms_replay_counts",
+    f"""
+WITH params(j, a, b) AS (
+    VALUES {", ".join(f"({j}, {a}, {b})" for j, a, b in stats.CMS_REPLAY_PARAMS)}
+),
+cells AS (
+    SELECT p.j,
+           ((CAST(e.user_id AS BIGINT) * p.a + p.b) % {stats.CMS_REPLAY_P})
+               % {stats.CMS_REPLAY_WIDTH} AS bucket,
+           COUNT(*) AS cnt
+    FROM events e CROSS JOIN params p
+    GROUP BY 1, 2
+),
+top AS (
+    SELECT user_id, COUNT(*) AS true_cnt
+    FROM events GROUP BY user_id
+    ORDER BY true_cnt DESC, user_id LIMIT 20
+),
+probe AS (
+    SELECT t.user_id, t.true_cnt, p.j,
+           ((CAST(t.user_id AS BIGINT) * p.a + p.b) % {stats.CMS_REPLAY_P})
+               % {stats.CMS_REPLAY_WIDTH} AS bucket
+    FROM top t CROSS JOIN params p
+)
+SELECT pr.user_id,
+       CAST(pr.true_cnt AS BIGINT) AS true_cnt,
+       CAST(MIN(c.cnt) AS BIGINT) AS est_cnt
+FROM probe pr JOIN cells c ON c.j = pr.j AND c.bucket = pr.bucket
+GROUP BY pr.user_id, pr.true_cnt
+ORDER BY true_cnt DESC, pr.user_id
+""",
+    doc="REPLAYABLE count-min sketch (deterministic twin of "
+    "events_cms_user_counts): depth=4 mod-p affine hash rows x "
+    "width=512, built as a relation — each event explodes to its 4 "
+    "(row, bucket) pairs and ONE grouped count folds them; partial "
+    "aggregation caps map output at 2048 cells per task, so the "
+    "shuffle is O(tasks·cells) regardless of event volume.  The 20 "
+    "heaviest users probe the sketch via a broadcast join + min-over-"
+    "rows — (user, true_cnt, est_cnt ≥ true_cnt).  Pure integer "
+    "hashing makes build AND probe oracle-replayable; the CMS laws "
+    "(overestimate-only, additive merge) are pinned in "
+    "tests/test_analytics_round4d.py for the xxhash variant and hold "
+    "here by the same algebra",
+    defer=True,
+    since=9,
+)
+def events_cms_replay_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cells = stats.cms_replay_cells(ev, "user_id")
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), "user_id")
+        .limit(20)
+    )
+    probe = top.select(
+        "user_id",
+        "true_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        stats.cms_replay_bucket(
+                            F.col("user_id"), a, b
+                        ).alias("bucket"),
+                    )
+                    for j, a, b in stats.CMS_REPLAY_PARAMS
+                ]
+            )
+        ).alias("x"),
+    ).select("user_id", "true_cnt", "x.j", "x.bucket")
+    return (
+        probe.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy("user_id", "true_cnt")
+        .agg(F.min("cnt").cast("bigint").alias("est_cnt"))
+        .orderBy(F.col("true_cnt").desc(), "user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Band join (numeric-distance self-join via bucket expansion)
 # ---------------------------------------------------------------------------
 

@@ -197,6 +197,44 @@ def media_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _P2 = "[" + ",".join(f"{1 << b}::HUGEINT" for b in range(64)) + "]"
 _P8 = "[" + ",".join(f"{1 << (8 * b)}::HUGEINT" for b in range(8)) + "]"
 
+# Fingerprint banding + hamming verify, shared by every 64-bit
+# perceptual-fingerprint modality (image dHash, audio HK): takes a
+# ``fps(doc_id, fp_u HUGEINT)`` CTE and yields ``npairs(id_a, id_b,
+# hamming)`` — 8 byte-bands, max_bucket skew cap, bit_count(xor) <= 16
+# verify, mirroring dedup.fingerprint_near_duplicates.
+_FP_BANDING_CTES = f"""
+banded AS (
+    SELECT doc_id, band_idx,
+           CAST((fp_u // ({_P8})[band_idx+1]) % 256 AS BIGINT) AS band_val,
+           fp_u
+    FROM fps CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS band_idx)
+),
+ok AS (
+    SELECT band_idx, band_val, doc_id, fp_u FROM banded
+    QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_val) <= 1000
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.fp_u AS ua, b.fp_u AS ub
+    FROM ok a JOIN ok b ON a.band_idx = b.band_idx
+                       AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+),
+signed AS (
+    SELECT id_a, id_b,
+           CASE WHEN ua >= 9223372036854775808::HUGEINT
+                THEN CAST(ua - 18446744073709551616::HUGEINT AS BIGINT)
+                ELSE CAST(ua AS BIGINT) END AS sa,
+           CASE WHEN ub >= 9223372036854775808::HUGEINT
+                THEN CAST(ub - 18446744073709551616::HUGEINT AS BIGINT)
+                ELSE CAST(ub AS BIGINT) END AS sb
+    FROM cand
+),
+npairs AS MATERIALIZED (
+    SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+    FROM signed WHERE bit_count(xor(sa, sb)) <= 16
+)
+""".strip()
+
 # dHash twin in closed form over the stub decode (the
 # media_image_features technique): tiled pixel (y, x, ch) is
 # codes[((y*w + x)*c + ch) % L]; grayscale is the integer channel SUM
@@ -229,37 +267,7 @@ fps AS MATERIALIZED (
              for b in generate_series(0, 63) ]) AS fp_u
     FROM m
 ),
-banded AS (
-    SELECT doc_id, band_idx,
-           CAST((fp_u // ({_P8})[band_idx+1]) % 256 AS BIGINT) AS band_val,
-           fp_u
-    FROM fps CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS band_idx)
-),
-ok AS (
-    SELECT band_idx, band_val, doc_id, fp_u FROM banded
-    QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_val) <= 1000
-),
-cand AS (
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-           a.fp_u AS ua, b.fp_u AS ub
-    FROM ok a JOIN ok b ON a.band_idx = b.band_idx
-                       AND a.band_val = b.band_val AND a.doc_id < b.doc_id
-),
-signed AS (
-    SELECT id_a, id_b,
-           CASE WHEN ua >= 9223372036854775808::HUGEINT
-                THEN CAST(ua - 18446744073709551616::HUGEINT AS BIGINT)
-                ELSE CAST(ua AS BIGINT) END AS sa,
-           CASE WHEN ub >= 9223372036854775808::HUGEINT
-                THEN CAST(ub - 18446744073709551616::HUGEINT AS BIGINT)
-                ELSE CAST(ub AS BIGINT) END AS sb
-    FROM cand
-),
-npairs AS MATERIALIZED (
-    SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
-    FROM signed WHERE bit_count(xor(sa, sb)) <= 16
-)
-""".strip()
+{_FP_BANDING_CTES}""".strip()
 
 
 @register(
@@ -358,3 +366,92 @@ def media_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("media_id", F.lit(1).cast("int").alias("cluster_size"))
     )
     return keepers.unionByName(singletons).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# Audio near-dup (round 9): Haitsma–Kalker fingerprint, same banding
+# ---------------------------------------------------------------------------
+
+# Closed-form twin of operators/multimodal.audio_fingerprint over the stub
+# decode: the waveform is the payload tiled to n = doc_id % 96 + 32
+# samples; boundary k (0..81, f=k//9, b=k%9) is start(f) + (b*flen)//9
+# with start(f) = (f*n)//9; E[j] (1-based, j = f*9+b+1) is the integer
+# sample sum of slice j; bit i (f=i//8+1, b=i%8) tests whether the
+# adjacent-band difference D(f,b) = E(f,b)-E(f,b+1) grew vs frame f-1.
+_AFP_CTES = f"""
+am AS MATERIALIZED (
+    SELECT doc_id,
+           doc_id % 96 + 32 AS n,
+           CASE WHEN length(text) = 0 THEN [0]
+                ELSE [ord(ch) for ch in regexp_split_to_array(text, '')]
+           END AS codes
+    FROM documents
+),
+aw AS MATERIALIZED (
+    SELECT doc_id, n,
+           [ codes[(i % len(codes)) + 1] for i in generate_series(0, n - 1) ]
+               AS w
+    FROM am
+),
+ab AS (
+    SELECT doc_id, n, w,
+           [ ((k//9)*n)//9
+             + ((k%9) * ((((k//9)+1)*n)//9 - ((k//9)*n)//9)) // 9
+             for k in generate_series(0, 81) ] AS bnd
+    FROM aw
+),
+ae AS MATERIALIZED (
+    SELECT doc_id,
+           [ COALESCE(list_sum(w[bnd[j] + 1 : bnd[j + 1]]), 0)
+             for j in generate_series(1, 81) ] AS e
+    FROM ab
+),
+fps AS MATERIALIZED (
+    SELECT doc_id,
+           list_sum([
+             CASE WHEN (e[(i//8+1)*9 + (i%8) + 1] - e[(i//8+1)*9 + (i%8) + 2])
+                     > (e[(i//8)*9 + (i%8) + 1] - e[(i//8)*9 + (i%8) + 2])
+                  THEN ({_P2})[64 - i] ELSE 0::HUGEINT END
+             for i in generate_series(0, 63) ]) AS fp_u
+    FROM ae
+),
+{_FP_BANDING_CTES}""".strip()
+
+
+@register(
+    "audio_near_dup_pairs",
+    f"""
+WITH {_AFP_CTES}
+SELECT id_a, id_b, hamming FROM npairs
+ORDER BY id_a, id_b
+""",
+    doc="audio NEAR-dup pairs: Haitsma-Kalker acoustic fingerprint per "
+    "clip (operators/multimodal.audio_fingerprint — decode, 9 frames x "
+    "9 band energies on the (i*n)//k grid, bit(f,b) = adjacent-band "
+    "difference grew vs previous frame, 64 bits packed to one signed "
+    "BIGINT) through the SAME banding pipeline as image dHash and text "
+    "SimHash (dedup.fingerprint_near_duplicates: 8 byte-bands, "
+    "max_bucket cap, bit_count(xor) <= 16 verify).  Completes the "
+    "modality matrix: text, embedding, image, and now audio all dedup "
+    "through one shuffle-on-(band, value) discipline — at 100 TB only "
+    "8-byte fingerprints move, payloads are read once.  Oracle "
+    "recomputes the fingerprint in closed form over the stubbed tiled "
+    "decode (prefix-free slice sums over the materialized sample list; "
+    "stub-small n = doc_id % 96 + 32 keeps the twin cheap) and replays "
+    "the shared banding CTEs; a real codec swap (FFT band energies) "
+    "returns this to rows-only",
+    defer=True,
+    since=9,
+)
+def audio_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myrecommendsystem_spark.operators import dedup
+
+    audio = multimodal.synthesize_audio(
+        readers.load_table(spark, sf_dir, "documents")
+    )
+    fp = multimodal.audio_fingerprint(audio).select(
+        F.col("media_id").alias("id"), F.col("afp").alias("fp")
+    )
+    return dedup.fingerprint_near_duplicates(fp, max_hamming=16).orderBy(
+        "id_a", "id_b"
+    )

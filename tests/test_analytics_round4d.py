@@ -486,3 +486,58 @@ def test_entity_resolution_known_clusters(spark):
         aq._t = orig
     # names: widget(nid 1), widgat(2), widgatx(3), gizmo(4)
     assert got == {1: ("widget", 3), 4: ("gizmo", 1)}
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sketch twins (round 9): KMV + replayable CMS laws
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_estimate_tracks_exact_and_merges(spark):
+    """KMV laws on a constructed id set: (a) the estimate is within the
+    ~1/sqrt(k) band of the true distinct count; (b) min-union merge is
+    lossless — the k smallest hashes of A ∪ B equal the k smallest of
+    topk(A) ∪ topk(B), so per-partition/per-day sketch states merge
+    without re-reading data (the HLL-union shape)."""
+    from myrecommendsystem_spark.operators import stats
+
+    a = spark.range(0, 3000).select((F.col("id") * 3 + 7).alias("user_id"))
+    b = spark.range(0, 3000).select((F.col("id") * 5 + 1).alias("user_id"))
+    union = a.union(b)
+    exact = union.distinct().count()
+    topk = stats.kmv_smallest_hashes(union, "user_id", k=64).collect()
+    kth = max(r.hv for r in topk)
+    est = (len(topk) - 1) * 4294967296.0 / kth
+    assert abs(est - exact) / exact < 0.35  # 2.8/sqrt(64) guard band
+    # merge law: min-union of the two sketch states == sketch of union
+    sa = stats.kmv_smallest_hashes(a, "user_id", k=64)
+    sb = stats.kmv_smallest_hashes(b, "user_id", k=64)
+    merged = sorted(
+        {r.hv for r in sa.collect()} | {r.hv for r in sb.collect()}
+    )[:64]
+    assert merged == sorted(r.hv for r in topk)
+
+
+def test_cms_replay_overestimates_and_conserves_mass(spark):
+    """Replayable-CMS laws: every cell row conserves total mass (sum of
+    a row's cells == number of events — the sketch drops nothing), and
+    every point estimate >= the true count (collisions only ADD)."""
+    from myrecommendsystem_spark.operators import stats
+
+    ev = spark.range(0, 5000).select(
+        (F.col("id") % 700).alias("user_id")  # skewed: 700 users
+    )
+    n = ev.count()
+    cells = stats.cms_replay_cells(ev, "user_id")
+    per_row = {r.j: r.total for r in cells.groupBy("j").agg(
+        F.sum("cnt").alias("total")).collect()}
+    assert per_row == {j: n for j, _, _ in stats.CMS_REPLAY_PARAMS}
+    true = {r.user_id: r.c for r in ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("c")).collect()}
+    cell_map = {(r.j, r.bucket): r.cnt for r in cells.collect()}
+    for u, t in list(true.items())[:100]:
+        est = min(
+            cell_map[(j, (u * av + bv) % stats.CMS_REPLAY_P % stats.CMS_REPLAY_WIDTH)]
+            for j, av, bv in stats.CMS_REPLAY_PARAMS
+        )
+        assert est >= t, (u, est, t)

@@ -224,3 +224,100 @@ def test_image_dhash_invariants(spark):
     assert ham(0, 1) <= 16 and ham(0, 2) <= 16
     # cross-base images are far apart
     assert ham(0, 3) > 16 and ham(0, 6) > 16
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprint (round 9)
+# ---------------------------------------------------------------------------
+
+
+def _audio_df(spark, rows):
+    """rows: list of (media_id, payload_bytes, n_samples)."""
+    return spark.createDataFrame(
+        [(mid, bytearray(p), (8000, n, "rawa")) for mid, p, n in rows],
+        multimodal.AUDIO_SCHEMA,
+    )
+
+
+def _afp_reference(payload: bytes, n: int) -> int:
+    """Independent in-test reimplementation of the HK fingerprint over
+    the stubbed tiled decode — catches a kernel bug even if the DuckDB
+    oracle shared it."""
+    buf = np.frombuffer(payload or b"\x00", dtype=np.uint8)
+    wave = np.tile(buf, -(-n // buf.size))[:n].astype(np.int64)
+    starts = (np.arange(10) * n) // 9
+    e = np.zeros((9, 9), dtype=np.int64)
+    for f in range(9):
+        flen = starts[f + 1] - starts[f]
+        for b in range(9):
+            lo = starts[f] + (b * flen) // 9
+            hi = starts[f + 1] if b == 8 else starts[f] + ((b + 1) * flen) // 9
+            e[f, b] = wave[lo:hi].sum()
+    d = e[:, :8] - e[:, 1:9]
+    fp = 0
+    for bit in (d[1:, :] > d[:-1, :]).reshape(-1):
+        fp = (fp << 1) | int(bit)
+    return fp - (1 << 64) if fp >= 1 << 63 else fp
+
+
+def test_audio_fingerprint_matches_reference(spark):
+    rows = [
+        (0, bytes((i * 37 + 11) % 256 for i in range(128)), 96),
+        (1, b"hello world, this is a clip payload for testing", 47),
+        (2, b"", 32),
+    ]
+    fps = {
+        r.media_id: r.afp
+        for r in multimodal.audio_fingerprint(_audio_df(spark, rows)).collect()
+    }
+    for mid, payload, n in rows:
+        assert fps[mid] == _afp_reference(payload, n), mid
+    assert fps[2] == 0  # silence: all band differences equal -> no bits
+
+
+def test_audio_fingerprint_locality(spark):
+    """One perturbed sample lands in exactly one (frame, band) slice, so
+    it can flip at most 4 bits — D(f,b) and D(f,b-1) each feed the bit
+    pair comparing frames (f-1,f) and (f,f+1).  Identical clips hash
+    identically; a different clip is far away."""
+    base = bytes((i * 37 + 11) % 256 for i in range(128))
+    perturbed = bytearray(base)
+    perturbed[50] = (perturbed[50] + 90) % 256  # one sample (n=96 < 128)
+    other = bytes((i * 91 + 3) % 256 for i in range(128))
+    rows = [
+        (0, base, 96),
+        (1, bytes(base), 96),
+        (2, bytes(perturbed), 96),
+        (3, other, 96),
+    ]
+    fps = {
+        r.media_id: r.afp
+        for r in multimodal.audio_fingerprint(_audio_df(spark, rows)).collect()
+    }
+
+    def ham(a, b):
+        return bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1")
+
+    assert fps[0] == fps[1]
+    assert 0 < ham(0, 2) <= 4
+    assert ham(0, 3) > 16
+
+
+def test_audio_near_dup_pairs_via_banding(spark):
+    """Clips sharing their decoded window pair at hamming 0 through the
+    shared banding pipeline; unrelated clips don't pair."""
+    from myrecommendsystem_spark.operators import dedup
+
+    base = bytes((i * 37 + 11) % 256 for i in range(160))
+    tail_variant = base[:96] + bytes(reversed(base[96:]))  # same first 96
+    other = bytes((i * 91 + 3) % 256 for i in range(160))
+    rows = [(0, base, 96), (1, tail_variant, 96), (2, other, 96)]
+    fp = multimodal.audio_fingerprint(_audio_df(spark, rows)).select(
+        F.col("media_id").alias("id"), F.col("afp").alias("fp")
+    )
+    pairs = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.fingerprint_near_duplicates(fp, max_hamming=16).collect()
+    }
+    assert (0, 1, 0) in pairs
+    assert not any({a, b} == {0, 2} or {a, b} == {1, 2} for a, b, _ in pairs)

@@ -145,3 +145,33 @@ def test_hyperplane_lsh_scales_subquadratically_when_occupancy_matched(spark):
         f"hyperplane-lsh: {times[4]:.1f}s @4x -> {times[16]:.1f}s @16x "
         f"(exponent {exponent:.2f})"
     )
+
+
+def test_media_fingerprint_dedup_scales_subquadratically(spark):
+    """Round-9 modality twin of the text-dedup probe: the image/audio
+    near-dup pipeline (synthesize -> fingerprint kernel -> shared
+    banding) on the pseudo-random corpus at 4x/16x.  Fingerprints are
+    64-bit, buckets are byte-bands, so the cost model is the SimHash
+    one: one Arrow pass + one (band, value) shuffle; exponent must stay
+    sub-quadratic on a corpus with no planted clones."""
+    from myrecommendsystem_spark.operators import dedup, multimodal
+
+    times = {}
+    for mult in (4, 16):
+        docs = _corpus(spark, BASE_DOCS * mult)
+        media = multimodal.synthesize_media(docs).localCheckpoint(eager=True)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fp = multimodal.image_dhash(media).select(
+                F.col("media_id").alias("id"), F.col("dhash").alias("fp")
+            )
+            dedup.fingerprint_near_duplicates(fp, max_hamming=8).count()
+            best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        times[mult] = best
+    exponent = math.log(times[16] / times[4]) / math.log(4)
+    assert exponent < 1.5, (
+        f"media dhash: {times[4]:.1f}s @4x -> {times[16]:.1f}s @16x "
+        f"(exponent {exponent:.2f})"
+    )
