@@ -226,6 +226,7 @@ HEADLINE: tuple[str, ...] = (
     "audio_near_dup_pairs",
     "approx_distinct_users_kmv",
     "events_cms_replay_counts",
+    "events_type_overlap_kmv",
     # round-9: the quality model joined the headline when its fit moved
     # from MLlib L-BFGS (~6 s at any sf) to the deterministic
     # bounded-sample Newton solve (sub-second) — the old fit-dominated

@@ -182,11 +182,13 @@ def score_documents(
     if weights is None:
         weights = fit_quality_weights(docs, text_col, id_col, target_lang)
     w, b = weights
-    # the 257-literal weight array is materialized ONCE PER ROW as a
-    # plain column and the fold lambda reads it by attribute reference —
-    # embedding the CreateArray literal in the lambda body re-evaluates
-    # it per ELEMENT (no constant folding inside HOF lambdas; measured
-    # ~3 s of pure allocation at sf0.1's 1.5M bigrams)
+    # the 257-literal weight array rides as a per-row column and the
+    # fold lambda reads it by attribute reference.  (A foldable
+    # CreateArray inside the lambda measures identically — constant
+    # folding does reach literal subtrees; the column form is kept
+    # because it stays cheap even when the weights someday become
+    # NON-foldable, e.g. joined in from a model table — unlike the
+    # in-lambda form, whose cost would silently become per-element.)
     w_arr = F.array(*[F.lit(float(x)) for x in w])
     with_w = docs.withColumn("__w", w_arr)
     margin = F.aggregate(

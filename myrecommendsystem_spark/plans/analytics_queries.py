@@ -4822,6 +4822,178 @@ def events_audience_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_type_overlap_kmv",
+    f"""
+WITH d AS (
+    SELECT DISTINCT event_type,
+           (CAST(user_id AS BIGINT) * {stats.KMV_A}) % {stats.KMV_M} AS hv
+    FROM events
+),
+sk AS (
+    SELECT event_type, hv FROM d
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) <= 64
+),
+tp AS (SELECT DISTINCT event_type AS t FROM events),
+pairs AS (SELECT a.t AS type_a, b.t AS type_b FROM tp a JOIN tp b ON a.t < b.t),
+u AS (
+    SELECT DISTINCT p.type_a, p.type_b, s.hv
+    FROM pairs p JOIN sk s
+      ON s.event_type = p.type_a OR s.event_type = p.type_b
+),
+ut AS (
+    SELECT type_a, type_b, hv FROM u
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY type_a, type_b ORDER BY hv) <= 64
+),
+agg AS (
+    SELECT ut.type_a, ut.type_b,
+           COUNT(*) AS k_u, MAX(ut.hv) AS hk,
+           SUM(CASE WHEN sa.hv IS NOT NULL AND sb.hv IS NOT NULL
+                    THEN 1 ELSE 0 END) AS n_both
+    FROM ut
+    LEFT JOIN sk sa ON sa.event_type = ut.type_a AND sa.hv = ut.hv
+    LEFT JOIN sk sb ON sb.event_type = ut.type_b AND sb.hv = ut.hv
+    GROUP BY 1, 2
+),
+ex AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(COUNT(*) AS BIGINT) AS n_common_exact
+    FROM (SELECT DISTINCT event_type, user_id FROM events) a
+    JOIN (SELECT DISTINCT event_type, user_id FROM events) b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+)
+SELECT agg.type_a, agg.type_b,
+       {sql_round_stable(
+           f'CASE WHEN k_u < 64 THEN CAST(k_u AS DOUBLE)'
+           f' ELSE (k_u - 1) * {float(stats.KMV_M)} / hk END', 4)}
+           AS n_union_est,
+       {sql_round_stable('n_both * 1.0 / k_u', 4)} AS jaccard_est,
+       {sql_round_stable(
+           f'(n_both * 1.0 / k_u) * (CASE WHEN k_u < 64 THEN CAST(k_u AS DOUBLE)'
+           f' ELSE (k_u - 1) * {float(stats.KMV_M)} / hk END)', 4)}
+           AS n_common_est,
+       COALESCE(ex.n_common_exact, CAST(0 AS BIGINT)) AS n_common_exact
+FROM agg LEFT JOIN ex ON agg.type_a = ex.type_a AND agg.type_b = ex.type_b
+ORDER BY agg.type_a, agg.type_b
+""",
+    doc="KMV set-operation estimates — the DETERMINISTIC (hash-gated) "
+    "twin of events_audience_overlap_hll: per-type k=64 KMV sketches "
+    "of distinct users, pairwise UNION by min-merge (the pinned "
+    "lossless merge law), union estimate (k-1)·2³²/h₍ₖ₎, Jaccard = "
+    "|union-top-k ∩ sketch(A) ∩ sketch(B)| / k (Bar-Yossef/Beyer "
+    "KMV set ops), intersection = Jaccard × union.  One distinct "
+    "shuffle on (type, hash) + a per-type top-64 window; everything "
+    "downstream is types²·k rows — no corpus self-join for the "
+    "estimates.  The exact intersection rides along as the validation "
+    "readout (the CMS/quantile-sketch convention); production uses "
+    "the sketches alone",
+    defer=True,
+    since=9,
+)
+def events_type_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    k = 64
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    hv = (F.col("user_id").cast("bigint") * F.lit(stats.KMV_A)) % F.lit(
+        stats.KMV_M
+    )
+    d = ev.select("event_type", hv.alias("hv")).distinct()
+    w = Window.partitionBy("event_type").orderBy("hv")
+    sk = (
+        d.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .drop("__r")
+        # three small consumers (union build + two membership probes);
+        # types×k rows — materialize once, never re-derive from the corpus
+        .localCheckpoint(eager=True)
+    )
+    tp = ev.select(F.col("event_type").alias("t")).distinct()
+    pairs = (
+        tp.alias("a")
+        .join(tp.alias("b"), F.col("a.t") < F.col("b.t"))
+        .select(F.col("a.t").alias("type_a"), F.col("b.t").alias("type_b"))
+    )
+    u = (
+        pairs.join(
+            sk,
+            (F.col("event_type") == F.col("type_a"))
+            | (F.col("event_type") == F.col("type_b")),
+        )
+        .select("type_a", "type_b", "hv")
+        .distinct()
+    )
+    wu = Window.partitionBy("type_a", "type_b").orderBy("hv")
+    ut = (
+        u.withColumn("__r", F.row_number().over(wu))
+        .filter(F.col("__r") <= k)
+        .drop("__r")
+    )
+    sa = sk.select(
+        F.col("event_type").alias("type_a"), F.col("hv").alias("hv_a")
+    )
+    sb = sk.select(
+        F.col("event_type").alias("type_b"), F.col("hv").alias("hv_b")
+    )
+    agg = (
+        ut.join(
+            sa,
+            (sa.type_a == ut.type_a) & (F.col("hv_a") == ut.hv),
+            "left",
+        )
+        .join(
+            sb,
+            (sb.type_b == ut.type_b) & (F.col("hv_b") == ut.hv),
+            "left",
+        )
+        .groupBy(ut.type_a, ut.type_b)
+        .agg(
+            F.count(F.lit(1)).alias("k_u"),
+            F.max(ut.hv).alias("hk"),
+            F.sum(
+                F.when(
+                    F.col("hv_a").isNotNull() & F.col("hv_b").isNotNull(), 1
+                ).otherwise(0)
+            ).alias("n_both"),
+        )
+    )
+    union_est = F.when(
+        F.col("k_u") < k, F.col("k_u").cast("double")
+    ).otherwise(
+        (F.col("k_u") - 1) * F.lit(float(stats.KMV_M)) / F.col("hk")
+    )
+    jac = F.col("n_both") * F.lit(1.0) / F.col("k_u")
+    du = ev.distinct()
+    ex = (
+        du.alias("x")
+        .join(
+            du.alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common_exact"))
+    )
+    return (
+        agg.join(ex, ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            round_stable(union_est, 4).alias("n_union_est"),
+            round_stable(jac, 4).alias("jaccard_est"),
+            round_stable(jac * union_est, 4).alias("n_common_est"),
+            F.coalesce(
+                F.col("n_common_exact"), F.lit(0).cast("bigint")
+            ).alias("n_common_exact"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Chi-square independence test (categorical association audit)
 # ---------------------------------------------------------------------------

@@ -541,3 +541,26 @@ def test_cms_replay_overestimates_and_conserves_mass(spark):
             for j, av, bv in stats.CMS_REPLAY_PARAMS
         )
         assert est >= t, (u, est, t)
+
+
+def test_kmv_set_operation_estimates_track_truth(spark):
+    """KMV set ops (the events_type_overlap_kmv estimator) on a
+    constructed overlap: A = ids 0..4499, B = 3000..7499 → union 7500,
+    intersection 1500, jaccard 0.2.  With k=64 the standard error is
+    ~1/sqrt(k) ≈ 12.5% on the union and ~0.05 absolute on jaccard;
+    assert inside a 3-sigma band.  Deterministic given the fixed hash."""
+    from myrecommendsystem_spark.operators import stats
+
+    k = 64
+    a = spark.range(0, 4500).select(F.col("id").alias("user_id"))
+    b = spark.range(3000, 7500).select(F.col("id").alias("user_id"))
+    ska = {r.hv for r in stats.kmv_smallest_hashes(a, "user_id", k).collect()}
+    skb = {r.hv for r in stats.kmv_smallest_hashes(b, "user_id", k).collect()}
+    union_topk = sorted(ska | skb)[:k]
+    hk = union_topk[-1]
+    union_est = (k - 1) * 4294967296.0 / hk
+    jac_est = sum(1 for h in union_topk if h in ska and h in skb) / k
+    inter_est = jac_est * union_est
+    assert abs(union_est - 7500) / 7500 < 0.375, union_est
+    assert abs(jac_est - 0.2) < 0.15, jac_est
+    assert abs(inter_est - 1500) / 1500 < 0.8, inter_est
