@@ -180,12 +180,27 @@ def exact_fingerprint(text: Column) -> Column:
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles; short docs fall back to whole text."""
+    """Distinct word n-gram shingles; short docs fall back to whole text.
+
+    Built as an n-way zip-fold over shifted slices — NOT
+    ``transform(sequence, i -> slice(toks, i, n))``: an expression
+    referenced inside a HOF lambda body is re-evaluated per element
+    (no common-subexpression elimination there), so the slice form
+    re-tokenizes the whole document PER GRAM — O(W²) per doc, the same
+    defect class as the round-9 quality-model finding.  Here ``toks``
+    appears only as a zip_with/slice ARGUMENT (n evaluations per row)
+    and the lambdas touch only their own variables.  Output-identical:
+    zip_with pads the shorter slice with NULL and concat_ws skips
+    NULLs, which reproduces the short-doc whole-text fallback."""
     toks = tokens(text)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
+    length = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    grams = F.slice(toks, 1, length)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, 1 + j, length),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
     return F.array_distinct(grams)
 
 
