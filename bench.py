@@ -227,6 +227,7 @@ HEADLINE: tuple[str, ...] = (
     "approx_distinct_users_kmv",
     "events_cms_replay_counts",
     "events_type_overlap_kmv",
+    "approx_users_kmv_merge",
     # round-9: the quality model joined the headline when its fit moved
     # from MLlib L-BFGS (~6 s at any sf) to the deterministic
     # bounded-sample Newton solve (sub-second) — the old fit-dominated

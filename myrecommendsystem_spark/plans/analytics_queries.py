@@ -4823,6 +4823,96 @@ def events_audience_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "approx_users_kmv_merge",
+    f"""
+WITH d AS (
+    SELECT DISTINCT event_type, CAST(ts AS DATE) AS day,
+           (CAST(user_id AS BIGINT) * {stats.KMV_A}) % {stats.KMV_M} AS hv
+    FROM events
+),
+daily AS (
+    SELECT event_type, day, hv FROM d
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type, day ORDER BY hv) <= 64
+),
+merged AS (
+    SELECT event_type, hv FROM (SELECT DISTINCT event_type, hv FROM daily)
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) <= 64
+),
+agg AS (
+    SELECT event_type, COUNT(*) AS k, MAX(hv) AS hk FROM merged GROUP BY 1
+),
+ex AS (
+    SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+    FROM events GROUP BY 1
+)
+SELECT agg.event_type,
+       {sql_round_stable(
+           f'CASE WHEN k < 64 THEN CAST(k AS DOUBLE)'
+           f' ELSE (k - 1) * {float(stats.KMV_M)} / hk END', 4)}
+           AS approx_users,
+       CAST(ex.exact_users AS BIGINT) AS exact_users
+FROM agg JOIN ex ON agg.event_type = ex.event_type
+ORDER BY agg.event_type
+""",
+    doc="mergeable KMV distinct-count maintenance — the DETERMINISTIC "
+    "(hash-gated) twin of approx_users_hll_merge: per-(type, day) "
+    "k=64 sketch states, min-merged to per-type estimates next to the "
+    "exact count.  The 100 TB maintenance shape: a day's refresh "
+    "touches one day's slice, merge is associative/commutative/"
+    "lossless (min-union — the law pinned in "
+    "test_kmv_estimate_tracks_exact_and_merges), and the shuffle "
+    "carries 64 longs per group, never user ids.  Pure integer "
+    "hashing end to end, so states AND estimates replay in SQL — the "
+    "datasketches-HLL original stays rows-only because its register "
+    "bytes are engine-internal",
+    defer=True,
+    since=9,
+)
+def approx_users_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    k = 64
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id", "ts")
+    hv = (F.col("user_id").cast("bigint") * F.lit(stats.KMV_A)) % F.lit(
+        stats.KMV_M
+    )
+    d = ev.select(
+        "event_type", F.col("ts").cast("date").alias("day"), hv.alias("hv")
+    ).distinct()
+    wd = Window.partitionBy("event_type", "day").orderBy("hv")
+    daily = (
+        d.withColumn("__r", F.row_number().over(wd))
+        .filter(F.col("__r") <= k)
+        .drop("__r")
+    )
+    wm = Window.partitionBy("event_type").orderBy("hv")
+    merged = (
+        daily.select("event_type", "hv")
+        .distinct()
+        .withColumn("__r", F.row_number().over(wm))
+        .filter(F.col("__r") <= k)
+    )
+    agg = merged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("k"), F.max("hv").alias("hk")
+    )
+    est = F.when(F.col("k") < k, F.col("k").cast("double")).otherwise(
+        (F.col("k") - 1) * F.lit(float(stats.KMV_M)) / F.col("hk")
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_users")
+    )
+    return (
+        agg.join(ex, "event_type")
+        .select(
+            "event_type",
+            round_stable(est, 4).alias("approx_users"),
+            "exact_users",
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "events_type_overlap_kmv",
     f"""
 WITH d AS (
