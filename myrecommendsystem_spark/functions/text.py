@@ -191,8 +191,14 @@ def shingles(text: Column, n: int = 3) -> Column:
     appears only as a zip_with/slice ARGUMENT (n evaluations per row)
     and the lambdas touch only their own variables.  Output-identical:
     zip_with pads the shorter slice with NULL and concat_ws skips
-    NULLs, which reproduces the short-doc whole-text fallback."""
-    toks = tokens(text)
+    NULLs, which reproduces the short-doc whole-text fallback.
+
+    NULL text is coalesced to '' so shingles(NULL) == [''] — the
+    pre-rewrite ``transform`` form's behavior, which downstream
+    empty-shingle parity (corpus_quality) and explode() consumers
+    rely on; without the coalesce, slice(NULL)/zip_with would
+    propagate NULL and silently drop NULL-text rows."""
+    toks = tokens(F.coalesce(text, F.lit("")))
     length = F.greatest(F.size(toks) - (n - 1), F.lit(1))
     grams = F.slice(toks, 1, length)
     for j in range(1, n):

@@ -479,16 +479,35 @@ def fingerprint_near_duplicates(
     (factored round 9 so image dHash reuses the identical pipeline):
     byte-band bucketing (shiftright & mask), max_bucket skew cap,
     bucket self-join, ``bit_count(a XOR b)`` verify.  Everything after
-    the fingerprint is codegen; the only shuffle is on
+    the fingerprint is codegen; the shuffles are keyed on fp and
     (band_idx, band_val).  Note the pigeonhole guarantee (recall 1.0)
     needs max_hamming < bands; above it the bands are a recall/cost
     dial exactly like MinHash-LSH banding.
+
+    **Exact-fingerprint pre-collapse** (round-10; the round-9 SCALE.md
+    mitigation for the audio pipeline's output-driven 0.89 exponent):
+    only DISTINCT fingerprints enter the banding self-join — on a
+    clone-heavy corpus (recrawls, mirrored assets) a clone group of g
+    identical fingerprints contributes 1 banding row instead of g, so
+    Σ bucket² shrinks quadratically in the clone factor.  Output is
+    reconstructed afterwards: fp-level near-dup pairs expand back
+    through group members (two fp-keyed joins), and intra-group pairs
+    (hamming 0) come from a fp-keyed self-join of surviving groups.
+    Output-identical to the uncollapsed form: the max_bucket cap still
+    counts IDS per bucket (group sizes are summed into bucket_n —
+    clones of one fingerprint always share every bucket), survival of
+    a clone group in >= 1 capped bucket is exactly the old both-ids-
+    co-located condition, and hamming is a function of the fp pair
+    alone.  Expansion cost is output-driven — inherent to emitting the
+    pairs at all.
     """
     bits_per_band = 64 // bands
     mask = (1 << bits_per_band) - 1
-    banded = fp.select(
-        "id",
+    members = fp.persist()  # expansion joins + group counts — one kernel pass
+    groups = members.groupBy("fp").agg(F.count("*").alias("grp_n"))
+    banded = groups.select(
         "fp",
+        "grp_n",
         F.posexplode(
             F.array(
                 *[
@@ -500,32 +519,48 @@ def fingerprint_near_duplicates(
             )
         ).alias("band_idx", "band_val"),
     )
-    banded = banded.persist()  # two join sides — don't re-fingerprint twice
+    banded = banded.persist()  # two join sides — don't re-band twice
     bucket_sizes = banded.groupBy("band_idx", "band_val").agg(
-        F.count("*").alias("bucket_n")
+        F.sum("grp_n").alias("bucket_n")  # IDs per bucket, not distinct fps
     )
     capped = banded.join(
         bucket_sizes.filter(F.col("bucket_n") <= max_bucket),
         ["band_idx", "band_val"],
-    ).select("band_idx", "band_val", "id", "fp")
-    a = capped.select(
-        "band_idx", "band_val", F.col("id").alias("id_a"), F.col("fp").alias("fp_a")
-    )
-    b = capped.select(
-        "band_idx", "band_val", F.col("id").alias("id_b"), F.col("fp").alias("fp_b")
-    )
-    out = (
+    ).select("band_idx", "band_val", "fp")
+    a = capped.select("band_idx", "band_val", F.col("fp").alias("fp_a"))
+    b = capped.select("band_idx", "band_val", F.col("fp").alias("fp_b"))
+    fp_pairs = (
         a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("fp_a") < F.col("fp_b"))
+        .select(
+            "fp_a",
+            "fp_b",
+            TXT.hamming64(F.col("fp_a"), F.col("fp_b")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["fp_a", "fp_b"])
+    )
+    ma = members.select(F.col("id").alias("ida"), F.col("fp").alias("fp_a"))
+    mb = members.select(F.col("id").alias("idb"), F.col("fp").alias("fp_b"))
+    cross = fp_pairs.join(ma, "fp_a").join(mb, "fp_b").select(
+        F.least("ida", "idb").alias("id_a"),
+        F.greatest("ida", "idb").alias("id_b"),
+        "hamming",
+    )
+    surviving = capped.select("fp").distinct()
+    kept = members.join(surviving, "fp")
+    intra = (
+        kept.select("fp", F.col("id").alias("id_a"))
+        .join(kept.select("fp", F.col("id").alias("id_b")), "fp")
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            TXT.hamming64(F.col("fp_a"), F.col("fp_b")).alias("hamming"),
+            F.lit(0).cast("integer").alias("hamming"),
         )
-        .filter(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["id_a", "id_b"])
     )
-    return eager_release(out, banded)
+    out = cross.unionByName(intra)
+    return eager_release(out, members, banded)
 
 
 def minhash_cross_corpus_pairs(

@@ -25,7 +25,7 @@ shuffle on its group key regardless of input size.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from myrecommendsystem_spark.functions.compat import round_stable
 
@@ -239,6 +239,36 @@ CMS_REPLAY_PARAMS = (
 )
 
 
+KMV_KEY_M = 2147483648  # 2^31 key pre-mod: keeps key*KMV_A inside BIGINT
+
+
+def kmv_hash(key: Column) -> Column:
+    """Knuth multiplicative hash of one key → [0, 2^32) — the shared
+    hash of the KMV sketch family.
+
+    Key contract (round-10 ADVICE): keys are pre-folded to [0, 2^31)
+    with pmod, so (a) the product key*KMV_A stays < 2^63 — a raw
+    BIGINT multiply would raise ARITHMETIC_OVERFLOW under ANSI mode
+    (Spark 4 default) for keys ≥ ~3.47e9 — and (b) negative keys hash
+    like everything else instead of producing negative remainders
+    (Spark % follows the dividend sign) that would sort before every
+    real hash and corrupt the k-minimum estimate.  Keys beyond 32 bits
+    alias mod 2^31 — the same bounded-key contract cms_replay_bucket
+    documents.  Identity-preserving on the common case (0 ≤ key < 2^31
+    hashes exactly as the unguarded form did)."""
+    folded = F.pmod(key.cast("bigint"), F.lit(KMV_KEY_M))
+    return F.pmod(folded * F.lit(KMV_A), F.lit(KMV_M))
+
+
+def sql_kmv_hash(expr: str) -> str:
+    """ANSI-SQL twin of :func:`kmv_hash` (DuckDB % also follows the
+    dividend sign, hence the double-mod pmod emulation)."""
+    return (
+        f"((CAST({expr} AS BIGINT) % {KMV_KEY_M} + {KMV_KEY_M})"
+        f" % {KMV_KEY_M} * {KMV_A}) % {KMV_M}"
+    )
+
+
 def kmv_smallest_hashes(df: DataFrame, key_col: str, k: int = 64) -> DataFrame:
     """The k smallest DISTINCT Knuth-hash values of ``key_col`` — the
     KMV (k-minimum-values) distinct-count sketch state (Bar-Yossef et
@@ -246,10 +276,13 @@ def kmv_smallest_hashes(df: DataFrame, key_col: str, k: int = 64) -> DataFrame:
     TakeOrderedAndProject: each partition keeps its own k smallest and
     only k rows per partition reach the driver-side merge — no global
     sort, no full shuffle, which is the whole point at 100 TB.  The
-    k-th smallest hash h_(k) estimates distinct ≈ (k-1) * M / h_(k)."""
-    hv = (F.col(key_col).cast("bigint") * F.lit(KMV_A)) % F.lit(KMV_M)
+    k-th smallest hash h_(k) estimates distinct ≈ (k-1) * M / h_(k).
+    Key range contract: see :func:`kmv_hash`."""
     return (
-        df.select(hv.alias("hv")).distinct().orderBy("hv").limit(k)
+        df.select(kmv_hash(F.col(key_col)).alias("hv"))
+        .distinct()
+        .orderBy("hv")
+        .limit(k)
     )
 
 

@@ -4827,7 +4827,7 @@ def events_audience_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 WITH d AS (
     SELECT DISTINCT event_type, CAST(ts AS DATE) AS day,
-           (CAST(user_id AS BIGINT) * {stats.KMV_A}) % {stats.KMV_M} AS hv
+           {stats.sql_kmv_hash("user_id")} AS hv
     FROM events
 ),
 daily AS (
@@ -4873,9 +4873,7 @@ def approx_users_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     k = 64
     ev = _t(spark, sf_dir, "events").select("event_type", "user_id", "ts")
-    hv = (F.col("user_id").cast("bigint") * F.lit(stats.KMV_A)) % F.lit(
-        stats.KMV_M
-    )
+    hv = stats.kmv_hash(F.col("user_id"))
     d = ev.select(
         "event_type", F.col("ts").cast("date").alias("day"), hv.alias("hv")
     ).distinct()
@@ -4917,7 +4915,7 @@ def approx_users_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 WITH d AS (
     SELECT DISTINCT event_type,
-           (CAST(user_id AS BIGINT) * {stats.KMV_A}) % {stats.KMV_M} AS hv
+           {stats.sql_kmv_hash("user_id")} AS hv
     FROM events
 ),
 sk AS (
@@ -4986,9 +4984,7 @@ def events_type_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     k = 64
     ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
-    hv = (F.col("user_id").cast("bigint") * F.lit(stats.KMV_A)) % F.lit(
-        stats.KMV_M
-    )
+    hv = stats.kmv_hash(F.col("user_id"))
     d = ev.select("event_type", hv.alias("hv")).distinct()
     w = Window.partitionBy("event_type").orderBy("hv")
     sk = (
@@ -5660,8 +5656,7 @@ def events_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "approx_distinct_users_kmv",
     f"""
 WITH h AS (
-    SELECT DISTINCT (CAST(user_id AS BIGINT) * {stats.KMV_A}) % {stats.KMV_M}
-        AS hv
+    SELECT DISTINCT {stats.sql_kmv_hash("user_id")} AS hv
     FROM events
 ),
 topk AS (SELECT hv FROM h ORDER BY hv LIMIT 64),
@@ -5669,7 +5664,9 @@ kth AS (SELECT MAX(hv) AS kth_hash, COUNT(*) AS k FROM topk),
 ex AS (SELECT COUNT(DISTINCT user_id) AS exact_users FROM events)
 SELECT CAST(k AS INTEGER) AS k,
        CAST(kth_hash AS BIGINT) AS kth_hash,
-       {sql_round_stable(f'(k - 1) * {float(stats.KMV_M)} / kth_hash', 4)}
+       {sql_round_stable(
+           f'CASE WHEN k < 64 THEN CAST(k AS DOUBLE)'
+           f' ELSE (k - 1) * {float(stats.KMV_M)} / kth_hash END', 4)}
            AS est_users,
        CAST(exact_users AS BIGINT) AS exact_users
 FROM kth, ex
@@ -5698,12 +5695,16 @@ def approx_distinct_users_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = ev.agg(
         F.count_distinct("user_id").cast("bigint").alias("exact_users")
     )
+    # k<64 guard (round-10 ADVICE, the KMV-family convention): the
+    # (k-1)·M/h_(k) estimator is biased while the sketch isn't full —
+    # with fewer than k distinct keys the sketch IS the exact set
+    est = F.when(F.col("k") < 64, F.col("k").cast("double")).otherwise(
+        (F.col("k") - 1) * F.lit(float(stats.KMV_M)) / F.col("kth_hash")
+    )
     return kth.crossJoin(exact).select(
         "k",
         "kth_hash",
-        round_stable(
-            (F.col("k") - 1) * F.lit(float(stats.KMV_M)) / F.col("kth_hash"), 4
-        ).alias("est_users"),
+        round_stable(est, 4).alias("est_users"),
         "exact_users",
     )
 
@@ -5951,6 +5952,95 @@ def events_value_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.element_at("q", 3), 4).alias("p75"),
             F.round(F.element_at("q", 4), 4).alias("p99"),
         )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_value_quantiles_histsketch",
+    f"""
+WITH cells AS (
+    SELECT event_type,
+           CAST(FLOOR(value * 100) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events
+    GROUP BY 1, 2
+),
+cum AS (
+    SELECT event_type, bucket, cnt,
+           SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+           SUM(cnt) OVER (PARTITION BY event_type) AS n
+    FROM cells
+)
+SELECT event_type,
+       {sql_round_stable(
+           "MIN(CASE WHEN cum >= CEIL(0.25 * n) THEN bucket END) / 100.0", 4)}
+           AS p25,
+       {sql_round_stable(
+           "MIN(CASE WHEN cum >= CEIL(0.5 * n) THEN bucket END) / 100.0", 4)}
+           AS p50,
+       {sql_round_stable(
+           "MIN(CASE WHEN cum >= CEIL(0.75 * n) THEN bucket END) / 100.0", 4)}
+           AS p75,
+       {sql_round_stable(
+           "MIN(CASE WHEN cum >= CEIL(0.99 * n) THEN bucket END) / 100.0", 4)}
+           AS p99
+FROM cum
+GROUP BY event_type
+ORDER BY event_type
+""",
+    doc="REPLAYABLE mergeable quantile sketch (deterministic twin of "
+    "events_value_quantiles_sketch — the round-9 KMV/CMS-twin "
+    "technique extended to the last sketch family): a fixed-resolution "
+    "histogram relation (event_type, centi-bucket = floor(value·100), "
+    "cnt), one grouped count whose map-side partial aggregation caps "
+    "every task's shuffle output at the distinct-bucket count (bounded "
+    "by the value RANGE × 100, never by event volume), then rank "
+    "selection — per quantile p, the smallest bucket whose cumulative "
+    "count reaches ceil(p·n) — over the types × buckets relation.  The "
+    "sketch is lossless-mergeable (bucket counts ADD across any slice "
+    "union: the same 100 TB maintenance shape as the KMV/CMS twins) "
+    "and accurate to the 0.01 bucket resolution by construction.  "
+    "Rank selection is pure integer arithmetic on bucket counts, so "
+    "build AND readout replay in SQL exactly; the approx_percentile "
+    "original stays rows-only because Spark's KLL-family sketch "
+    "internals are engine-specific",
+    defer=True,
+    since=10,
+)
+def events_value_quantiles_histsketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cells = (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.col("value") * 100).cast("bigint").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = cells.select(
+        "event_type",
+        "bucket",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+
+    def _q(p: float, name: str):
+        hit = F.when(
+            F.col("cum") >= F.ceil(F.lit(p) * F.col("n")), F.col("bucket")
+        )
+        return round_stable(F.min(hit) / F.lit(100.0), 4).alias(name)
+
+    return (
+        cum.groupBy("event_type")
+        .agg(_q(0.25, "p25"), _q(0.5, "p50"), _q(0.75, "p75"), _q(0.99, "p99"))
         .orderBy("event_type")
     )
 

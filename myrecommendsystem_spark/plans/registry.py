@@ -412,9 +412,78 @@ _DRIVER_WINDOW_R9 = [
     "doc_quality_top_half",
 ]
 
+# Round-10 window == ``expected_driver_window(10)`` verbatim — the
+# first rotation derived from a two-digit artifact (CORRECTNESS_r09 is
+# still single-digit; r10's own artifact will be the first the glob's
+# \d+ regex must catch, rehearsed by
+# test_two_digit_round_artifacts_are_parsed).  Tier 1: the seven
+# ``since=9`` registrations (media dHash pairs/survivors, audio
+# Haitsma-Kalker pairs, the KMV distinct/merge/overlap trio, CMS
+# replay) — structurally excluded from their own round's window, all
+# replayed hash-green at sf0.01 locally in r9.  Tiers 2-4 are empty
+# (no rows-only registrations since r9, no stale-oracle or red-hash
+# rows).  Tier 5 pads with the 43 stalest hash-green re-checks (latest
+# green round ascending, registration order within a round): the
+# r5-green corpus_drift_terms .. events_dau_wau block, then r6-green
+# entries through product_score_trend.
+_DRIVER_WINDOW_R10 = [
+    # -- tier 1: never driver-verified, oracle-gated (since=9 front) --
+    "media_near_dup_pairs",
+    "media_dedup_survivors",
+    "audio_near_dup_pairs",
+    "approx_users_kmv_merge",
+    "events_type_overlap_kmv",
+    "approx_distinct_users_kmv",
+    "events_cms_replay_counts",
+    # -- tier 5 padding: stalest hash-green re-checks --
+    "corpus_drift_terms",
+    "itemcf_similarities",
+    "stream_recs_batch",
+    "events_session_windows",
+    "ratings_negative_samples",
+    "product_wilson_ranking",
+    "dedup_substring_overlap",
+    "doc_cdc_chunks",
+    "doc_collocations_pmi",
+    "doc_hybrid_search_rrf",
+    "doc_phrase_search",
+    "stream_recs_cold_start",
+    "media_dedup_exact",
+    "suppliers_covering_all_types",
+    "customer_rfm_scores",
+    "events_median_gap",
+    "events_dau_wau",
+    "orders_basket_lift",
+    "doc_boilerplate_ngrams",
+    "doc_token_entropy",
+    "corpus_vocab_diversity",
+    "docs_mixture_resample",
+    "doc_length_curriculum",
+    "events_scd2_intervals",
+    "events_ohlc_hourly",
+    "label_centroid_similarity",
+    "lineitem_integrity_report",
+    "product_graph_pagerank",
+    "corpus_clean_pipeline",
+    "orders_yoy_growth",
+    "product_popularity_decayed",
+    "corpus_zipf_fit",
+    "usercf_similarities",
+    "product_graph_distances",
+    "events_cdc_final_state",
+    "events_ab_test_zscore",
+    "part_name_fuzzy_pairs",
+    "events_value_mad_outliers",
+    "events_ema_daily",
+    "orders_open_backlog",
+    "orders_target_encoding",
+    "events_value_psi",
+    "product_score_trend",
+]
+
 # The window the driver verifies THIS round; tests pin invariants
 # against this alias so rotations touch one assignment.
-DRIVER_WINDOW = _DRIVER_WINDOW_R9
+DRIVER_WINDOW = _DRIVER_WINDOW_R10
 
 # Round 5 fronted the verification backlog (round-4 verdict item 1):
 # 47 oldest never-driver-verified oracle-gated queries in registration

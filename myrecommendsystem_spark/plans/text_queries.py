@@ -2190,18 +2190,44 @@ def doc_quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "doc_id bigint, weak_label int, p_target double"
         )
-    # per-process fit memo keyed by sf_dir (the ann_topk_ivfpq_search
-    # index-memo precedent): the fit is deterministic in its input, so
-    # re-running the query re-pays only SCORING — the production split
-    # (fit once on a bounded sample, score every batch)
-    weights = _QUALITY_FIT_MEMO.get(sf_dir)
+    # per-process fit memo keyed by (sf_dir, corpus stamp) — the
+    # ann_topk_ivfpq_search index-memo precedent: the fit is
+    # deterministic in its input, so re-running the query re-pays only
+    # SCORING — the production split (fit once on a bounded sample,
+    # score every batch).  The stamp (round-10 ADVICE) is the documents
+    # files' names/mtimes/sizes, so regenerating the data under a
+    # reused dir (tests re-materializing a tmp path, bench rebuilding a
+    # scale factor in-process) invalidates the memo instead of scoring
+    # with stale weights.
+    key = (sf_dir, _corpus_stamp(sf_dir))
+    weights = _QUALITY_FIT_MEMO.get(key)
     if weights is None:
         weights = quality.fit_quality_weights(docs)
-        _QUALITY_FIT_MEMO[sf_dir] = weights
+        _QUALITY_FIT_MEMO[key] = weights
     return quality.score_documents(docs, weights=weights)
 
 
-_QUALITY_FIT_MEMO: dict[str, tuple] = {}
+def _corpus_stamp(sf_dir: str) -> tuple:
+    """Cheap change-detection stamp of the documents table: sorted
+    (name, mtime_ns, size) of its files.  Remote/object-store paths
+    (no local stat) degrade to a constant — the memo then keys on
+    sf_dir alone, the pre-round-10 behavior."""
+    import os
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    try:
+        if os.path.isdir(p):
+            return tuple(
+                (e.name, e.stat().st_mtime_ns, e.stat().st_size)
+                for e in sorted(os.scandir(p), key=lambda e: e.name)
+            )
+        st = os.stat(p)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return ("unstattable",)
+
+
+_QUALITY_FIT_MEMO: dict[tuple, tuple] = {}
 
 
 @register(

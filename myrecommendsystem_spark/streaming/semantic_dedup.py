@@ -233,6 +233,7 @@ def run_semantic_dedup_stream(
     max_bucket: int = 1000,
     trigger: dict | None = None,
     bands_path: str | None = None,
+    num_band_parts: int = 64,
 ):
     """Maintain the survivor table from a vector stream (vec_id,
     embedding): per micro-batch, gate against the CURRENT table, self-
@@ -253,14 +254,37 @@ def run_semantic_dedup_stream(
     matched candidates' vectors — the O(batch + matched buckets)
     contract, now structural.  The two tables are upserted vectors
     first, bands second; foreachBatch replay after a crash between the
-    writes re-upserts both idempotently (same keys, same rows)."""
+    writes re-upserts both idempotently (same keys, same rows).
+
+    Round 10 (round-9 SCALE.md residual): the band table is PARTITIONED
+    BY BAND — ``pmod(hash(band_idx, band_val), num_band_parts)`` — not
+    by vec_id hash, and the probe scan filters to the partitions the
+    batch's own band values hash into (a ≤ num_band_parts-int driver
+    hop, the same technique as upsert_by_key's touched-bucket read).
+    The per-trigger survivor-band term drops from an O(S)-bytes full
+    scan to O(matched partitions' files): a small steady-state trigger
+    with b band values reads ≤ min(b, num_band_parts)/num_band_parts of
+    the table's files — exact pruning, since a survivor band can only
+    match a batch band inside the same hash partition.  Replace-by-key
+    on the band table becomes best-effort (bucket is not a function of
+    vec_id — see upsert_by_key): a vec_id that re-arrives with a CHANGED
+    embedding and survives the gate may strand old band rows in
+    unmatched partitions.  Harmless by construction — stale bands only
+    ever ADD candidate pairs, and every candidate is exact-cosine
+    verified against the CURRENT vector table before it gates anything.
+    ``num_band_parts`` is a layout dial: raise it with corpus size so
+    matched-partition bytes stay bounded (it only changes file layout,
+    never results)."""
     from myrecommendsystem_spark.streaming.recommender import (
+        BUCKET_COL,
         _fs_exists,
         read_upserted,
         upsert_by_key,
     )
 
     bands_path = bands_path or out_path + "_bands"
+    band_part = F.pmod(F.hash(F.col("band_idx"), F.col("band_val")),
+                       F.lit(num_band_parts))
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark: SparkSession = batch_df.sparkSession
@@ -280,11 +304,7 @@ def run_semantic_dedup_stream(
                 F.col("vec_id").alias("id"),
                 F.col("embedding").cast("array<double>").alias("v"),
             )
-            if _fs_exists(spark, bands_path):
-                surv_bands = read_upserted(spark, bands_path).select(
-                    F.col("vec_id").alias("id"), "band_idx", "band_val"
-                )
-            else:
+            if not _fs_exists(spark, bands_path):
                 # migration: a v1 table without stored bands — sign the
                 # accumulated set ONCE, persist, never again
                 sprep = similarity._hp_prepare(
@@ -295,18 +315,29 @@ def run_semantic_dedup_stream(
                     "embedding",
                     "hp",
                 )
-                surv_bands = sprep[1]
                 upsert_by_key(
                     spark,
-                    surv_bands.select(
+                    sprep[1].select(
                         F.col("id").alias("vec_id"), "band_idx", "band_val"
                     ),
                     bands_path,
                     key="vec_id",
+                    bucket_of=band_part,
                 )
-                surv_bands = read_upserted(spark, bands_path).select(
-                    F.col("vec_id").alias("id"), "band_idx", "band_val"
-                )
+            # probe scan pruned to the partitions the BATCH's band
+            # values hash into — a survivor band can only match inside
+            # its own hash partition, so the filter loses nothing
+            probe_parts = [
+                r.p
+                for r in step_bands.select(band_part.alias("p"))
+                .distinct()
+                .collect()
+            ]
+            surv_bands = (
+                spark.read.parquet(bands_path)
+                .filter(F.col(BUCKET_COL).isin(probe_parts))
+                .select(F.col("vec_id").alias("id"), "band_idx", "band_val")
+            )
             # materialized: everything downstream (incl. the fresh-band
             # upsert) must NOT lazily re-read the survivor tables after
             # the vector upsert below overwrites their partitions
@@ -345,7 +376,10 @@ def run_semantic_dedup_stream(
             fresh_bands = bands_b.join(dropped, "id", "left_anti").select(
                 F.col("id").alias("vec_id"), "band_idx", "band_val"
             )
-            upsert_by_key(spark, fresh_bands, bands_path, key="vec_id")
+            upsert_by_key(
+                spark, fresh_bands, bands_path, key="vec_id",
+                bucket_of=band_part,
+            )
         finally:
             release_checkpoint(step_bands, fresh, matched)
 

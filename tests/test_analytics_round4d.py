@@ -391,6 +391,55 @@ def test_quantile_sketch_tracks_exact(spark, sf_dir):
             assert lo <= e <= hi, (t, q, e, lo, hi)
 
 
+def test_histsketch_quantiles_track_exact_and_merge(spark, sf_dir):
+    """Replayable histogram-sketch laws (events_value_quantiles_histsketch):
+    (a) every estimate sits within bucket resolution (0.01) + one rank
+    of the exact quantile; (b) the sketch is lossless-mergeable —
+    bucket counts built on two disjoint halves ADD to the whole-corpus
+    sketch (the KMV/CMS merge-law convention for this family)."""
+    import numpy as np
+
+    from myrecommendsystem_spark.io import readers
+    from myrecommendsystem_spark.plans.analytics_queries import (
+        events_value_quantiles_histsketch,
+    )
+
+    est = {
+        r["event_type"]: (r["p25"], r["p50"], r["p75"], r["p99"])
+        for r in events_value_quantiles_histsketch(spark, sf_dir).collect()
+    }
+    ev = readers.load_table(spark, sf_dir, "events").select(
+        "event_type", "value"
+    )
+    for t, es in est.items():
+        vals = np.sort(
+            np.array(
+                [r["value"] for r in ev.filter(F.col("event_type") == t).collect()]
+            )
+        )
+        for q, e in zip((0.25, 0.5, 0.75, 0.99), es):
+            exact = vals[min(len(vals) - 1, int(np.ceil(q * len(vals))) - 1)]
+            assert abs(e - exact) <= 0.011, (t, q, e, exact)
+    # (b) merge law: disjoint-half sketches add cell-wise to the whole
+    cells = lambda df: {  # noqa: E731
+        (r.event_type, r.bucket): r.cnt
+        for r in df.groupBy(
+            "event_type",
+            F.floor(F.col("value") * 100).cast("bigint").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .collect()
+    }
+    whole = ev
+    h1 = ev.filter(F.crc32(F.col("value").cast("string")) % 2 == 0)
+    h2 = ev.filter(F.crc32(F.col("value").cast("string")) % 2 == 1)
+    c1, c2, cw = cells(h1), cells(h2), cells(whole)
+    merged = dict(c1)
+    for k, v in c2.items():
+        merged[k] = merged.get(k, 0) + v
+    assert merged == cw
+
+
 def test_ann_pca_recall_vs_bruteforce(spark, sf_dir):
     from myrecommendsystem_spark.io import readers
     from myrecommendsystem_spark.operators import similarity as SIM

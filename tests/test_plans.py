@@ -409,10 +409,10 @@ def test_driver_window_matches_encoded_composition_rule():
     artifacts of rounds < 8 exactly: never-verified gated, then
     never-verified rows-only, then stale-oracle re-checks, then red-hash
     re-checks (round-7 ADVICE tier), then the stalest hash-green
-    re-checks.  The derivation is pinned to round 9, so this stays
-    reproducible after the r09 artifact lands; the NEXT rotation bumps
+    re-checks.  The derivation is pinned to round 10, so this stays
+    reproducible after the r10 artifact lands; the NEXT rotation bumps
     the round number and re-derives."""
-    derived = registry.expected_driver_window(9, artifact_dir=str(REPO_ROOT))
+    derived = registry.expected_driver_window(10, artifact_dir=str(REPO_ROOT))
     assert registry.DRIVER_WINDOW == derived
 
 
@@ -442,10 +442,10 @@ def test_driver_window_derived_from_correctness_artifacts():
 
 
 def test_next_round_window_derivation_is_ready(tmp_path):
-    """Dry-run the r10 rotation before it happens: with a synthetic r09
+    """Dry-run the r11 rotation before it happens: with a synthetic r10
     artifact covering the committed window (hash rows for gated
-    members, rows-only rows for the rest), expected_driver_window(10)
-    must front exactly the round-9 registrations (``since=9`` — no
+    members, rows-only rows for the rest), expected_driver_window(11)
+    must front exactly the round-10 registrations (``since=10`` — no
     driver row can exist for them by construction), gated before
     rows-only, then pad with hash-green re-checks to exactly 50 unique
     real names.  If this breaks, next round's rotation breaks."""
@@ -463,18 +463,18 @@ def test_next_round_window_derivation_is_ready(tmp_path):
         )
         for name in registry.DRIVER_WINDOW
     }
-    (tmp_path / "CORRECTNESS_r09.json").write_text(json.dumps(fake))
-    win10 = registry.expected_driver_window(10, artifact_dir=str(tmp_path))
+    (tmp_path / "CORRECTNESS_r10.json").write_text(json.dumps(fake))
+    win11 = registry.expected_driver_window(11, artifact_dir=str(tmp_path))
     names = {s.name for s in registry.REGISTRY}
     expected_front = [
-        s.name for s in registry.REGISTRY if s.since == 9 and s.oracle is not None
-    ] + [s.name for s in registry.REGISTRY if s.since == 9 and s.oracle is None]
-    assert len(win10) == 50
-    assert len(set(win10)) == 50
-    assert set(win10) <= names
-    assert win10[: len(expected_front)] == expected_front
+        s.name for s in registry.REGISTRY if s.since == 10 and s.oracle is not None
+    ] + [s.name for s in registry.REGISTRY if s.since == 10 and s.oracle is None]
+    assert len(win11) == 50
+    assert len(set(win11)) == 50
+    assert set(win11) <= names
+    assert win11[: len(expected_front)] == expected_front
     # every padding entry is a genuine re-check with a hash-green row
-    assert all(n in names for n in win10[len(expected_front) :])
+    assert all(n in names for n in win11[len(expected_front) :])
 
 
 def test_two_digit_round_artifacts_are_parsed(tmp_path):
@@ -636,6 +636,8 @@ def test_fingerprint_near_dup_python_is_fingerprint_only(spark, name):
     corpus-sized join keys, no cartesian)."""
     from myrecommendsystem_spark.functions import caching
 
+    import re as _re
+
     with caching.lazy_plans():
         df = registry.all_queries()[name](spark, SF)
         qe = df._jdf.queryExecution()
@@ -644,7 +646,17 @@ def test_fingerprint_near_dup_python_is_fingerprint_only(spark, name):
         # cached subtree — read the kernel count from the analyzed plan
         full = qe.analyzed().toString()
     spark.catalog.clearCache()
-    assert full.count("mapInPandas") + full.count("MapInPandas") >= 1, full
+    # round-10 ADVICE: ">= 1" would let a SECOND Python stage slip in —
+    # the exact regression this pin guards.  The analyzed plan prints
+    # the persisted fingerprint subtree once per reference (expr ids
+    # differ per copy), so count DISTINCT kernels after normalizing
+    # expr ids: exactly ONE distinct mapInPandas signature may appear.
+    kernels = {
+        _re.sub(r"#\d+", "", line[line.find("apInPandas") - 1 :])
+        for line in full.splitlines()
+        if "apInPandas" in line
+    }
+    assert len(kernels) == 1, kernels
     for marker in ("BatchEvalPython", "ArrowEvalPython"):
         assert marker not in plan and marker not in full
     assert "CartesianProduct" not in plan

@@ -175,3 +175,52 @@ def test_streaming_v1_table_migrates_to_stored_bands(spark, tmp_path):
     # the bands table now exists and covers every survivor
     bands = spark.read.parquet(bands_path)
     assert sorted(set(r.vec_id for r in bands.collect())) == [1, 3, 11]
+
+
+def test_band_table_is_partitioned_by_band_and_probe_scan_prunes(
+    spark, tmp_path
+):
+    """Round-10 (round-9 SCALE.md residual): the survivor band table
+    partitions by pmod(hash(band_idx, band_val), num_band_parts) — NOT
+    by vec_id hash — and the per-trigger probe scan carries a partition
+    filter on the batch's own band hash values, so a trigger reads only
+    matched buckets' files instead of O(S) band bytes."""
+    import os
+
+    from myrecommendsystem_spark.streaming.recommender import BUCKET_COL
+
+    src = tmp_path / "vectors_in"
+    src.mkdir()
+    out_path = str(tmp_path / "survivors")
+    bands_path = out_path + "_bands"
+    with open(src / "b1.json", "w") as f:
+        for r in _BATCH1:
+            f.write(json.dumps(r) + "\n")
+    stream = spark.readStream.schema(_SCHEMA).json(str(src))
+    q = run_semantic_dedup_stream(
+        stream, out_path, str(tmp_path / "ckpt"), trigger={"availableNow": True}
+    )
+    q.awaitTermination(120)
+    # (a) on-disk layout: every partition value is the row's band hash
+    rows = spark.read.parquet(bands_path).collect()
+    assert rows
+    # NB: recompute with the table's own types — F.hash of an int and
+    # a bigint differ, and band_val is int in the stream
+    check = spark.createDataFrame(
+        [(r.band_idx, r.band_val, r[BUCKET_COL]) for r in rows],
+        f"band_idx int, band_val int, {BUCKET_COL} int",
+    ).withColumn(
+        "expect", F.pmod(F.hash("band_idx", "band_val"), F.lit(64))
+    )
+    assert check.filter(F.col(BUCKET_COL) != F.col("expect")).count() == 0
+    # multiple band partitions actually materialized on disk
+    parts = [d for d in os.listdir(bands_path) if d.startswith(BUCKET_COL)]
+    assert len(parts) >= 2
+    # (b) the pruned probe read plans a PartitionFilter, not a full scan
+    probe = spark.read.parquet(bands_path).filter(
+        F.col(BUCKET_COL).isin([int(parts[0].split("=")[1])])
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and BUCKET_COL in plan.split(
+        "PartitionFilters"
+    )[1][:200]

@@ -40,6 +40,36 @@ def test_token_count_edges(spark):
     assert [r.n for r in out] == [3, 0, 0, 1]
 
 
+def test_shingles_null_and_empty_text(spark):
+    """NULL and empty text both yield the single empty gram [''].
+
+    Pins the ADVICE r9 regression: the zip-fold rewrite propagated
+    NULL through slice/zip_with so shingles(NULL) returned NULL,
+    silently dropping NULL-text rows from explode() consumers; the
+    coalesce restores the pre-rewrite transform-form behavior."""
+    from pyspark.sql.types import StringType, StructField, StructType, LongType
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("t", StringType(), True)]
+    )
+    df = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "   "), (3, "one two three four")], schema
+    )
+    out = {
+        r.doc_id: r.s
+        for r in df.select(
+            "doc_id", TXT.shingles(F.col("t")).alias("s")
+        ).collect()
+    }
+    assert out[0] == [""]  # NULL text -> the single empty gram, not NULL
+    assert out[1] == [""]
+    assert out[2] == [""]
+    assert sorted(out[3]) == ["one two three", "two three four"]
+    # explode() keeps the NULL-text row (one row per doc here)
+    n = df.select("doc_id", F.explode(TXT.shingles(F.col("t")))).count()
+    assert n == 5  # docs 0..2 contribute 1 gram each, doc 3 contributes 2
+
+
 def test_bpe_ish_tokens(spark):
     df = spark.createDataFrame([Row(t="hello, world42 (x)")])
     out = df.select(TXT.bpe_ish_tokens(F.col("t")).alias("tk")).first()
