@@ -162,6 +162,7 @@ HEADLINE: tuple[str, ...] = (
     "parts_price_band_join",
     "events_rollup_two_level",
     "events_value_quantiles_sketch",
+    "events_value_quantiles_histsketch",
     "ratings_negative_samples",
     "events_dp_type_counts",
     "doc_compression_signal",

@@ -471,6 +471,7 @@ def fingerprint_near_duplicates(
     max_hamming: int,
     bands: int = 8,
     max_bucket: int = 1000,
+    _force_collapse: bool | None = None,
 ) -> DataFrame:
     """Banded near-dup pairs over ANY (id, fp) 64-bit fingerprint
     relation → (id_a, id_b, hamming ≤ max_hamming).
@@ -484,40 +485,117 @@ def fingerprint_near_duplicates(
     needs max_hamming < bands; above it the bands are a recall/cost
     dial exactly like MinHash-LSH banding.
 
-    **Exact-fingerprint pre-collapse** (round-10; the round-9 SCALE.md
-    mitigation for the audio pipeline's output-driven 0.89 exponent):
-    only DISTINCT fingerprints enter the banding self-join — on a
-    clone-heavy corpus (recrawls, mirrored assets) a clone group of g
-    identical fingerprints contributes 1 banding row instead of g, so
-    Σ bucket² shrinks quadratically in the clone factor.  Output is
-    reconstructed afterwards: fp-level near-dup pairs expand back
-    through group members (two fp-keyed joins), and intra-group pairs
-    (hamming 0) come from a fp-keyed self-join of surviving groups.
-    Output-identical to the uncollapsed form: the max_bucket cap still
-    counts IDS per bucket (group sizes are summed into bucket_n —
-    clones of one fingerprint always share every bucket), survival of
-    a clone group in >= 1 capped bucket is exactly the old both-ids-
-    co-located condition, and hamming is a function of the fp pair
-    alone.  Expansion cost is output-driven — inherent to emitting the
-    pairs at all.
+    **Adaptive exact-fingerprint pre-collapse** (round-10; the round-9
+    SCALE.md mitigation for the audio pipeline's output-driven 0.89
+    exponent): when exact-equal fingerprints are plentiful, only
+    DISTINCT fingerprints enter the banding self-join — a clone group
+    of g identical fingerprints contributes 1 banding row instead of
+    g·bands candidate-join rows PER BAND, so the Σ bucket² term shrinks
+    quadratically in the clone factor (measured: audio exponent 0.89 →
+    0.24 at 4×/16×, identical pair counts).  Output is reconstructed
+    afterwards: fp-level near-dup pairs expand back through group
+    members (two fp-keyed joins), and intra-group pairs (hamming 0)
+    come from a fp-keyed self-join of surviving groups.
+
+    The collapse costs ~4 extra small-relation stages, which DOUBLES
+    wall time on a corpus without big clone groups — where it saves
+    nothing (measured quiet-host 16×: dHash 4.5 s → 9.1 s at 99.9 %
+    distinct fps; audio 4.7 s → 10.4 s at 93 % distinct spread over
+    SMALL groups) — so the strategy is a two-stage scalar probe, both
+    stages bounded driver hops:
+
+    1. count/count_distinct over the 8-byte fingerprints (two longs).
+       dup = n − d small ⇒ the direct path's excess join volume
+       bands·Σ(g²−g) ≤ bands·(dup+1)² is trivially affordable — run
+       direct, probe done.
+    2. otherwise compute Σ(g²−g) EXACTLY from the clone-group counts
+       (one groupBy over distinct fps; the relation is persisted and
+       REUSED as the collapse path's groups input, so stage 2 is never
+       wasted work).  Collapse only when the excess candidate volume
+       bands·Σ(g²−g) dwarfs the per-stage overhead —
+       > max(10 M rows, 20·n) — i.e. genuinely clone-heavy corpora
+       (recrawls, mirrored assets), where it shrinks the self-join
+       quadratically in the clone factor and keeps winning as n grows.
+
+    BOTH paths are output-identical (verified: identical pair counts
+    and hash-gated results across all probe corpora): the max_bucket
+    cap counts IDS per bucket in each (group sizes are summed into
+    bucket_n — clones of one fingerprint always share every bucket),
+    survival of a clone group in ≥ 1 capped bucket is exactly the
+    both-ids-co-located condition, and hamming is a function of the fp
+    pair alone, so the branch can never change results — only the plan.
     """
     bits_per_band = 64 // bands
     mask = (1 << bits_per_band) - 1
-    members = fp.persist()  # expansion joins + group counts — one kernel pass
-    groups = members.groupBy("fp").agg(F.count("*").alias("grp_n"))
-    banded = groups.select(
-        "fp",
-        "grp_n",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(F.col("fp"), b * bits_per_band).bitwiseAND(
-                        F.lit(mask)
-                    )
-                    for b in range(bands)
-                ]
+    band_array = F.array(
+        *[
+            F.shiftright(F.col("fp"), b * bits_per_band).bitwiseAND(F.lit(mask))
+            for b in range(bands)
+        ]
+    )
+    members = fp.persist()  # every path reads it ≥ 2×s — one kernel pass
+    groups = None
+    if _force_collapse is None:  # adaptive (the production path)
+        stats = members.agg(
+            F.count(F.lit(1)).alias("n"), F.count_distinct("fp").alias("d")
+        ).first()
+        dup_count = stats.n - stats.d
+        collapse = False
+        if dup_count > max(1000, stats.n // 100):
+            groups = members.groupBy("fp").agg(
+                F.count(F.lit(1)).alias("grp_n")
+            ).persist()
+            excess = groups.agg(
+                F.sum(F.col("grp_n") * F.col("grp_n") - F.col("grp_n"))
+            ).first()[0] or 0
+            collapse = bands * excess > max(10_000_000, 20 * stats.n)
+            if not collapse:
+                groups.unpersist()
+    else:  # test/tuning override: pin one strategy, skip the probe
+        collapse = _force_collapse
+    if collapse and groups is None:
+        groups = members.groupBy("fp").agg(
+            F.count(F.lit(1)).alias("grp_n")
+        ).persist()
+    if not collapse:
+        # ---- direct path: band ids, bucket self-join, verify ----
+        banded = members.select(
+            "id", "fp", F.posexplode(band_array).alias("band_idx", "band_val")
+        )
+        bucket_sizes = banded.groupBy("band_idx", "band_val").agg(
+            F.count(F.lit(1)).alias("bucket_n")
+        )
+        capped = banded.join(
+            bucket_sizes.filter(F.col("bucket_n") <= max_bucket),
+            ["band_idx", "band_val"],
+        ).select("band_idx", "band_val", "id", "fp")
+        a = capped.select(
+            "band_idx",
+            "band_val",
+            F.col("id").alias("id_a"),
+            F.col("fp").alias("fp_a"),
+        )
+        b = capped.select(
+            "band_idx",
+            "band_val",
+            F.col("id").alias("id_b"),
+            F.col("fp").alias("fp_b"),
+        )
+        out = (
+            a.join(b, ["band_idx", "band_val"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a",
+                "id_b",
+                TXT.hamming64(F.col("fp_a"), F.col("fp_b")).alias("hamming"),
             )
-        ).alias("band_idx", "band_val"),
+            .filter(F.col("hamming") <= max_hamming)
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        return eager_release(out, members)
+    # ---- pre-collapse path: band DISTINCT fps, expand afterwards ----
+    banded = groups.select(
+        "fp", "grp_n", F.posexplode(band_array).alias("band_idx", "band_val")
     )
     banded = banded.persist()  # two join sides — don't re-band twice
     bucket_sizes = banded.groupBy("band_idx", "band_val").agg(
@@ -560,7 +638,7 @@ def fingerprint_near_duplicates(
         )
     )
     out = cross.unionByName(intra)
-    return eager_release(out, members, banded)
+    return eager_release(out, members, banded, groups)
 
 
 def minhash_cross_corpus_pairs(

@@ -261,26 +261,43 @@ ORDER BY pid_a, pid_b
     "of product_cooccurrence_pmi (lift = P(a,b)/(P(a)P(b)) vs its log "
     "form): pair volume bounded by per-order basket size squared (no "
     "cap needed — baskets are physically small), part-count tables "
-    "broadcast, support floor n_ab >= 3",
+    "broadcast, support floor n_ab >= 3.  Round-10 shape: pairs are "
+    "generated IN-ROW from a per-order collect_set basket array "
+    "(sorted, upper-triangle via transform-over-slice — slice on a "
+    "plain column attribute is HOF-safe) instead of the items "
+    "self-join, dropping a corpus-sized join shuffle: one shuffle "
+    "builds baskets, one aggregates pairs, and n_orders/part counts "
+    "fall out of the same basket relation",
     defer=True,
 )
 def orders_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    items = (
+    baskets = (
         _t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
     )
-    n = items.agg(
-        F.countDistinct("l_orderkey").cast("double").alias("n_orders")
+    n = baskets.agg(F.count(F.lit(1)).cast("double").alias("n_orders"))
+    pc = (
+        baskets.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("double").alias("n_p"))
     )
-    pc = items.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).cast("double").alias("n_p")
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("ps"),
+                    i + 2,
+                    F.greatest(F.size(F.col("ps")) - i - 1, F.lit(0)),
+                ),
+                lambda y: F.struct(x.alias("pid_a"), y.alias("pid_b")),
+            ),
+        )
     )
-    a = items.withColumnsRenamed({"l_partkey": "pid_a"})
-    b = items.withColumnsRenamed({"l_partkey": "pid_b"})
     pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("pid_a") < F.col("pid_b"))
+        baskets.select(F.explode(pair_arr).alias("p"))
+        .select("p.pid_a", "p.pid_b")
         .groupBy("pid_a", "pid_b")
         .agg(F.count(F.lit(1)).cast("double").alias("n_ab"))
         .filter(F.col("n_ab") >= 3)

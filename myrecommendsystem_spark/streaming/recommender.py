@@ -23,7 +23,7 @@ runtime.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from myrecommendsystem_spark.operators.relational import (
     anti_join,
@@ -249,7 +249,6 @@ def upsert_by_key(
     path: str,
     key: str = "userId",
     num_buckets: int = 16,
-    bucket_of: Column | None = None,
 ) -> None:
     """Replace-by-key upsert into a key-bucketed parquet table (S10).
 
@@ -274,21 +273,16 @@ def upsert_by_key(
     (:func:`_fs_exists`), so the sink works unchanged against HDFS/S3
     paths, not just the local filesystem.
 
-    ``bucket_of`` (round-10) overrides the partition expression so a
-    caller can lay the table out for ITS read path (e.g. the semantic-
-    dedup band table partitions by band value so a trigger's probe scan
-    prunes to matched buckets).  When ``bucket_of`` is NOT a function of
-    ``key``, replace-by-key is best-effort: a re-arriving key's old rows
-    are removed only from the partitions this batch touches; rows of the
-    same key stranded in untouched partitions persist (the caller must
-    tolerate — or never produce — such stale rows).  Default layout
-    (``pmod(hash(key), num_buckets)``) keeps exact replace semantics.
+    NB: replace-by-key needs the partition column to be a FUNCTION OF
+    THE KEY — that is what guarantees a re-arriving key's old rows live
+    in a touched partition.  A sink whose natural read layout is keyed
+    on something else (the semantic-dedup band table partitions by band
+    value for probe-scan pruning) should NOT force this shape: re-read-
+    and-rewrite of every touched partition makes each trigger O(table);
+    use an idempotent per-batch append log instead
+    (streaming/semantic_dedup._append_bands).
     """
-    bucket = (
-        bucket_of
-        if bucket_of is not None
-        else F.pmod(F.hash(F.col(key)), F.lit(num_buckets))
-    ).cast("int")
+    bucket = F.pmod(F.hash(F.col(key)), F.lit(num_buckets)).cast("int")
     batch_df = batch_df.withColumn(BUCKET_COL, bucket).cache()
     try:
         touched = [

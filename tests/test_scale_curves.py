@@ -147,31 +147,61 @@ def test_hyperplane_lsh_scales_subquadratically_when_occupancy_matched(spark):
     )
 
 
-def test_media_fingerprint_dedup_scales_subquadratically(spark):
+def _media_fp(name: str):
+    """(synthesizer, fingerprint) pair for one media modality — the
+    same composition the registered queries run."""
+    from myrecommendsystem_spark.operators import multimodal
+
+    if name == "dhash":
+        return multimodal.synthesize_media, lambda media: (
+            multimodal.image_dhash(media).select(
+                F.col("media_id").alias("id"), F.col("dhash").alias("fp")
+            )
+        )
+    return multimodal.synthesize_audio, lambda media: (
+        multimodal.audio_fingerprint(media).select(
+            F.col("media_id").alias("id"), F.col("afp").alias("fp")
+        )
+    )
+
+
+@pytest.mark.parametrize("kernel", ["dhash", "audio"])
+def test_media_fingerprint_dedup_scales_subquadratically(spark, kernel):
     """Round-9 modality twin of the text-dedup probe: the image/audio
     near-dup pipeline (synthesize -> fingerprint kernel -> shared
-    banding) on the pseudo-random corpus at 4x/16x.  Fingerprints are
-    64-bit, buckets are byte-bands, so the cost model is the SimHash
-    one: one Arrow pass + one (band, value) shuffle; exponent must stay
-    sub-quadratic on a corpus with no planted clones."""
-    from myrecommendsystem_spark.operators import dedup, multimodal
+    banding) on the pseudo-random corpus at 4x/16x (64x for dHash with
+    MRS_SCALE_PROBE_64=1 — the round-9 verdict's 320k point).
+    Fingerprints are 64-bit, buckets are byte-bands, so the cost model
+    is the SimHash one: one Arrow pass + one (band, value) shuffle;
+    exponent must stay sub-quadratic on a corpus with no planted
+    clones.  The audio kernel's synthetic fingerprints are highly
+    correlated (round-9 measured 0.89, output-driven); the round-10
+    exact-fingerprint pre-collapse bands only distinct fingerprints,
+    so its exponent bound tightens to the shared kernel one."""
+    from myrecommendsystem_spark.operators import dedup
 
+    mults = (
+        (4, 16, 64)
+        if kernel == "dhash" and os.environ.get("MRS_SCALE_PROBE_64")
+        else (4, 16)
+    )
+    synth, fp_of = _media_fp(kernel)
     times = {}
-    for mult in (4, 16):
+    for mult in mults:
         docs = _corpus(spark, BASE_DOCS * mult)
-        media = multimodal.synthesize_media(docs).localCheckpoint(eager=True)
+        media = synth(docs).localCheckpoint(eager=True)
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            fp = multimodal.image_dhash(media).select(
-                F.col("media_id").alias("id"), F.col("dhash").alias("fp")
-            )
-            dedup.fingerprint_near_duplicates(fp, max_hamming=8).count()
+            dedup.fingerprint_near_duplicates(
+                fp_of(media), max_hamming=8
+            ).count()
             best = min(best, time.perf_counter() - t0)
             spark.catalog.clearCache()
         times[mult] = best
-    exponent = math.log(times[16] / times[4]) / math.log(4)
-    assert exponent < 1.5, (
-        f"media dhash: {times[4]:.1f}s @4x -> {times[16]:.1f}s @16x "
-        f"(exponent {exponent:.2f})"
-    )
+    for lo, hi in zip(mults, mults[1:]):
+        exponent = math.log(times[hi] / times[lo]) / math.log(hi / lo)
+        assert exponent < 1.5, (
+            f"media {kernel}: {times[lo]:.1f}s @{lo}x -> "
+            f"{times[hi]:.1f}s @{hi}x (exponent {exponent:.2f})"
+        )

@@ -180,11 +180,14 @@ def test_streaming_v1_table_migrates_to_stored_bands(spark, tmp_path):
 def test_band_table_is_partitioned_by_band_and_probe_scan_prunes(
     spark, tmp_path
 ):
-    """Round-10 (round-9 SCALE.md residual): the survivor band table
-    partitions by pmod(hash(band_idx, band_val), num_band_parts) — NOT
-    by vec_id hash — and the per-trigger probe scan carries a partition
-    filter on the batch's own band hash values, so a trigger reads only
-    matched buckets' files instead of O(S) band bytes."""
+    """Round-10 (round-9 SCALE.md residual): the survivor band table is
+    an append-only log partitioned by (batch_id,
+    pmod(hash(band_idx, band_val), num_band_parts)) — each trigger
+    writes only its OWN batch_id subtree (O(batch), no read-modify-
+    write of existing partitions), and the per-trigger probe scan
+    carries a partition filter on the batch's own band hash values, so
+    a trigger reads only matched buckets' files instead of O(S) band
+    bytes."""
     import os
 
     from myrecommendsystem_spark.streaming.recommender import BUCKET_COL
@@ -193,14 +196,25 @@ def test_band_table_is_partitioned_by_band_and_probe_scan_prunes(
     src.mkdir()
     out_path = str(tmp_path / "survivors")
     bands_path = out_path + "_bands"
-    with open(src / "b1.json", "w") as f:
-        for r in _BATCH1:
-            f.write(json.dumps(r) + "\n")
-    stream = spark.readStream.schema(_SCHEMA).json(str(src))
-    q = run_semantic_dedup_stream(
-        stream, out_path, str(tmp_path / "ckpt"), trigger={"availableNow": True}
-    )
-    q.awaitTermination(120)
+    ckpt = str(tmp_path / "ckpt")
+
+    def _run(rows, fname):
+        with open(src / fname, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        stream = spark.readStream.schema(_SCHEMA).json(str(src))
+        q = run_semantic_dedup_stream(
+            stream, out_path, ckpt, trigger={"availableNow": True}
+        )
+        q.awaitTermination(120)
+        return {
+            (batch_dir.name, d.name): os.stat(d.path).st_mtime_ns
+            for batch_dir in os.scandir(bands_path)
+            if batch_dir.name.startswith("batch_id")
+            for d in os.scandir(batch_dir.path)
+        }
+
+    snap1 = _run(_BATCH1, "b1.json")
     # (a) on-disk layout: every partition value is the row's band hash
     rows = spark.read.parquet(bands_path).collect()
     assert rows
@@ -213,14 +227,25 @@ def test_band_table_is_partitioned_by_band_and_probe_scan_prunes(
         "expect", F.pmod(F.hash("band_idx", "band_val"), F.lit(64))
     )
     assert check.filter(F.col(BUCKET_COL) != F.col("expect")).count() == 0
-    # multiple band partitions actually materialized on disk
-    parts = [d for d in os.listdir(bands_path) if d.startswith(BUCKET_COL)]
-    assert len(parts) >= 2
+    # batch subtree exists with multiple band partitions inside
+    batch_dirs = [
+        d for d in os.listdir(bands_path) if d.startswith("batch_id")
+    ]
+    assert batch_dirs == ["batch_id=0"]
+    assert len(snap1) >= 2
     # (b) the pruned probe read plans a PartitionFilter, not a full scan
+    some_part = int(next(iter(snap1))[1].split("=")[1])
     probe = spark.read.parquet(bands_path).filter(
-        F.col(BUCKET_COL).isin([int(parts[0].split("=")[1])])
+        F.col(BUCKET_COL).isin([some_part])
     )
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and BUCKET_COL in plan.split(
         "PartitionFilters"
     )[1][:200]
+    # (c) append-only write: the second trigger creates ONLY its own
+    # batch_id=1 subtree — batch 0's files are untouched (same mtimes)
+    snap2 = _run(_BATCH2, "b2.json")
+    assert all(snap2[k] == v for k, v in snap1.items())
+    assert sorted(
+        d for d in os.listdir(bands_path) if d.startswith("batch_id")
+    ) == ["batch_id=0", "batch_id=1"]

@@ -105,6 +105,61 @@ def test_minhash_jaccard_values(docs):
     assert 0.5 <= row[(0, 3)] < 1.0
 
 
+def test_fingerprint_collapse_and_direct_paths_are_equivalent(spark):
+    """Round-10 adaptive pre-collapse: both strategies of
+    fingerprint_near_duplicates must emit the IDENTICAL pair set —
+    including intra-clone-group pairs (hamming 0), cross-group near
+    pairs, and the max_bucket cap counted in IDS on both paths.  Corpus
+    mixes a clone group, singleton near-neighbors, and a bucket-cap
+    casualty."""
+    from pyspark.sql import Row
+
+    rows = (
+        # clone group: 6 ids share one fingerprint
+        [Row(id=i, fp=0x1234567890ABCDEF) for i in range(6)]
+        # near neighbor of the clone group (1 bit away)
+        + [Row(id=10, fp=0x1234567890ABCDEE)]
+        # far fingerprint — pairs with nothing
+        + [Row(id=11, fp=-0x7EDCBA0987654321)]
+        # second small clone pair, 2 bits from nothing else
+        + [Row(id=20, fp=0x00000000000000FF), Row(id=21, fp=0x00000000000000FF)]
+    )
+    df = spark.createDataFrame(rows, "id long, fp long")
+    out = {}
+    for forced in (False, True):
+        got = sorted(
+            (r.id_a, r.id_b, r.hamming)
+            for r in dedup.fingerprint_near_duplicates(
+                df, max_hamming=4, _force_collapse=forced
+            ).collect()
+        )
+        out[forced] = got
+    assert out[False] == out[True]
+    pairs = {(a, b): h for a, b, h in out[False]}
+    # clone group: all 15 intra pairs at hamming 0
+    assert sum(1 for (a, b), h in pairs.items() if a < 6 and b < 6 and h == 0) == 15
+    # near neighbor pairs with every clone member at hamming 1
+    assert sum(1 for (a, b), h in pairs.items() if b == 10 and h == 1) == 6
+    assert (20, 21) in pairs and pairs[(20, 21)] == 0
+    assert not any(11 in (a, b) for (a, b) in pairs)
+
+
+def test_fingerprint_collapse_respects_bucket_cap_in_ids(spark):
+    """The max_bucket cap must count IDS per bucket on the collapse
+    path too (group sizes summed), not distinct fingerprints — a clone
+    group bigger than the cap saturates every one of its buckets and
+    emits nothing, exactly like the direct path."""
+    from pyspark.sql import Row
+
+    rows = [Row(id=i, fp=0x0F0F0F0F0F0F0F0F) for i in range(12)]
+    df = spark.createDataFrame(rows, "id long, fp long")
+    for forced in (False, True):
+        got = dedup.fingerprint_near_duplicates(
+            df, max_hamming=4, max_bucket=10, _force_collapse=forced
+        ).count()
+        assert got == 0, forced
+
+
 def test_simhash_near_dups(docs):
     pairs = dedup.simhash_near_duplicates(docs, max_hamming=6)
     found = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
