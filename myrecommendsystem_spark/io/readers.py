@@ -13,6 +13,8 @@ data (one less job, and stable types at 100 TB).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from myrecommendsystem_spark import schemas
@@ -49,6 +51,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
             )
     return df
+
+
+def table_stamp(sf_dir: str, name: str) -> tuple:
+    """Cheap change-detection stamp of one testdata table: sorted
+    (name, mtime_ns, size) of its files.
+
+    Round-10 ADVICE class: per-process memos keyed on sf_dir alone go
+    stale when the data under a reused directory is regenerated
+    in-process (tests re-materializing a tmp path, bench rebuilding a
+    scale factor) — key them on (sf_dir, table_stamp(...)) instead.
+    Remote/object-store paths (no local stat) degrade to a constant, so
+    such memos fall back to sf_dir-only keying rather than erroring."""
+    p = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isdir(p):
+            return tuple(
+                (e.name, e.stat().st_mtime_ns, e.stat().st_size)
+                for e in sorted(os.scandir(p), key=lambda e: e.name)
+            )
+        st = os.stat(p)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return ("unstattable",)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

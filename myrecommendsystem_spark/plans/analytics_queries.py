@@ -2680,8 +2680,14 @@ def _eval_shared(spark: SparkSession, sf_dir: str) -> dict:
     # Session identity (id(spark)) is part of the key: two SparkSessions
     # can share one applicationId (newSession/getActiveSession), and a
     # checkpointed DataFrame is bound to the session that built it
-    # (round-7 ADVICE).
-    key = (spark.sparkContext.applicationId, id(spark), sf_dir)
+    # (round-7 ADVICE).  The events-table stamp (round-10 ADVICE class)
+    # invalidates the memo when a reused sf_dir is re-materialized.
+    key = (
+        spark.sparkContext.applicationId,
+        id(spark),
+        sf_dir,
+        readers.table_stamp(sf_dir, "events"),
+    )
     hit = _EVAL_SHARED.get(key)
     if hit is not None:
         return hit

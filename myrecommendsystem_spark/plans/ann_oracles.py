@@ -39,15 +39,46 @@ Float-parity notes (why this hashes):
 
 from __future__ import annotations
 
-from functools import lru_cache
+from functools import wraps
 import hashlib
 
 import numpy as np
 
+from myrecommendsystem_spark.io import readers
+
 _DRIVER_DIM = 64  # embeddings.parquet contract (TESTDATA.md)
 
 
-@lru_cache(maxsize=8)
+def _stamped_cache(table: str):
+    """Per-process memo keyed on (sf_dir, io.readers.table_stamp) — the
+    lru_cache these generators used until round 10, plus invalidation
+    when the data under a reused sf_dir is regenerated in-process (the
+    quality-fit-memo ADVICE class applies to every cache in this
+    module: a stale inlined-constants oracle would silently diverge
+    from a fresh Spark fit).  Bounded like lru_cache(maxsize=8) by
+    FIFO eviction; remote paths stamp to a constant (sf_dir-only
+    keying, the old behavior)."""
+
+    def deco(fn):
+        memo: dict = {}
+
+        @wraps(fn)
+        def wrap(sf_dir: str):
+            key = (sf_dir, readers.table_stamp(sf_dir, table))
+            if key not in memo:
+                if len(memo) >= 8:
+                    memo.pop(next(iter(memo)))
+                memo[key] = fn(sf_dir)
+            return memo[key]
+
+        return wrap
+
+    return deco
+
+
+
+
+@_stamped_cache("embeddings")
 def _unit_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     """(ids, unit rows) — the pyarrow twin of the Spark fits' training
     collect: all embedding rows sorted by vec_id, float64, unit-norm.
@@ -89,7 +120,7 @@ def _train_matrix(sf_dir: str, salt: str, max_train: int = 100_000) -> np.ndarra
     return mat
 
 
-@lru_cache(maxsize=8)
+@_stamped_cache("embeddings")
 def _raw_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     """(ids, RAW float64 rows sorted by vec_id) — the pyarrow twin of
     fit_pca_sample's training collect (PCA mean-centers, it does not
@@ -194,7 +225,7 @@ WHERE rnk <= {k}
 """.strip()
 
 
-@lru_cache(maxsize=8)
+@_stamped_cache("embeddings")
 def pq_oracle(sf_dir: str) -> str:
     """DuckDB twin of plans/text_queries.ann_topk_pq (similarity.pq_topk,
     m=8, k_codes=16, k=5, rerank=50): pure ADC over the whole corpus —
@@ -252,7 +283,7 @@ q AS (SELECT vec_id AS query_id, uv AS qu FROM u WHERE vec_id < 10),
 """
 
 
-@lru_cache(maxsize=8)
+@_stamped_cache("embeddings")
 def ivfpq_oracle(sf_dir: str) -> str:
     """DuckDB twin of ann_topk_ivfpq AND ann_topk_ivfpq_search — the two
     builders run the identical quantizers (seed 42, same bounded sample)
@@ -288,7 +319,7 @@ celldots AS MATERIALIZED (
 )"""
 
 
-@lru_cache(maxsize=8)
+@_stamped_cache("embeddings")
 def ivf_topk_oracle(sf_dir: str) -> str:
     """DuckDB twin of ann_topk_ivf (similarity.ivf_topk, n_cells=16,
     nprobe=4, k=5): corpus rows in their argmax cell, queries probe
@@ -338,7 +369,7 @@ WHERE rnk <= 5
 """
 
 
-@lru_cache(maxsize=8)
+@_stamped_cache("embeddings")
 def ivf_near_dup_oracle(sf_dir: str) -> str:
     """DuckDB twin of embedding_near_dup_ivf
     (similarity.near_duplicate_pairs_ivf, n_cells=16, nprobe=2,
@@ -377,7 +408,7 @@ def sql_round_stable_local(expr: str, digits: int = 4) -> str:
     return f"ROUND(({expr}) + {10.0 ** -(digits + 5)!r}, {digits})"
 
 
-@lru_cache(maxsize=8)
+@_stamped_cache("embeddings")
 def rag_report_oracle(sf_dir: str) -> str:
     """DuckDB twin of plans/text_queries.rag_ingest_pipeline — the whole
     composed RAG ingestion job: CDC chunking (the shared byte-exact
@@ -491,7 +522,7 @@ FROM cells GROUP BY cell_id ORDER BY cell_id
 """
 
 
-@lru_cache(maxsize=8)
+@_stamped_cache("embeddings")
 def kmeans_clusters_oracle(sf_dir: str) -> str:
     """DuckDB twin of plans/analytics_queries.embedding_kmeans_clusters:
     the inlined 8-cell centroids (same fit), argmax-unit-dot assignment,
@@ -516,7 +547,7 @@ FROM cells GROUP BY cluster_id ORDER BY cluster_id
 """
 
 
-@lru_cache(maxsize=8)
+@_stamped_cache("embeddings")
 def pca_spectrum_oracle(sf_dir: str) -> str:
     """DuckDB twin of plans/text_queries.embedding_pca_spectrum
     (similarity.pca_spectrum over the fit_pca_sample basis, round 9).
@@ -586,7 +617,7 @@ ORDER BY component
 """
 
 
-@lru_cache(maxsize=8)
+@_stamped_cache("embeddings")
 def pca_topk_oracle(sf_dir: str) -> str:
     """DuckDB twin of plans/text_queries.ann_topk_pca
     (similarity.pca_topk, n_components=32, k=5, shortlist_factor=8):
@@ -693,7 +724,7 @@ lab AS (
 )""".strip()
 
 
-@lru_cache(maxsize=8)
+@_stamped_cache("documents")
 def quality_model_oracle(sf_dir: str) -> str:
     """DuckDB twin of plans/text_queries.doc_quality_model_scores
     (ml/quality.score_documents, round 9).

@@ -2208,23 +2208,10 @@ def doc_quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _corpus_stamp(sf_dir: str) -> tuple:
-    """Cheap change-detection stamp of the documents table: sorted
-    (name, mtime_ns, size) of its files.  Remote/object-store paths
-    (no local stat) degrade to a constant — the memo then keys on
-    sf_dir alone, the pre-round-10 behavior."""
-    import os
-
-    p = os.path.join(sf_dir, "documents.parquet")
-    try:
-        if os.path.isdir(p):
-            return tuple(
-                (e.name, e.stat().st_mtime_ns, e.stat().st_size)
-                for e in sorted(os.scandir(p), key=lambda e: e.name)
-            )
-        st = os.stat(p)
-        return (st.st_mtime_ns, st.st_size)
-    except OSError:
-        return ("unstattable",)
+    """Change-detection stamp of the documents table (io.readers.
+    table_stamp): remote paths degrade to a constant, keying the memo
+    on sf_dir alone — the pre-round-10 behavior."""
+    return readers.table_stamp(sf_dir, "documents")
 
 
 _QUALITY_FIT_MEMO: dict[tuple, tuple] = {}

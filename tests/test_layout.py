@@ -85,3 +85,24 @@ def test_salted_group_count_matches_plain(spark):
         (r.k, r.cnt) for r in salted_group_count(df, ["k"], salt_factor=6).collect()
     }
     assert salted == plain
+
+
+def test_table_stamp_detects_regeneration(spark, tmp_path):
+    """Round-10 ADVICE class: per-process memos keyed on sf_dir go
+    stale when the data under a reused dir is regenerated in-process.
+    table_stamp must change when a table is rewritten (even same row
+    count), be stable across reads, and degrade to a constant for
+    unstattable paths."""
+    import time
+
+    from myrecommendsystem_spark.io.readers import table_stamp
+
+    sf = str(tmp_path)
+    df1 = spark.range(10).select(F.col("id").alias("doc_id"))
+    df1.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    s1 = table_stamp(sf, "documents")
+    assert s1 == table_stamp(sf, "documents")  # stable across reads
+    time.sleep(0.05)  # ensure mtime_ns moves even on coarse filesystems
+    df1.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    assert table_stamp(sf, "documents") != s1  # rewrite invalidates
+    assert table_stamp(sf, "nonexistent") == ("unstattable",)

@@ -144,7 +144,31 @@ def test_fingerprint_collapse_and_direct_paths_are_equivalent(spark):
     assert not any(11 in (a, b) for (a, b) in pairs)
 
 
-def test_fingerprint_collapse_respects_bucket_cap_in_ids(spark):
+def test_fingerprint_adaptive_probe_picks_collapse_when_clone_heavy(spark):
+    """The adaptive probe must choose the pre-collapse strategy exactly
+    when the direct path's excess candidate volume bands*sum(g^2-g)
+    clears the threshold: a 3000-clone group (excess ~72M rows) -> the
+    collapse plan (identifiable by its least/greatest expansion), while
+    a mostly-unique corpus of the same size -> the direct plan."""
+    from myrecommendsystem_spark.functions import caching
+
+    clone_heavy = spark.range(3100).select(
+        F.col("id"),
+        F.when(F.col("id") < 3000, F.lit(0x1234567890ABCDEF))
+        .otherwise(F.xxhash64("id"))
+        .alias("fp"),
+    )
+    mostly_unique = spark.range(3100).select(
+        F.col("id"), F.xxhash64("id").alias("fp")
+    )
+    plans = {}
+    for name, df in (("clone", clone_heavy), ("unique", mostly_unique)):
+        with caching.lazy_plans():
+            out = dedup.fingerprint_near_duplicates(df, max_hamming=2)
+            plans[name] = out._jdf.queryExecution().analyzed().toString()
+        spark.catalog.clearCache()
+    assert "least(" in plans["clone"], "clone-heavy corpus must collapse"
+    assert "least(" not in plans["unique"], "unique corpus must run direct"
     """The max_bucket cap must count IDS per bucket on the collapse
     path too (group sizes summed), not distinct fingerprints — a clone
     group bigger than the cap saturates every one of its buckets and
