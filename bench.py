@@ -66,6 +66,7 @@ HEADLINE: tuple[str, ...] = (
     "dedup_simhash_pairs",
     "ann_topk_bruteforce",
     "ann_topk_ivf",
+    "ann_recall_report",
     "embedding_near_dup_ivf",
     "embedding_hyperplane_lsh_pairs",
     "embedding_cross_corpus_near",

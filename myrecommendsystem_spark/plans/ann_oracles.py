@@ -790,3 +790,42 @@ SELECT CAST(m.doc_id AS BIGINT) AS doc_id,
 FROM m JOIN lab l USING (doc_id)
 ORDER BY doc_id
 """
+
+
+@_stamped_cache("embeddings")
+def ann_recall_oracle(sf_dir: str) -> str:
+    """DuckDB twin of ann_recall_report: per-query recall@5 of the IVF
+    index against the exact brute-force top-5 ground truth.  The IVF
+    side nests ivf_topk_oracle verbatim (same trained centroids, same
+    probing/rank SQL); the ground-truth side replays the
+    ann_topk_bruteforce ranking (round-stable list_cosine_similarity,
+    ties broken by vec_id).  Recall joins on id SETS only, so the two
+    sides' different-but-equivalent cosine spellings cannot diverge the
+    metric."""
+    ivf_sql = ivf_topk_oracle(sf_dir)
+    cos = sql_round_stable_local("list_cosine_similarity(c.v, q.v)")
+    return f"""
+WITH ivf AS (
+{ivf_sql}
+),
+bfc AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+bfq AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id < 10),
+bf AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, c.vec_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY q.query_id ORDER BY {cos} DESC, c.vec_id
+           ) AS rnk
+    FROM bfc c CROSS JOIN bfq q
+    WHERE c.vec_id != q.query_id
+  ) WHERE rnk <= 5
+)
+SELECT b.query_id,
+       CAST(COUNT(i.vec_id) AS INTEGER) AS hits,
+       ROUND(COUNT(i.vec_id) / 5.0 + 1e-09, 4) AS recall
+FROM bf b
+LEFT JOIN ivf i ON i.query_id = b.query_id AND i.vec_id = b.vec_id
+GROUP BY b.query_id
+ORDER BY b.query_id
+"""

@@ -448,6 +448,43 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_recall_report",
+    ann_oracles.ann_recall_oracle,
+    doc="ANN index-quality evaluation: per-query recall@5 of the IVF "
+    "index (n_cells=16, nprobe=4) against the exact brute-force top-5 "
+    "ground truth — the acceptance gate an embedding pipeline runs "
+    "before trusting an index for retrieval/mining.  At scale the "
+    "ground-truth side is the quadratic term, so recall is always "
+    "measured on a bounded probe SAMPLE (the 10 query vectors here) "
+    "while the candidate side exercises the production index path "
+    "unchanged; the join is on id sets, never on scores, so equivalent "
+    "cosine spellings cannot diverge the metric",
+    defer=True,
+    since=10,
+)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    truth = similarity.brute_force_topk(emb, queries, k=5).select(
+        "query_id", "vec_id"
+    )
+    got = similarity.ivf_topk(
+        emb, queries, n_cells=16, nprobe=4, k=5
+    ).select("query_id", "vec_id", F.lit(1).alias("m"))
+    # both sides are ≤ |probe sample| * k rows by contract — broadcast
+    # the index side so the recall join never shuffles either result
+    return (
+        truth.join(F.broadcast(got), ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.coalesce(F.sum("m"), F.lit(0)).cast("int").alias("hits")
+        )
+        .withColumn("recall", round_stable(F.col("hits") / F.lit(5.0)))
+        .orderBy("query_id")
+    )
+
+
+@register(
     "embedding_near_dup_pairs",
     f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

@@ -278,9 +278,9 @@ def run_semantic_dedup_stream(
     against the CURRENT vector table before it gates anything.
     ``num_band_parts`` is a layout dial: raise it with corpus size so
     matched-partition bytes stay bounded (it only changes file layout,
-    never results); long-running streams compact the log offline like
-    any append sink (many small files is the classic trade, not a
-    correctness term)."""
+    never results); long-running streams compact the log offline with
+    :func:`compact_band_log` (one batch_id subtree per trigger is the
+    classic many-small-files trade, not a correctness term)."""
     from myrecommendsystem_spark.streaming.recommender import (
         BUCKET_COL,
         _fs_exists,
@@ -408,3 +408,107 @@ def run_semantic_dedup_stream(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+#: Epoch the compacted band rows are folded under.  Structured
+#: Streaming batch_ids are non-negative and the v1 migration epoch is
+#: -1, so -2 can never collide with a live trigger's subtree; repeated
+#: compactions fold the previous epoch like any other batch_id.
+COMPACTED_EPOCH = -2
+
+
+def compact_band_log(
+    spark: SparkSession, bands_path: str, max_files_per_part: int = 1
+) -> dict:
+    """Offline compaction of the append-only band log: fold every
+    batch_id subtree into the single :data:`COMPACTED_EPOCH` subtree,
+    dropping STALE rows (a vec_id that re-arrived with a changed
+    embedding left its old batches' band rows behind — harmless for
+    correctness, pure probe-side waste) — keep only each vec_id's
+    rows from its LATEST batch_id.
+
+    This is the deferred O(S) job the trigger path refuses to pay: the
+    stream writes O(batch) bytes per trigger into its own batch_id
+    partition and NEVER rewrites history, so file count grows one
+    subtree per trigger and stale bands accumulate per re-arrival.
+    Amortizing the rewrite here (run it every N triggers, or from a
+    cron) keeps the trigger O(batch + matched partitions) while the
+    probe-side scan stays bounded: after compaction each band-hash
+    partition holds ≤ ``max_files_per_part`` files and zero stale rows.
+
+    Plan: one shuffle (window max-batch_id per vec_id), then a
+    repartition by the band-hash column so each partition directory is
+    written by exactly its own tasks.  Crash-safe swap: write the
+    compacted table to ``<bands_path>__compacting``, then delete the
+    old directory and rename — a crash between the steps leaves either
+    the intact original or the intact compacted copy beside it, never a
+    half-rewritten log.  OFFLINE means between triggers: run while the
+    stream is stopped (or from ``foreachBatch`` itself every N batches,
+    where no concurrent trigger can interleave).
+
+    Returns ``{"rows_kept", "rows_dropped", "files_before",
+    "files_after"}``.
+    """
+    from pyspark.sql import Window
+
+    from myrecommendsystem_spark.streaming.recommender import BUCKET_COL
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    src = jvm.org.apache.hadoop.fs.Path(bands_path)
+    fs = src.getFileSystem(conf)
+    if not fs.exists(src):  # nothing to compact (stream never wrote)
+        return {
+            "rows_kept": 0,
+            "rows_dropped": 0,
+            "files_before": 0,
+            "files_after": 0,
+        }
+
+    def _data_files(path) -> int:
+        it, n = fs.listFiles(path, True), 0
+        while it.hasNext():
+            f = it.next().getPath().getName()
+            n += not (f.startswith("_") or f.startswith("."))
+        return n
+
+    files_before = _data_files(src)
+    log = spark.read.parquet(bands_path)
+    rows_before = log.count()
+    latest = F.max("batch_id").over(Window.partitionBy("vec_id"))
+    kept = (
+        log.withColumn("_latest", latest)
+        .filter(F.col("batch_id") == F.col("_latest"))
+        .select(
+            F.lit(COMPACTED_EPOCH).cast("long").alias("batch_id"),
+            F.col(BUCKET_COL),
+            "vec_id",
+            "band_idx",
+            "band_val",
+        )
+    )
+    tmp = bands_path.rstrip("/") + "__compacting"
+    tmp_path = jvm.org.apache.hadoop.fs.Path(tmp)
+    if fs.exists(tmp_path):  # debris from a crashed prior attempt
+        fs.delete(tmp_path, True)
+    # hash-repartition on (bucket, vec_id mod k): every bucket's rows
+    # land in ≤ k tasks, so each partition directory is written as
+    # ≤ max_files_per_part files (k=1 → one file per bucket)
+    splitter = F.pmod(F.hash("vec_id"), F.lit(max_files_per_part))
+    (
+        kept.repartition(F.col(BUCKET_COL), splitter)
+        .sortWithinPartitions("band_idx", "band_val", "vec_id")
+        .write.mode("overwrite")
+        .partitionBy("batch_id", BUCKET_COL)
+        .parquet(tmp)
+    )
+    rows_after = spark.read.parquet(tmp).count()
+    fs.delete(src, True)
+    if not fs.rename(tmp_path, src):
+        raise IOError(f"compact_band_log: rename {tmp} -> {bands_path} failed")
+    return {
+        "rows_kept": rows_after,
+        "rows_dropped": rows_before - rows_after,
+        "files_before": files_before,
+        "files_after": _data_files(src),
+    }

@@ -249,3 +249,101 @@ def test_band_table_is_partitioned_by_band_and_probe_scan_prunes(
     assert sorted(
         d for d in os.listdir(bands_path) if d.startswith("batch_id")
     ) == ["batch_id=0", "batch_id=1"]
+
+
+def test_compact_band_log_folds_epochs_and_drops_stale(spark, tmp_path):
+    """Round-10: the append-only band log's documented offline
+    mitigation — compact_band_log folds every batch_id subtree into the
+    single COMPACTED_EPOCH subtree, drops STALE band rows (a vec_id
+    re-arriving with a changed embedding leaves its old batches' rows
+    behind), and is crash-safe (temp write + swap) and idempotent.
+    Gating semantics before/after compaction are pinned identical."""
+    import os
+
+    from pyspark.sql import Window
+
+    from myrecommendsystem_spark.streaming.semantic_dedup import (
+        COMPACTED_EPOCH,
+        compact_band_log,
+    )
+
+    src = tmp_path / "vectors_in"
+    src.mkdir()
+    out_path = str(tmp_path / "survivors")
+    bands_path = out_path + "_bands"
+    ckpt = str(tmp_path / "ckpt")
+
+    def _run(rows, fname):
+        with open(src / fname, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        stream = spark.readStream.schema(_SCHEMA).json(str(src))
+        q = run_semantic_dedup_stream(
+            stream, out_path, ckpt, trigger={"availableNow": True}
+        )
+        q.awaitTermination(120)
+
+    # three triggers: batch 0 -> survivors {1, 3}; batch 1 -> {11};
+    # batch 2 re-arrives vec_id 3 with a DIFFERENT embedding (axis 4,
+    # orthogonal to everything -> survives the gate, upsert replaces its
+    # vector row, and its batch-0 band rows become stale)
+    _run(_BATCH1, "b1.json")
+    _run(_BATCH2, "b2.json")
+    _run([{"vec_id": 3, "embedding": _vec(4)}], "b3.json")
+    log = spark.read.parquet(bands_path)
+    pre_rows = log.count()
+    # expected keep-set: each vec_id's rows from its LATEST batch only
+    expect = {
+        (r.vec_id, r.band_idx, r.band_val)
+        for r in log.withColumn(
+            "_m", F.max("batch_id").over(Window.partitionBy("vec_id"))
+        ).filter(F.col("batch_id") == F.col("_m")).collect()
+    }
+    stale = pre_rows - len(expect)
+    assert stale > 0, "fixture must produce stale rows (vec 3 batch-0)"
+    assert sorted(
+        d for d in os.listdir(bands_path) if d.startswith("batch_id")
+    ) == ["batch_id=0", "batch_id=1", "batch_id=2"]
+
+    stats = compact_band_log(spark, bands_path)
+    assert stats["rows_dropped"] == stale
+    assert stats["rows_kept"] == len(expect)
+    assert stats["files_after"] < stats["files_before"]
+    # single compacted epoch on disk; row set == latest-per-vec_id
+    assert sorted(
+        d for d in os.listdir(bands_path) if d.startswith("batch_id")
+    ) == [f"batch_id={COMPACTED_EPOCH}"]
+    after = spark.read.parquet(bands_path)
+    got = {(r.vec_id, r.band_idx, r.band_val) for r in after.collect()}
+    assert got == expect
+    # bucket partition values survived the rewrite unchanged
+    from myrecommendsystem_spark.streaming.recommender import BUCKET_COL
+
+    check = after.withColumn(
+        "_e",
+        F.pmod(
+            F.hash(
+                F.col("band_idx").cast("int"), F.col("band_val").cast("int")
+            ),
+            F.lit(64),
+        ),
+    )
+    assert check.filter(F.col(BUCKET_COL) != F.col("_e")).count() == 0
+    # idempotent: a second compaction keeps everything
+    stats2 = compact_band_log(spark, bands_path)
+    assert stats2["rows_dropped"] == 0
+    assert stats2["rows_kept"] == len(expect)
+
+    # gating semantics after compaction: dup of untouched survivor 1 is
+    # gated; dup of vec 3's NEW embedding is gated; a vector near vec
+    # 3's OLD (superseded) embedding matches nothing current -> survives
+    _run(
+        [
+            {"vec_id": 20, "embedding": _vec(0, eps_axis=5)},
+            {"vec_id": 21, "embedding": _vec(4, eps_axis=6)},
+            {"vec_id": 22, "embedding": _vec(1, eps_axis=7)},
+        ],
+        "b4.json",
+    )
+    final = sorted(r.vec_id for r in spark.read.parquet(out_path).collect())
+    assert final == [1, 3, 11, 22]
