@@ -235,6 +235,11 @@ HEADLINE: tuple[str, ...] = (
     # bounded-sample Newton solve (sub-second) — the old fit-dominated
     # exclusion no longer applies
     "doc_quality_model_scores",
+    # round-10: sub-document chunk-level dedup (CCNet granularity) and
+    # the video half of the near-dup modality matrix — benched on
+    # registration, r11 window front
+    "doc_chunk_dedup_docs",
+    "video_near_dup_pairs",
     # rag_ingest_pipeline intentionally NOT in the headline: index-build
     # dominated (~7 s at any sf — amortized once in production); its
     # family is represented by ann_topk_ivfpq(+_search).  The registry

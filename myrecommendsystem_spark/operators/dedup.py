@@ -858,3 +858,108 @@ def edit_distance_pairs(
         "val_b",
         F.levenshtein("val_a", "val_b").cast("int").alias("lev"),
     ).filter(F.col("lev") <= 1)
+
+
+def chunk_dedup_docs(
+    docs: DataFrame,
+    divisor: int = 64,
+    window: int = 16,
+    max_size: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sub-document (chunk-level) dedup: drop every content-defined chunk
+    whose exact bytes appeared earlier in the corpus and rebuild each
+    document from its surviving chunks — the CCNet/RefinedWeb move of
+    deduplicating at paragraph granularity so boilerplate shared across
+    otherwise-distinct pages is removed without dropping whole documents.
+
+    "Earlier" is the deterministic global order ``(id, chunk_idx)``: the
+    first occurrence of a chunk (including the first within a single
+    document) survives, every later copy is dropped.  Returns one row per
+    input document::
+
+        (doc_id, clean_text, n_chunks, n_dup_chunks, dropped_bytes)
+
+    Scale shape (the reason this is not "explode and groupBy the text"):
+
+    - chunk text NEVER shuffles.  The winner decision runs on a slim
+      ``(fp=md5(chunk), id, chunk_idx, n_bytes)`` relation — a 16-byte
+      digest shuffle on ``fp``, then a digest-sized groupBy back to one
+      ``kept_idx`` int array per document.
+    - documents shuffle ONCE (the join of the kept-index arrays back to
+      the raw text on ``id``); the rebuild then RE-CHUNKS each document
+      locally with the same deterministic cut kernel
+      (functions.text.cdc_cut_points) and concatenates the kept indices
+      in one Arrow pass.  Chunking is computed twice — trading a cheap
+      columnar scan for a second corpus-sized shuffle, the right side of
+      that trade at 100 TB.
+    """
+    from pyspark.sql import Window
+    import pandas as _pd
+
+    chunks = TXT.content_defined_chunks(
+        docs, divisor=divisor, window=window, max_size=max_size,
+        id_col=id_col, text_col=text_col,
+    )
+    slim = chunks.select(
+        "id", "chunk_idx", "n_bytes", F.md5("chunk").alias("fp")
+    )
+    w = Window.partitionBy("fp").orderBy("id", "chunk_idx")
+    ranked = slim.withColumn("rn", F.row_number().over(w))
+    per_doc = ranked.groupBy("id").agg(
+        F.sort_array(
+            F.collect_list(F.when(F.col("rn") == 1, F.col("chunk_idx")))
+        ).alias("kept_idx"),
+        F.count(F.lit(1)).cast("int").alias("n_chunks"),
+        F.sum((F.col("rn") > 1).cast("int")).cast("int").alias("n_dup_chunks"),
+        F.sum(
+            F.when(F.col("rn") > 1, F.col("n_bytes")).otherwise(F.lit(0))
+        ).cast("bigint").alias("dropped_bytes"),
+    )
+
+    joined = (
+        docs.select(
+            F.col(id_col).alias("id"), F.col(text_col).alias("text")
+        )
+        .join(per_doc, "id", "left")
+    )
+
+    def _rebuild(batches):
+        for pdf in batches:
+            out_text = []
+            for t, kept in zip(pdf["text"], pdf["kept_idx"]):
+                if kept is None or len(kept) == 0:
+                    out_text.append("")
+                    continue
+                data = (t or "").encode("utf-8")
+                cuts = TXT.cdc_cut_points(data, divisor, window, max_size)
+                keep = set(int(k) for k in kept)
+                out_text.append(
+                    "".join(
+                        data[cuts[ci]:cuts[ci + 1]].decode(
+                            "utf-8", errors="ignore"
+                        )
+                        for ci in range(len(cuts) - 1)
+                        if ci in keep
+                    )
+                )
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["id"],
+                    "clean_text": out_text,
+                    "n_chunks": pdf["n_chunks"].fillna(0).astype("int32"),
+                    "n_dup_chunks": pdf["n_dup_chunks"].fillna(0).astype(
+                        "int32"
+                    ),
+                    "dropped_bytes": pdf["dropped_bytes"].fillna(0).astype(
+                        "int64"
+                    ),
+                }
+            )
+
+    return joined.mapInPandas(
+        _rebuild,
+        "doc_id long, clean_text string, n_chunks int, "
+        "n_dup_chunks int, dropped_bytes long",
+    )

@@ -364,3 +364,163 @@ def sample_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
         .select("media_id", "payload", "meta")
         .mapInPandas(compute, schema)
     )
+
+
+FSIG_SCHEMA = "media_id bigint, frame_idx int, fsig string"
+
+_FSIG_CANON = 64  # canonical per-frame pixel count before signing
+
+
+def frame_signatures(
+    media: DataFrame, every_k: int = 2, canon: int = _FSIG_CANON
+) -> DataFrame:
+    """Per-frame perceptual signatures for video rows — the frame-level
+    half of video near-dup.
+
+    Each sampled frame (every ``every_k``-th index) is normalized to a
+    ``canon``-pixel canonical strip (geometry-invariant, like the 8x8
+    resize under a real pHash) and signed with md5 over the decimal pixel
+    stream.  STUB decode discipline (module docstring): the canonical
+    strip is the payload tiled to ``canon`` bytes shifted by the frame
+    index — a real implementation seeks/decodes/resizes each frame and
+    signs the downsampled luma grid; swapping that in returns the gated
+    query to rows-only.  One Arrow pass; payloads never shuffle — only
+    (media_id, frame_idx, 32-char signature) rows leave the scan.
+    """
+    import hashlib
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids, idxs, sigs = [], [], []
+            for mid, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                buf = np.frombuffer(payload, dtype=np.uint8)
+                if buf.size == 0:
+                    buf = np.zeros(1, dtype=np.uint8)
+                strip = buf[np.arange(canon) % buf.size].astype(np.int64)
+                for fi in range(0, int(meta["n_frames"]), every_k):
+                    vals = (strip + fi) % 256
+                    sig = hashlib.md5(
+                        ",".join(str(int(v)) for v in vals).encode()
+                    ).hexdigest()
+                    mids.append(mid)
+                    idxs.append(fi)
+                    sigs.append(sig)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(mids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "fsig": pd.Series(sigs, dtype="object"),
+                }
+            )
+
+    return (
+        media.filter(F.col("kind") == "video")
+        .select("media_id", "payload", "meta")
+        .mapInPandas(compute, FSIG_SCHEMA)
+    )
+
+
+def video_near_dup_pairs(
+    frames: DataFrame, min_matched: int = 1, max_bucket: int = 64
+) -> DataFrame:
+    """Video near-dup pairs from per-frame signatures — frame-level
+    inverted-index matching with offset consistency.
+
+    The production video-dedup shape: videos are near-duplicates when
+    they share frame signatures, and a CLIP relationship (one video
+    containing the other, or a shifted re-encode) shows up as matches
+    concentrated at one frame-index offset.  Input is
+    :func:`frame_signatures` output; returns one row per candidate pair::
+
+        (id_a, id_b, n_matched, best_offset, offset_matched, n_a, n_b)
+
+    ``n_matched`` counts all signature matches, ``best_offset`` is the
+    offset (frame_idx_a - frame_idx_b) with the most matches
+    (smallest offset on ties), ``offset_matched`` its count; ``n_a`` /
+    ``n_b`` are each side's sampled-frame totals so callers threshold on
+    coverage (e.g. offset_matched / least(n_a, n_b)).
+
+    Scale shape: one shuffle on the 16-byte signature builds the
+    inverted index; a ``max_bucket`` occupancy cap drops degenerate
+    signatures (black frames / test patterns) before the self-join can
+    go quadratic — the same skew discipline as every banded-dedup
+    pipeline here.  Frame rows are slim (id, int, digest); payloads
+    never enter.
+    """
+    from myrecommendsystem_spark.functions.caching import eager_release
+
+    # four consumers (counts, occupancy, both join sides) — one Arrow
+    # kernel pass, not four decode passes over the payloads
+    frames = frames.persist()
+    counts = frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_frames_sampled")
+    )
+    occ = frames.groupBy("fsig").agg(F.count(F.lit(1)).alias("occ"))
+    capped = frames.join(
+        occ.filter(F.col("occ") <= max_bucket).select("fsig"), "fsig"
+    ).persist()
+    a = capped.select(
+        F.col("fsig"),
+        F.col("media_id").alias("id_a"),
+        F.col("frame_idx").alias("fi_a"),
+    )
+    b = capped.select(
+        F.col("fsig"),
+        F.col("media_id").alias("id_b"),
+        F.col("frame_idx").alias("fi_b"),
+    )
+    per_offset = (
+        a.join(b, "fsig")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy(
+            "id_a", "id_b", (F.col("fi_a") - F.col("fi_b")).alias("offset")
+        )
+        .agg(F.count(F.lit(1)).cast("int").alias("cnt"))
+    )
+    pairs = (
+        per_offset.groupBy("id_a", "id_b")
+        .agg(
+            F.sum("cnt").cast("int").alias("n_matched"),
+            F.max(
+                F.struct(
+                    F.col("cnt"), (-F.col("offset")).alias("noff")
+                )
+            ).alias("m"),
+        )
+        .filter(F.col("n_matched") >= min_matched)
+        .select(
+            "id_a",
+            "id_b",
+            "n_matched",
+            (-F.col("m.noff")).cast("int").alias("best_offset"),
+            F.col("m.cnt").cast("int").alias("offset_matched"),
+        )
+    )
+    result = (
+        pairs.join(
+            counts.select(
+                F.col("media_id").alias("id_a"),
+                F.col("n_frames_sampled").alias("n_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            counts.select(
+                F.col("media_id").alias("id_b"),
+                F.col("n_frames_sampled").alias("n_b"),
+            ),
+            "id_b",
+        )
+        .select(
+            F.col("id_a").cast("bigint"),
+            F.col("id_b").cast("bigint"),
+            "n_matched",
+            "best_offset",
+            "offset_matched",
+            "n_a",
+            "n_b",
+        )
+    )
+    return eager_release(result, frames, capped)

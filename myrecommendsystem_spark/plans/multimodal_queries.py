@@ -455,3 +455,88 @@ def audio_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.fingerprint_near_duplicates(fp, max_hamming=16).orderBy(
         "id_a", "id_b"
     )
+
+
+# Closed-form twin of operators/multimodal.frame_signatures over the stub
+# decode: the canonical 64-pixel strip is the payload tiled (codes[(i %
+# L) + 1]); frame fi's signature is md5 over the ','-joined decimal
+# values of (strip + fi) % 256.  ASCII corpus bytes are <= 127 and frame
+# offsets <= 8, so the mod never wraps (media_frame_sample precedent).
+_VSIG_CTES = """vm AS (
+    SELECT doc_id, doc_id % 8 + 2 AS n_frames,
+           CASE WHEN length(text) = 0 THEN [0]
+                ELSE [ord(ch) for ch in regexp_split_to_array(text, '')]
+           END AS codes
+    FROM documents
+    WHERE doc_id % 3 = 0
+),
+vc AS (
+    SELECT doc_id, n_frames,
+           [ codes[(i % len(codes)) + 1]
+             for i in generate_series(0, 63) ] AS canon
+    FROM vm
+),
+vf AS MATERIALIZED (
+    SELECT doc_id, fi,
+           md5(array_to_string([ (c + fi) % 256 for c in canon ], ','))
+               AS fsig
+    FROM vc, unnest(range(0, n_frames, 2)) AS t(fi)
+),
+vn AS (SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS nf FROM vf GROUP BY doc_id),
+occ AS (SELECT fsig FROM vf GROUP BY fsig HAVING COUNT(*) <= 64),
+vfc AS (SELECT vf.* FROM vf JOIN occ USING (fsig)),
+po AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.fi - b.fi AS off, CAST(COUNT(*) AS INTEGER) AS cnt
+    FROM vfc a JOIN vfc b ON a.fsig = b.fsig AND a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3
+),
+pr AS (
+    SELECT id_a, id_b,
+           CAST(SUM(cnt) OVER (PARTITION BY id_a, id_b) AS INTEGER)
+               AS n_matched,
+           off, cnt,
+           ROW_NUMBER() OVER (
+               PARTITION BY id_a, id_b ORDER BY cnt DESC, off ASC
+           ) AS rn
+    FROM po
+)""".strip()
+
+
+@register(
+    "video_near_dup_pairs",
+    f"""
+WITH {_VSIG_CTES}
+SELECT CAST(pr.id_a AS BIGINT) AS id_a,
+       CAST(pr.id_b AS BIGINT) AS id_b,
+       pr.n_matched,
+       CAST(pr.off AS INTEGER) AS best_offset,
+       pr.cnt AS offset_matched,
+       na.nf AS n_a, nb.nf AS n_b
+FROM pr
+JOIN vn na ON na.doc_id = pr.id_a
+JOIN vn nb ON nb.doc_id = pr.id_b
+WHERE pr.rn = 1
+ORDER BY id_a, id_b
+""",
+    doc="video NEAR-dup pairs: per-frame perceptual signatures "
+    "(operators/multimodal.frame_signatures — decode, canonical-strip "
+    "normalize, md5 per sampled frame) matched through a frame-level "
+    "inverted index with offset consistency "
+    "(multimodal.video_near_dup_pairs): matches concentrated at one "
+    "frame-index offset are the clip/shifted-re-encode signal.  "
+    "Completes the near-dup modality matrix at the VIDEO level (image "
+    "dHash, audio Haitsma-Kalker, text MinHash/SimHash, embedding LSH "
+    "existed; multi-frame video did not).  At 100 TB only (id, int, "
+    "16-byte digest) frame rows shuffle — one signature-keyed exchange "
+    "with the standard max_bucket occupancy cap before the self-join, "
+    "payloads read once.  Oracle recomputes the stub signatures in "
+    "closed form (tiled canonical strip, media_frame_sample precedent) "
+    "and replays the inverted-index/offset aggregation; a real codec "
+    "swap returns this to rows-only",
+    defer=True,
+    since=10,
+)
+def video_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frames = multimodal.frame_signatures(_media(spark, sf_dir), every_k=2)
+    return multimodal.video_near_dup_pairs(frames).orderBy("id_a", "id_b")

@@ -2636,3 +2636,57 @@ def doc_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occ").desc(), "doc_id")
         .limit(20)
     )
+
+
+@register(
+    "doc_chunk_dedup_docs",
+    f"""
+WITH RECURSIVE {_CDC_CHUNKS_CTES},
+rnk AS (
+    SELECT id, chunk_idx, chunk, n_bytes,
+           ROW_NUMBER() OVER (
+               PARTITION BY md5(chunk) ORDER BY id, chunk_idx
+           ) AS rn
+    FROM cdc_chunks
+),
+agg AS (
+    SELECT id,
+           string_agg(chunk, '' ORDER BY chunk_idx)
+               FILTER (WHERE rn = 1) AS clean_text,
+           CAST(COUNT(*) AS INTEGER) AS n_chunks,
+           CAST(COUNT(*) FILTER (WHERE rn > 1) AS INTEGER) AS n_dup_chunks,
+           CAST(COALESCE(SUM(n_bytes) FILTER (WHERE rn > 1), 0) AS BIGINT)
+               AS dropped_bytes
+    FROM rnk GROUP BY id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       COALESCE(a.clean_text, '') AS clean_text,
+       COALESCE(a.n_chunks, 0) AS n_chunks,
+       COALESCE(a.n_dup_chunks, 0) AS n_dup_chunks,
+       COALESCE(a.dropped_bytes, 0) AS dropped_bytes
+FROM documents d LEFT JOIN agg a ON a.id = d.doc_id
+ORDER BY d.doc_id
+""",
+    doc="sub-document dedup: drop every content-defined chunk whose exact "
+    "bytes appeared earlier in the corpus (first occurrence by "
+    "(doc_id, chunk_idx) survives, later copies — cross-doc boilerplate "
+    "AND within-doc repeats — are removed) and rebuild each document "
+    "from its surviving chunks, with per-doc chunk/duplicate/byte "
+    "accounting.  The CCNet/RefinedWeb paragraph-granularity dedup the "
+    "doc-level exact/MinHash family cannot express: shared boilerplate "
+    "is stripped without dropping whole documents.  Scale shape "
+    "(operators/dedup.chunk_dedup_docs): the winner decision shuffles "
+    "16-byte digests only, kept indices come back as one int array per "
+    "doc, and the rebuild RE-CHUNKS locally with the shared "
+    "cdc_cut_points kernel — chunk text never shuffles, the corpus "
+    "moves once.  Oracle: the doc_cdc_chunks recursive CTEs reproduce "
+    "every chunk byte-for-byte, then a ROW_NUMBER over md5(chunk) "
+    "replays the first-occurrence rule and an ordered FILTER string_agg "
+    "rebuilds the text",
+    defer=True,
+    since=10,
+)
+def doc_chunk_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myrecommendsystem_spark.operators import dedup
+
+    return dedup.chunk_dedup_docs(_docs(spark, sf_dir)).orderBy("doc_id")

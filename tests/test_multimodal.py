@@ -321,3 +321,67 @@ def test_audio_near_dup_pairs_via_banding(spark):
     }
     assert (0, 1, 0) in pairs
     assert not any({a, b} == {0, 2} or {a, b} == {1, 2} for a, b, _ in pairs)
+
+
+# ---------------------------------------------------------------------------
+# video near-dup (round 10): frame_signatures + video_near_dup_pairs
+# ---------------------------------------------------------------------------
+
+
+def _video_docs(spark, rows):
+    # doc_id % 3 == 0 rows become videos under synthesize_media
+    return multimodal.synthesize_media(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    )
+
+
+def test_frame_signatures_shape_and_determinism(spark):
+    media = _video_docs(
+        spark, [(0, "alpha beta gamma " * 8), (1, "image row"), (3, "x" * 100)]
+    )
+    out = multimodal.frame_signatures(media, every_k=2).collect()
+    # only videos (0 and 3) emit; n_frames = id % 8 + 2 → 2 and 5 frames
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.media_id, []).append((r.frame_idx, r.fsig))
+    assert set(by_id) == {0, 3}
+    assert [i for i, _ in sorted(by_id[0])] == [0]  # range(0, 2, 2)
+    assert [i for i, _ in sorted(by_id[3])] == [0, 2, 4]  # range(0, 5, 2)
+    assert all(len(s) == 32 for _, s in by_id[3])
+    again = multimodal.frame_signatures(media, every_k=2).collect()
+    assert sorted((r.media_id, r.frame_idx, r.fsig) for r in out) == sorted(
+        (r.media_id, r.frame_idx, r.fsig) for r in again
+    )
+
+
+def test_video_near_dup_matches_shared_prefix(spark):
+    # ids 6 and 12: both videos, same text → same canonical strip →
+    # equal signatures at equal frame indices (offset 0).
+    shared = "shared video payload content " * 5
+    media = _video_docs(
+        spark,
+        [(6, shared), (12, shared), (9, "totally different clip " * 6)],
+    )
+    frames = multimodal.frame_signatures(media, every_k=2)
+    pairs = {
+        (r.id_a, r.id_b): r
+        for r in multimodal.video_near_dup_pairs(frames).collect()
+    }
+    assert (6, 12) in pairs
+    p = pairs[(6, 12)]
+    # n_frames: id6 → 6%8+2 = 8 → 4 sampled; id12 → 12%8+2 = 6 → 3 sampled
+    assert (p.n_a, p.n_b) == (4, 3)
+    assert p.best_offset == 0
+    assert p.offset_matched == 3  # overlap of sampled indices {0,2,4,6}∩{0,2,4}
+    assert p.n_matched == 3
+    assert not any(9 in k for k in pairs)
+
+
+def test_video_near_dup_bucket_cap_drops_degenerate_signature(spark):
+    # five videos with identical payloads → every frame-0 signature equal;
+    # cap below the occupancy removes all candidates
+    rows = [(3 * i, "constant pattern " * 4) for i in range(1, 6)]
+    media = _video_docs(spark, rows)
+    frames = multimodal.frame_signatures(media, every_k=2)
+    assert multimodal.video_near_dup_pairs(frames, max_bucket=1).count() == 0
+    assert multimodal.video_near_dup_pairs(frames, max_bucket=64).count() > 0

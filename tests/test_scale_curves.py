@@ -205,3 +205,59 @@ def test_media_fingerprint_dedup_scales_subquadratically(spark, kernel):
             f"media {kernel}: {times[lo]:.1f}s @{lo}x -> "
             f"{times[hi]:.1f}s @{hi}x (exponent {exponent:.2f})"
         )
+
+
+def test_chunk_dedup_scales_subquadratically(spark):
+    """Round-10 granularity twin of the text-dedup probe: sub-document
+    chunk-level dedup (CDC chunk -> digest-only winner shuffle -> local
+    rebuild) on the pseudo-random corpus at 4x/16x.  The cost model is
+    linear-ish: two Arrow chunking passes + two digest shuffles + one
+    doc-text join; nothing in the pipeline is pair-shaped, so the
+    exponent must stay sub-quadratic regardless of sharing rate."""
+    from myrecommendsystem_spark.operators import dedup
+
+    mults = (4, 16)
+    times = {}
+    for mult in mults:
+        d = _corpus(spark, BASE_DOCS * mult)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            dedup.chunk_dedup_docs(d).count()
+            best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        times[mult] = best
+    exponent = math.log(times[16] / times[4]) / math.log(4)
+    assert exponent < 1.5, (
+        f"chunk-dedup: {times[4]:.1f}s @4x -> {times[16]:.1f}s @16x "
+        f"(exponent {exponent:.2f})"
+    )
+
+
+def test_video_near_dup_scales_subquadratically(spark):
+    """Round-10 video modality probe: per-frame signatures through the
+    offset-consistent inverted index at 4x/16x.  Frame rows are slim
+    (id, int, digest); the only join is signature-keyed with the
+    max_bucket occupancy cap, so pseudo-random corpora (no planted
+    clips) must scale with frame volume, not video pairs."""
+    from myrecommendsystem_spark.operators import multimodal
+
+    mults = (4, 16)
+    times = {}
+    for mult in mults:
+        docs = _corpus(spark, BASE_DOCS * mult)
+        media = multimodal.synthesize_media(docs).localCheckpoint(eager=True)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            multimodal.video_near_dup_pairs(
+                multimodal.frame_signatures(media)
+            ).count()
+            best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        times[mult] = best
+    exponent = math.log(times[16] / times[4]) / math.log(4)
+    assert exponent < 1.5, (
+        f"video-near-dup: {times[4]:.1f}s @4x -> {times[16]:.1f}s @16x "
+        f"(exponent {exponent:.2f})"
+    )

@@ -773,3 +773,74 @@ def test_gram_hash_segment_boundary_invariance():
 
     for i in (0, 1, 32_767, 32_768, 32_769, 65_535, 65_536, 69_999):
         assert full[i] == ref(grams[i])
+
+
+# ---------------------------------------------------------------------------
+# chunk-level dedup (round 10): dedup.chunk_dedup_docs
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_dedup_clone_doc_fully_dropped(spark):
+    """An exact clone contributes zero surviving chunks: every chunk's
+    first occurrence is in the earlier doc, so the clone rebuilds empty
+    and its dropped_bytes equal its full byte length."""
+    long = (BASE + " ") * 6
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=long), Row(doc_id=2, text=long)]
+    )
+    out = {r.doc_id: r for r in dedup.chunk_dedup_docs(docs).collect()}
+    # doc 1 keeps the first occurrence of every distinct chunk (its own
+    # internal repeats may drop — the text is periodic by construction)
+    assert out[1].clean_text != ""
+    assert long.startswith(out[1].clean_text[: len(BASE) // 2])
+    assert out[2].clean_text == ""
+    assert out[2].n_dup_chunks == out[2].n_chunks > 0
+    assert out[2].dropped_bytes == len(long.encode())
+
+
+def test_chunk_dedup_unique_docs_roundtrip(spark):
+    """With no shared chunks every document rebuilds byte-identical."""
+    rows = [
+        Row(doc_id=i, text=f"unique document {i} " + BASE[: 40 + 7 * i])
+        for i in range(5)
+    ]
+    docs = spark.createDataFrame(rows)
+    out = {r.doc_id: r for r in dedup.chunk_dedup_docs(docs).collect()}
+    for r in rows:
+        assert out[r.doc_id].clean_text == r.text
+        assert out[r.doc_id].n_dup_chunks == 0
+        assert out[r.doc_id].dropped_bytes == 0
+
+
+def test_chunk_dedup_shared_boilerplate_stripped_once(spark):
+    """Cross-doc boilerplate survives exactly once (in the lowest
+    (doc_id, chunk_idx)) and the union of surviving bytes loses nothing
+    but the duplicate copies."""
+    boiler = (BASE + " ") * 4
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=10, text=boiler + "tail ten"),
+            Row(doc_id=20, text=boiler + "tail twenty"),
+        ]
+    )
+    out = {r.doc_id: r for r in dedup.chunk_dedup_docs(docs).collect()}
+    assert out[10].clean_text.endswith("tail ten")
+    assert out[20].n_dup_chunks > 0
+    # doc 20 keeps its distinct tail: rebuilt text ends with it
+    assert out[20].clean_text.endswith("tail twenty")
+    assert len(out[20].clean_text) < len(boiler) + len("tail twenty")
+
+
+def test_chunk_dedup_null_and_empty_text(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=None), Row(doc_id=2, text=""),
+         Row(doc_id=3, text="keep me")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.chunk_dedup_docs(docs).collect()}
+    for did in (1, 2):
+        assert out[did].clean_text == ""
+        assert out[did].n_chunks == 0
+        assert out[did].n_dup_chunks == 0
+        assert out[did].dropped_bytes == 0
+    assert out[3].clean_text == "keep me"
