@@ -240,6 +240,10 @@ HEADLINE: tuple[str, ...] = (
     # registration, r11 window front
     "doc_chunk_dedup_docs",
     "video_near_dup_pairs",
+    # round-10: the LSH banding S-curve acceptance gate (ann_recall_report
+    # discipline applied to the near-dup family) — benched on
+    # registration, r11 window front
+    "dedup_lsh_recall_report",
     # rag_ingest_pipeline intentionally NOT in the headline: index-build
     # dominated (~7 s at any sf — amortized once in production); its
     # family is represented by ann_topk_ivfpq(+_search).  The registry

@@ -164,6 +164,100 @@ def minhash_near_duplicates(
     return eager_release(out, sigs)
 
 
+def minhash_recall_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    probe_max_id: int = 100,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """LSH banding S-curve measurement: per exact-Jaccard decile band,
+    how many true near-dup pairs exist and how many the banded candidate
+    stage caught.
+
+    Returns (jband, n_true, n_caught): ``jband`` = ⌊10·J⌋ over the EXACT
+    distinct-shingle-hash Jaccard (band 5 = J ∈ [0.5, 0.6), band 10 =
+    identical sets; band 0 — pairs sharing ≥ 1 shingle but J < 0.1 — is
+    the REJECTION side of the curve, where n_caught ≈ 0 proves the
+    banding doesn't flood the verify stage), ``n_caught`` = true pairs
+    the banding emitted as candidates.  This is the acceptance gate a dedup pipeline runs before
+    trusting a (bands, rows, max_bucket) configuration on a new corpus —
+    the ann_recall_report discipline applied to the near-dup family: the
+    measured curve sits on the analytic S-curve 1−(1−J^r)^b and exposes
+    both cap-induced misses (degenerate buckets) and threshold placement.
+
+    Scale shape: exact ground truth is the quadratic term, so it is
+    measured on a bounded PROBE sample (ids < ``probe_max_id``) while the
+    candidate side runs the production banding path over the full corpus
+    unchanged.  The truth join is probe-side-bounded — explode the probe
+    docs' distinct shingle hashes, inverted-index join against the corpus
+    postings, group per pair: O(|Q| · touched postings), never corpus².
+    One fused Arrow signature pass (``minhash_bands_and_shingles``) feeds
+    both the banding and the truth sides.
+
+    The band index is computed with INTEGER floor-division
+    ``(10·|∩|) div |∪|`` — exact in both engines, immune to the
+    ``0.3 × 10 = 2.999…`` double-rounding trap a float bucketize hits.
+    """
+    sigs = (
+        widen_for_kernel(df)
+        .select(
+            F.col(id_col).alias("id"),
+            TXT.minhash_bands_and_shingles(
+                F.col(text_col), num_hashes, shingle_n, bands
+            ).alias("s"),
+        )
+        .persist()
+    )
+    sigs.count()  # eager: one Arrow pass shared by banding + truth sides
+    banded = sigs.select(
+        "id", F.posexplode("s.bands").alias("band_idx", "band_hash")
+    )
+    cands = _candidates_from_banded(banded, max_bucket=max_bucket)
+    # DISTINCT hash sets: grams are distinct per doc but the 31-bit RK
+    # hash may collide two grams — the exact-Jaccard contract (and the
+    # DuckDB oracle's SELECT DISTINCT hv) is over distinct hash values.
+    sh = sigs.select("id", F.array_distinct("s.sh").alias("sh"))
+    sizes = sh.select("id", F.size("sh").alias("n"))
+    pe = sh.filter(F.col("id") < probe_max_id).select(
+        F.col("id").alias("pid"), F.explode("sh").alias("h")
+    )
+    ae = sh.select(F.col("id").alias("aid"), F.explode("sh").alias("h"))
+    # each unordered pair exactly once: probe↔probe pairs only from the
+    # smaller id's probe row; probe↔non-probe pairs exist one way round
+    tp = (
+        pe.join(ae, "h")
+        .filter((F.col("aid") >= probe_max_id) | (F.col("aid") > F.col("pid")))
+        .select(
+            F.least("pid", "aid").alias("id_a"),
+            F.greatest("pid", "aid").alias("id_b"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("i"))
+    )
+    truth = (
+        tp.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("CAST((10 * i) DIV (na + nb - i) AS INT)").alias("jband"),
+        )
+    )
+    out = (
+        truth.join(cands.withColumn("m", F.lit(1)), ["id_a", "id_b"], "left")
+        .groupBy("jband")
+        .agg(
+            F.count("*").alias("n_true"),
+            F.coalesce(F.sum("m"), F.lit(0)).cast("long").alias("n_caught"),
+        )
+    )
+    return eager_release(out, sigs)
+
+
 # Pair graphs at or under this edge count run min-label propagation
 # driver-side off one bounded Arrow fetch — the graph.py _DRIVER_EDGE_CAP
 # venue discipline applied to the dedup closure: a near-dup pair graph is

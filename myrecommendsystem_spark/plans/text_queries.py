@@ -278,6 +278,64 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_lsh_recall_report",
+    f"""
+WITH {_MINHASH_PAIRS_CTES},
+pe AS (SELECT doc_id AS pid, h FROM hv WHERE doc_id < 100),
+tp AS (
+    SELECT least(pe.pid, a.doc_id) AS id_a,
+           greatest(pe.pid, a.doc_id) AS id_b,
+           COUNT(*) AS i
+    FROM pe JOIN hv a ON a.h = pe.h AND a.doc_id != pe.pid
+    WHERE a.doc_id >= 100 OR a.doc_id > pe.pid
+    GROUP BY 1, 2
+),
+truth AS (
+    SELECT t.id_a, t.id_b,
+           CAST((10 * t.i) // (sa.n + sb.n - t.i) AS INTEGER) AS jband
+    FROM tp t
+    JOIN sizes sa ON sa.doc_id = t.id_a
+    JOIN sizes sb ON sb.doc_id = t.id_b
+)
+SELECT jband, n_true, n_caught,
+       {sql_round_stable('CAST(n_caught AS DOUBLE) / n_true')} AS recall
+FROM (
+    SELECT t.jband,
+           COUNT(*) AS n_true,
+           CAST(COALESCE(SUM(CASE WHEN c.id_a IS NOT NULL THEN 1 END), 0)
+                AS BIGINT) AS n_caught
+    FROM truth t
+    LEFT JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b
+    GROUP BY t.jband
+)
+""",
+    doc="LSH banding S-curve measurement, the ann_recall_report "
+    "discipline applied to the near-dup family: per exact-Jaccard decile "
+    "band (jband = (10·|∩|) div |∪| in INTEGER arithmetic — immune to "
+    "the 0.3×10=2.999… float-bucketize trap; band 0 is the rejection "
+    "side, where n_caught ≈ 0 proves the banding doesn't flood the "
+    "verify stage), n_true pairs vs n_caught "
+    "by the banded candidate stage (b=16, r=4, max_bucket=1000).  Exact "
+    "ground truth is the quadratic term, so it is bounded to a probe "
+    "sample (doc_id < 100) via a probe-side inverted-index join while "
+    "the candidate side runs the production banding path over the full "
+    "corpus unchanged.  The oracle replays every stage relationally off "
+    "the shared _MINHASH_PAIRS_CTES block (RK-31 shingle hashes, the 64 "
+    "affine permutations, band r-tuple buckets with the occupancy cap); "
+    "the measured curve sits on the analytic 1−(1−J^r)^b and is the "
+    "acceptance gate run before trusting a banding config on a new "
+    "corpus (operators/dedup.py:minhash_recall_report)",
+    defer=True,
+    since=10,
+)
+def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rep = dedup.minhash_recall_report(_docs(spark, sf_dir), probe_max_id=100)
+    return rep.withColumn(
+        "recall", round_stable(F.col("n_caught") / F.col("n_true"))
+    ).orderBy("jband")
+
+
+@register(
     "dedup_ngram_jaccard",
     rf"""
 WITH toks AS (

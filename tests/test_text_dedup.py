@@ -844,3 +844,80 @@ def test_chunk_dedup_null_and_empty_text(spark):
         assert out[did].n_dup_chunks == 0
         assert out[did].dropped_bytes == 0
     assert out[3].clean_text == "keep me"
+
+
+# ---------------------------------------------------------------------------
+# minhash_recall_report: the LSH banding S-curve measurement
+# ---------------------------------------------------------------------------
+
+
+def _jaccard_pair(band: int, i: int, shared_tokens: int, total: int = 100):
+    """Two docs over a pair-private token namespace sharing a
+    ``shared_tokens`` prefix: shingle Jaccard = (s-2)/(196-(s-2)) for
+    3-grams over 100 distinct tokens — controlled, collision-free across
+    pairs."""
+    ns = f"b{band}p{i}"
+    common = [f"{ns}c{j}" for j in range(shared_tokens)]
+    a = common + [f"{ns}a{j}" for j in range(total - shared_tokens)]
+    b = common + [f"{ns}b{j}" for j in range(total - shared_tokens)]
+    return " ".join(a), " ".join(b)
+
+
+@pytest.fixture(scope="module")
+def scurve_corpus(spark):
+    """20 pairs each at J≈0.25 (band 2), J≈0.56 (band 5), J≈0.90
+    (band 9), plus 5 exact-dup pairs (band 10)."""
+    rows = []
+    for band, shared in ((2, 41), (5, 72), (9, 95)):
+        for i in range(20):
+            ta, tb = _jaccard_pair(band, i, shared)
+            rows.append(Row(doc_id=1000 * band + 2 * i, text=ta))
+            rows.append(Row(doc_id=1000 * band + 2 * i + 1, text=tb))
+    for i in range(5):
+        ta, _ = _jaccard_pair(10, i, 50)
+        rows.append(Row(doc_id=10000 + 2 * i, text=ta))
+        rows.append(Row(doc_id=10000 + 2 * i + 1, text=ta))
+    return spark.createDataFrame(rows).cache()
+
+
+def test_recall_report_scurve_shape(scurve_corpus):
+    """The measured curve tracks the analytic S-curve 1-(1-J^r)^b for
+    r=4, b=16: ≈0.06 at J=0.25, ≈0.8 at J=0.56, ≈1.0 at J≥0.9 — and
+    identical sets (band 10) collide with certainty.  All assertions are
+    loose bands around deterministic (seeded hash family) values."""
+    rep = {
+        r.jband: r
+        for r in dedup.minhash_recall_report(
+            scurve_corpus, probe_max_id=100000
+        ).collect()
+    }
+    assert {2, 5, 9, 10} <= set(rep)
+    for band, shared in ((2, 20), (5, 20), (9, 20), (10, 5)):
+        assert rep[band].n_true == shared
+        assert 0 <= rep[band].n_caught <= rep[band].n_true
+    # identical shingle sets → identical signatures → same band keys
+    assert rep[10].n_caught == 5
+    assert rep[9].n_caught >= 18       # analytic ≈ 1.0
+    assert 6 <= rep[5].n_caught <= 20  # analytic ≈ 0.8 of 20
+    assert rep[2].n_caught <= 10       # analytic ≈ 0.06 of 20
+
+
+def test_recall_report_probe_bounding(scurve_corpus):
+    """Truth pairs are restricted to pairs touching the probe sample —
+    the bounded-quadratic-term contract — and each unordered pair is
+    counted exactly once (probe-probe pairs must not double-count)."""
+    # probe covers only the band-2 block: every pair there is
+    # probe-probe (both ids < 3000) and must appear exactly once
+    rep = {
+        r.jband: r
+        for r in dedup.minhash_recall_report(
+            scurve_corpus, probe_max_id=3000
+        ).collect()
+    }
+    assert rep[2].n_true == 20
+    assert 5 not in rep and 9 not in rep and 10 not in rep
+    # empty probe → empty report
+    assert (
+        dedup.minhash_recall_report(scurve_corpus, probe_max_id=0).count()
+        == 0
+    )
