@@ -136,17 +136,9 @@ def minhash_near_duplicates(
     every doc twice (band pass + shingle pass), which was the measured
     majority of its sf0.1 wall time.
     """
-    sigs = widen_for_kernel(df).select(
-        F.col(id_col).alias("id"),
-        TXT.minhash_bands_and_shingles(
-            F.col(text_col), num_hashes, shingle_n, bands
-        ).alias("s"),
-    ).persist()
-    sigs.count()  # eager: the one Arrow pass runs exactly once
-    banded = sigs.select(
-        "id", F.posexplode("s.bands").alias("band_idx", "band_hash")
+    sigs, cands = _fused_minhash_sigs(
+        df, id_col, text_col, shingle_n, num_hashes, bands, max_bucket=1000
     )
-    cands = _candidates_from_banded(banded, max_bucket=1000)
     sh = sigs.select("id", F.col("s.sh").alias("sh"))
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
@@ -162,6 +154,38 @@ def minhash_near_duplicates(
         .filter(F.col("jaccard") >= jaccard_threshold)
     )
     return eager_release(out, sigs)
+
+
+def _fused_minhash_sigs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    num_hashes: int,
+    bands: int,
+    max_bucket: int,
+) -> "tuple[DataFrame, DataFrame]":
+    """Shared prologue of every single-corpus MinHash pipeline: ONE fused
+    Arrow signature pass (band keys + shingle hashes,
+    ``minhash_bands_and_shingles``), persisted and eagerly materialized so
+    every downstream consumer reads the cache instead of racing to
+    recompute the kernel, plus the banded candidate pairs.  Returns
+    (sigs, cands); callers must release ``sigs`` via ``eager_release``."""
+    sigs = (
+        widen_for_kernel(df)
+        .select(
+            F.col(id_col).alias("id"),
+            TXT.minhash_bands_and_shingles(
+                F.col(text_col), num_hashes, shingle_n, bands
+            ).alias("s"),
+        )
+        .persist()
+    )
+    sigs.count()  # eager: the one Arrow pass runs exactly once
+    banded = sigs.select(
+        "id", F.posexplode("s.bands").alias("band_idx", "band_hash")
+    )
+    return sigs, _candidates_from_banded(banded, max_bucket=max_bucket)
 
 
 def minhash_recall_report(
@@ -202,21 +226,15 @@ def minhash_recall_report(
     ``(10·|∩|) div |∪|`` — exact in both engines, immune to the
     ``0.3 × 10 = 2.999…`` double-rounding trap a float bucketize hits.
     """
-    sigs = (
-        widen_for_kernel(df)
-        .select(
-            F.col(id_col).alias("id"),
-            TXT.minhash_bands_and_shingles(
-                F.col(text_col), num_hashes, shingle_n, bands
-            ).alias("s"),
-        )
-        .persist()
+    sigs, cands = _fused_minhash_sigs(
+        df, id_col, text_col, shingle_n, num_hashes, bands, max_bucket
     )
-    sigs.count()  # eager: one Arrow pass shared by banding + truth sides
-    banded = sigs.select(
-        "id", F.posexplode("s.bands").alias("band_idx", "band_hash")
-    )
-    cands = _candidates_from_banded(banded, max_bucket=max_bucket)
+    # every truth pair contains a probe doc, so its id_a = least(...) is
+    # always < probe_max_id — Catalyst can't infer that bound through
+    # least(), so filter the candidate side explicitly before the recall
+    # join (output-identical; candidate GENERATION stays full-corpus so
+    # cap/occupancy semantics match the production path exactly)
+    cands = cands.filter(F.col("id_a") < probe_max_id)
     # DISTINCT hash sets: grams are distinct per doc but the 31-bit RK
     # hash may collide two grams — the exact-Jaccard contract (and the
     # DuckDB oracle's SELECT DISTINCT hv) is over distinct hash values.

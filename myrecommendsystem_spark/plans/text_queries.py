@@ -305,7 +305,11 @@ FROM (
            CAST(COALESCE(SUM(CASE WHEN c.id_a IS NOT NULL THEN 1 END), 0)
                 AS BIGINT) AS n_caught
     FROM truth t
-    LEFT JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b
+    -- probe-slice of the candidates, in lockstep with the kernel's
+    -- cands.filter(id_a < probe_max_id): every truth pair's id_a is a
+    -- probe doc, so this is output-identical
+    LEFT JOIN (SELECT id_a, id_b FROM cand WHERE id_a < 100) c
+           ON c.id_a = t.id_a AND c.id_b = t.id_b
     GROUP BY t.jband
 )
 """,

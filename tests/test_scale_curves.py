@@ -269,9 +269,6 @@ def test_recall_report_scales_linearly_with_fixed_probe(spark):
     signature pass is O(n) and the truth join touches only the probe
     docs' postings, never corpus².  Fails hard on a quadratic
     regression (probe accidentally unbounded)."""
-    import math as _math
-    import time as _time
-
     from myrecommendsystem_spark.operators import dedup as _dedup
 
     times = {}
@@ -279,12 +276,12 @@ def test_recall_report_scales_linearly_with_fixed_probe(spark):
         d = _corpus(spark, BASE_DOCS * mult)
         best = float("inf")
         for _ in range(2):
-            t0 = _time.perf_counter()
+            t0 = time.perf_counter()
             _dedup.minhash_recall_report(d, probe_max_id=500).count()
-            best = min(best, _time.perf_counter() - t0)
+            best = min(best, time.perf_counter() - t0)
             spark.catalog.clearCache()
         times[mult] = best
-    exponent = _math.log(times[16] / times[4]) / _math.log(4)
+    exponent = math.log(times[16] / times[4]) / math.log(4)
     assert exponent < 1.5, (
         f"recall report: {times[4]:.1f}s @4x -> {times[16]:.1f}s @16x "
         f"(exponent {exponent:.2f})"
