@@ -244,6 +244,10 @@ HEADLINE: tuple[str, ...] = (
     # discipline applied to the near-dup family) — benched on
     # registration, r11 window front
     "dedup_lsh_recall_report",
+    # round-10: key-skew diagnostic (TakeOrderedAndProject heavy-hitter
+    # pick + integer salt recommendation) — benched on registration,
+    # r11 window front
+    "events_key_skew_profile",
     # rag_ingest_pipeline intentionally NOT in the headline: index-build
     # dominated (~7 s at any sf — amortized once in production); its
     # family is represented by ann_topk_ivfpq(+_search).  The registry

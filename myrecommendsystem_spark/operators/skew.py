@@ -88,3 +88,61 @@ def count_distinct_two_phase(
     return deduped.groupBy(*key_cols).agg(
         F.count(F.lit(1)).alias(f"n_distinct_{distinct_col}")
     )
+
+
+def skew_profile(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    top_n: int = 20,
+    num_partitions: int = 200,
+) -> DataFrame:
+    """Key-skew diagnostic: the profile an operator runs over a join or
+    groupBy key BEFORE choosing a remedy (broadcast / ``salted_join`` /
+    AQE-and-hope).
+
+    Returns the ``top_n`` heaviest keys as
+    (rnk, key, cnt, share, cum_share, rec_salt): ``share``/``cum_share``
+    locate the key on the Lorenz curve, and ``rec_salt`` is the salt
+    factor that levels the key to a balanced task's row budget —
+    ``ceil(cnt / ceil(total / num_partitions))`` in pure integer
+    arithmetic, so 1 means "this key fits a partition, leave it alone"
+    and the max over the report is the ``salt_factor`` to hand
+    :func:`salted_join` / :func:`salted_group_count`.
+
+    Scale shape: one count shuffle on the key; the heavy-hitter pick is
+    ``orderBy().limit(top_n)`` — Spark plans TakeOrderedAndProject
+    (per-partition heaps + a driver merge of ``top_n`` rows), NEVER a
+    global sort of the distinct-key relation (billions of rows at
+    100 TB); the total rides a one-row broadcast and the ranking window
+    runs over ≤ ``top_n`` rows.
+    """
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    per_key = (
+        df.select(key.alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    tot = per_key.agg(F.sum("cnt").cast("bigint").alias("total"))
+    top = per_key.orderBy(F.col("cnt").desc(), "key").limit(top_n)
+    from pyspark.sql.window import Window
+
+    from myrecommendsystem_spark.functions.compat import round_stable
+
+    w_ord = Window.orderBy(F.col("cnt").desc(), "key")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    target = f"((total + {num_partitions - 1}) DIV {num_partitions})"
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .select(
+            F.row_number().over(w_ord).cast("int").alias("rnk"),
+            "key",
+            "cnt",
+            round_stable(F.col("cnt") / F.col("total")).alias("share"),
+            round_stable(
+                F.sum("cnt").over(w_cum) / F.col("total")
+            ).alias("cum_share"),
+            F.expr(
+                f"CAST((cnt + {target} - 1) DIV {target} AS INT)"
+            ).alias("rec_salt"),
+        )
+    )

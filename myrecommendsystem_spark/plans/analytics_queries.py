@@ -3793,6 +3793,56 @@ def events_power_users_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_key_skew_profile",
+    f"""
+WITH per_key AS (
+    SELECT CAST(event_type AS VARCHAR) AS key,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM per_key),
+top AS (
+    SELECT key, cnt FROM per_key ORDER BY cnt DESC, key LIMIT 20
+),
+c AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY t.cnt DESC, t.key) AS INT)
+               AS rnk,
+           t.key, t.cnt,
+           SUM(t.cnt) OVER (ORDER BY t.cnt DESC, t.key) AS cum,
+           total
+    FROM top t CROSS JOIN tot
+)
+SELECT rnk, key, cnt,
+       {sql_round_stable('CAST(cnt AS DOUBLE) / total')} AS share,
+       {sql_round_stable('CAST(cum AS DOUBLE) / total')} AS cum_share,
+       CAST((cnt + (total + 31) // 32 - 1)
+            // ((total + 31) // 32) AS INTEGER) AS rec_salt
+FROM c
+""",
+    doc="key-skew diagnostic (operators/skew.skew_profile): the profile "
+    "run over a join/groupBy key BEFORE choosing broadcast vs "
+    "salted_join vs AQE — top-20 heaviest keys with count, Lorenz "
+    "share/cum_share, and rec_salt = ceil(cnt / ceil(total / "
+    "num_partitions)) in pure integer arithmetic (num_partitions=32, "
+    "the local session's shuffle width; 1 = the key fits one balanced "
+    "task, max over the report = the salt_factor to hand salted_join).  "
+    "Scale shape: one count shuffle; the heavy-hitter pick is "
+    "TakeOrderedAndProject (per-partition heaps, top-20 driver merge), "
+    "never a global sort of the distinct-key relation; the total rides "
+    "a one-row broadcast and the ranking window spans ≤ 20 rows",
+    defer=True,
+    since=10,
+)
+def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myrecommendsystem_spark.operators.skew import skew_profile
+
+    return skew_profile(
+        _t(spark, sf_dir, "events"), ["event_type"], top_n=20,
+        num_partitions=32,
+    ).orderBy("rnk")
+
+
 # ---------------------------------------------------------------------------
 # Readability report (text-quality family)
 # ---------------------------------------------------------------------------

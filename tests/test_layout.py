@@ -106,3 +106,42 @@ def test_table_stamp_detects_regeneration(spark, tmp_path):
     df1.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
     assert table_stamp(sf, "documents") != s1  # rewrite invalidates
     assert table_stamp(sf, "nonexistent") == ("unstattable",)
+
+
+def test_skew_profile_recommends_salt_for_whale_key(spark):
+    """A whale key (80% of rows) gets rec_salt ≈ its share of the
+    partition budget; a key that fits one balanced task gets 1; ranking
+    and cumulative shares are deterministic (count desc, key asc)."""
+    from myrecommendsystem_spark.operators.skew import skew_profile
+
+    df = spark.range(0, 1000).select(
+        F.when(F.col("id") < 800, F.lit("whale"))
+        .when(F.col("id") < 900, F.lit("mid"))
+        .otherwise((F.col("id") % 10).cast("string"))
+        .alias("k")
+    )
+    rows = skew_profile(df, ["k"], top_n=3, num_partitions=10).orderBy(
+        "rnk"
+    ).collect()
+    assert [r.key for r in rows] == ["whale", "mid", "0"]
+    assert [r.cnt for r in rows] == [800, 100, 10]
+    # target = ceil(1000/10) = 100 rows/task: whale needs 8-way salt,
+    # mid exactly fills one task, a tail key is far under budget
+    assert [r.rec_salt for r in rows] == [8, 1, 1]
+    assert rows[0].share == 0.8 and rows[1].cum_share == 0.9
+    # top_n bounds the report even with 12 distinct keys
+    assert len(rows) == 3
+
+
+def test_skew_profile_plan_avoids_global_sort(spark):
+    """The heavy-hitter pick must plan TakeOrderedAndProject
+    (per-partition heaps + driver merge of top_n), never a full sort
+    of the distinct-key relation — the 100 TB scale contract."""
+    from myrecommendsystem_spark.operators.skew import skew_profile
+
+    df = spark.range(0, 1000).select((F.col("id") % 50).cast("string").alias("k"))
+    plan = (
+        skew_profile(df, ["k"], top_n=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
