@@ -116,12 +116,25 @@ def skew_profile(
     100 TB); the total rides a one-row broadcast and the ranking window
     runs over ≤ ``top_n`` rows.
     """
-    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
-    per_key = (
-        df.select(key.alias("key"))
-        .groupBy("key")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    # group on the RAW columns — counting on a rendered string would
+    # merge distinct keys (concat_ws drops NULLs, so ('US', NULL),
+    # (NULL, 'US') and 'US' all collapse; '|' inside a value collides
+    # composites) and hand salted_join a salt for a key that doesn't
+    # exist.  The string form is rendered AFTER counting, null-safely,
+    # for display only: a (astronomically rare) render collision shows
+    # two correctly-counted rows with the same label, never a merged
+    # count.
+    per_key = df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
+    rendered = F.concat_ws(
+        "|",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("<NULL>"))
+            for c in key_cols
+        ],
+    )
+    per_key = per_key.select(rendered.alias("key"), "cnt")
     tot = per_key.agg(F.sum("cnt").cast("bigint").alias("total"))
     top = per_key.orderBy(F.col("cnt").desc(), "key").limit(top_n)
     from pyspark.sql.window import Window

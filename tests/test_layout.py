@@ -145,3 +145,28 @@ def test_skew_profile_plan_avoids_global_sort(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_skew_profile_null_and_composite_keys_not_merged(spark):
+    """Counts group on the RAW key columns: NULL is not merged with
+    empty string, and composite keys are never merged by the display
+    rendering (('US', NULL) vs (NULL, 'US') are distinct keys)."""
+    from pyspark.sql import Row
+
+    from myrecommendsystem_spark.operators.skew import skew_profile
+
+    df = spark.createDataFrame(
+        [Row(a="US", b=None)] * 5
+        + [Row(a=None, b="US")] * 3
+        + [Row(a="US", b="US")] * 2,
+        "a string, b string",
+    )
+    rows = skew_profile(df, ["a", "b"], top_n=10, num_partitions=10).collect()
+    got = {r.key: r.cnt for r in rows}
+    assert got == {"US|<NULL>": 5, "<NULL>|US": 3, "US|US": 2}
+
+    single = spark.createDataFrame(
+        [Row(k=None)] * 4 + [Row(k="")] * 2, "k string"
+    )
+    srows = skew_profile(single, ["k"], top_n=10).collect()
+    assert {r.key: r.cnt for r in srows} == {"<NULL>": 4, "": 2}
