@@ -248,6 +248,12 @@ HEADLINE: tuple[str, ...] = (
     # pick + integer salt recommendation) — benched on registration,
     # r11 window front
     "events_key_skew_profile",
+    # round-11: the skew-profile CONSUMER (adaptive salted join), MOSS
+    # winnowing selection + its overlap index — benched on
+    # registration, r12 window front
+    "events_salted_join_adaptive",
+    "doc_winnowing_fingerprints",
+    "doc_winnowing_overlap",
     # rag_ingest_pipeline intentionally NOT in the headline: index-build
     # dominated (~7 s at any sf — amortized once in production); its
     # family is represented by ann_topk_ivfpq(+_search).  The registry

@@ -555,6 +555,7 @@ def simhash_near_duplicates(
     max_hamming: int = 3,
     bands: int = 8,
     max_bucket: int = 1000,
+    probe_memo_key: tuple | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: byte-banded fingerprint buckets + hamming.
 
@@ -575,7 +576,14 @@ def simhash_near_duplicates(
         F.col(id_col).alias("id"),
         TXT.simhash64(F.col(text_col)).alias("fp"),
     )
-    return fingerprint_near_duplicates(fp, max_hamming, bands, max_bucket)
+    return fingerprint_near_duplicates(
+        fp, max_hamming, bands, max_bucket, probe_memo_key=probe_memo_key
+    )
+
+
+# probe-decision memo: (caller key, bands) -> collapse?  See
+# fingerprint_near_duplicates' probe_memo_key contract.
+_PROBE_MEMO: dict[tuple, bool] = {}
 
 
 def fingerprint_near_duplicates(
@@ -584,6 +592,7 @@ def fingerprint_near_duplicates(
     bands: int = 8,
     max_bucket: int = 1000,
     _force_collapse: bool | None = None,
+    probe_memo_key: tuple | None = None,
 ) -> DataFrame:
     """Banded near-dup pairs over ANY (id, fp) 64-bit fingerprint
     relation → (id_a, id_b, hamming ≤ max_hamming).
@@ -636,6 +645,18 @@ def fingerprint_near_duplicates(
     survival of a clone group in ≥ 1 capped bucket is exactly the
     both-ids-co-located condition, and hamming is a function of the fp
     pair alone, so the branch can never change results — only the plan.
+
+    ``probe_memo_key`` (round-11; the doc_quality_model_scores memo
+    precedent): the probe decision is a pure function of the fp
+    relation's value distribution, so a caller that can name its input
+    (query name + sf_dir + table stamp — see ``readers.table_stamp``)
+    passes that name and the decision is memoized per process.  A memo
+    hit skips BOTH probe stages — repeated calls over unchanged data
+    (bench best-of-N repeats, re-registered queries in one session) pay
+    the probe's two driver-blocking scalar jobs exactly once.  The
+    caller owns key correctness: the key must change whenever the fp
+    relation's DATA can (include the table stamp).  ``None`` (default)
+    probes every call — the pre-round-11 behavior.
     """
     bits_per_band = 64 // bands
     mask = (1 << bits_per_band) - 1
@@ -648,21 +669,32 @@ def fingerprint_near_duplicates(
     members = fp.persist()  # every path reads it ≥ 2×s — one kernel pass
     groups = None
     if _force_collapse is None:  # adaptive (the production path)
-        stats = members.agg(
-            F.count(F.lit(1)).alias("n"), F.count_distinct("fp").alias("d")
-        ).first()
-        dup_count = stats.n - stats.d
-        collapse = False
-        if dup_count > max(1000, stats.n // 100):
-            groups = members.groupBy("fp").agg(
-                F.count(F.lit(1)).alias("grp_n")
-            ).persist()
-            excess = groups.agg(
-                F.sum(F.col("grp_n") * F.col("grp_n") - F.col("grp_n"))
-            ).first()[0] or 0
-            collapse = bands * excess > max(10_000_000, 20 * stats.n)
-            if not collapse:
-                groups.unpersist()
+        # decision depends on the data AND on bands (the excess-volume
+        # multiplier) — max_hamming/max_bucket don't enter the probe
+        memo_key = (probe_memo_key, bands) if probe_memo_key is not None else None
+        if memo_key is not None and memo_key in _PROBE_MEMO:
+            collapse = _PROBE_MEMO[memo_key]
+        else:
+            stats = members.agg(
+                F.count(F.lit(1)).alias("n"), F.count_distinct("fp").alias("d")
+            ).first()
+            dup_count = stats.n - stats.d
+            collapse = False
+            if dup_count > max(1000, stats.n // 100):
+                groups = members.groupBy("fp").agg(
+                    F.count(F.lit(1)).alias("grp_n")
+                ).persist()
+                excess = groups.agg(
+                    F.sum(F.col("grp_n") * F.col("grp_n") - F.col("grp_n"))
+                ).first()[0] or 0
+                collapse = bands * excess > max(10_000_000, 20 * stats.n)
+                if not collapse:
+                    groups.unpersist()
+                    groups = None
+            if memo_key is not None:
+                if len(_PROBE_MEMO) >= 64:  # bounded, FIFO-evicted
+                    _PROBE_MEMO.pop(next(iter(_PROBE_MEMO)))
+                _PROBE_MEMO[memo_key] = collapse
     else:  # test/tuning override: pin one strategy, skip the probe
         collapse = _force_collapse
     if collapse and groups is None:
@@ -751,6 +783,119 @@ def fingerprint_near_duplicates(
     )
     out = cross.unionByName(intra)
     return eager_release(out, members, banded, groups)
+
+
+_WINNOW_SHIFT = 1 << 31  # RK-31 hashes are < 2^31 — (h, pos) packs in 62 bits
+_WINNOW_MAXP = (1 << 31) - 1
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 16,
+    guarantee: int = 8,
+) -> DataFrame:
+    """MOSS winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03) over the
+    Rabin-Karp rolling hashes → (doc_id, pos, fp), the robust
+    fingerprint SELECTION the raw rolling family lacks: in every run of
+    ``guarantee`` consecutive window hashes keep the minimum (rightmost
+    on ties), giving expected density 2/(guarantee+1) with the
+    guarantee that any substring match of length ≥ window + guarantee
+    − 1 shares at least one SELECTED fingerprint — the index behind
+    plagiarism/attribution-style overlap detection at a fraction of
+    the full rolling index's size.
+
+    Scale shape: selection is PER-DOCUMENT LOCAL, so it runs entirely
+    in expressions over the kernel's hash array — no shuffle, no window
+    function, the corpus is scanned once (the only Python is the
+    existing segmented Arrow rolling-hash kernel).  The rightmost-min
+    tie-break packs (hash, position) into one BIGINT — h·2³¹ +
+    (2³¹−1−pos) — so array_min picks min hash then max position in
+    pure integer arithmetic both engines can replay.  The per-window
+    slice is O(guarantee) on a LAMBDA VARIABLE (the nested-transform
+    share trick — slicing a rebuilt array per element would be the
+    O(L²) HOF-CSE trap named in ml/quality.bigram_slots).  Documents
+    shorter than ``window`` bytes (including empty ones) hash once via
+    the kernel's short-doc path and that hash is always selected; a
+    genuinely empty hash stream (NULL text) selects nothing
+    (NULL-filtered).
+    """
+    enc_arr = F.transform(
+        TXT.rolling_fingerprints(F.col(text_col), window=window),
+        lambda h, i: h * F.lit(_WINNOW_SHIFT) + (F.lit(_WINNOW_MAXP) - i),
+    )
+    winnowed = F.element_at(
+        F.transform(
+            F.array(enc_arr),
+            lambda ea: F.transform(
+                F.sequence(
+                    F.lit(0), F.greatest(F.size(ea) - guarantee, F.lit(0))
+                ),
+                lambda i: F.array_min(F.slice(ea, i + 1, guarantee)),
+            ),
+        ),
+        1,
+    )
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(winnowed)).alias("v"),
+        )
+        .filter(F.col("v").isNotNull())
+        .select(
+            "doc_id",
+            (F.lit(_WINNOW_MAXP) - F.col("v") % F.lit(_WINNOW_SHIFT))
+            .cast("int")
+            .alias("pos"),
+            F.expr(f"CAST(v DIV {_WINNOW_SHIFT} AS BIGINT)").alias("fp"),
+        )
+    )
+
+
+def winnowing_overlap_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 16,
+    guarantee: int = 8,
+    min_shared: int = 2,
+    max_doc_freq: int = 100,
+) -> DataFrame:
+    """Substring-overlap pairs from winnowed fingerprints →
+    (id_a, id_b, n_shared): docs sharing ≥ ``min_shared`` selected
+    fingerprint VALUES (position-independent — a moved paragraph still
+    matches).  The inverted-index join runs over the winnowed set
+    (≈ 2/(guarantee+1) of the full rolling index), and fingerprints
+    shared by more than ``max_doc_freq`` documents are dropped before
+    pairing — the standard boilerplate/skew cap: a fp in f docs costs
+    f² pair rows, so Σf² is bounded by max_doc_freq·Σf.  Shuffles:
+    one on fp (distinct + frequency), one on the pair key — never an
+    all-pairs product.
+    """
+    from pyspark.sql.window import Window
+
+    fps = winnowing_fingerprints(
+        docs, id_col, text_col, window, guarantee
+    ).select("doc_id", "fp").distinct()
+    # doc-frequency cap as a WINDOW over fp, not a groupBy+join-back:
+    # one exchange on fp that the a/b self-join below then REUSES
+    # (same child plan → ReusedExchange), instead of a second
+    # aggregate shuffle plus two join exchanges
+    kept = (
+        fps.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("fp")))
+        .filter(F.col("df") <= max_doc_freq)
+        .select("fp", "doc_id")
+    )
+    a = kept.select("fp", F.col("doc_id").alias("id_a"))
+    b = kept.select("fp", F.col("doc_id").alias("id_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
 
 
 def minhash_cross_corpus_pairs(

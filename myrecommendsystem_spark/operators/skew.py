@@ -33,6 +33,8 @@ def salted_join(
     ``salt_factor`` reducers instead of melting one.  Replication
     multiplies the small side — keep it for dimension-sized relations.
     """
+    if salt_factor < 1:
+        raise ValueError(f"salt_factor must be >= 1, got {salt_factor}")
     salted = skewed.withColumn(
         _SALT,
         F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(salt_factor)),
@@ -41,6 +43,79 @@ def salted_join(
         _SALT,
         F.explode(F.sequence(F.lit(0), F.lit(salt_factor - 1)).cast("array<bigint>")),
     )
+    return salted.join(replicated, [*on, _SALT], how).drop(_SALT)
+
+
+def adaptive_salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    num_partitions: int = 200,
+    how: str = "inner",
+    profile: DataFrame | None = None,
+    small_hint: str | None = None,
+) -> DataFrame:
+    """:func:`salted_join` whose salt factor is DERIVED from the data —
+    the consumer half of :func:`skew_profile` (round-11: the profile
+    computed ``rec_salt`` but nothing fed it back into a join).
+
+    The heaviest key's ``rec_salt`` — the factor that levels it to a
+    balanced task's row budget — rides a ONE-ROW broadcast into both
+    join sides, so the salt width adapts to the data with no driver
+    hop, no collect, and no hand-tuned constant: the skewed side salts
+    ``pmod(row hash, salt_n)``, the small side replicates
+    ``explode(sequence(0, salt_n-1))``, and the join keys on
+    (keys…, salt).  A uniform corpus degenerates to salt_n=1 — the
+    plain join with one extra trivially-small broadcast.
+
+    ``profile`` defaults to ``skew_profile(skewed[on], on, top_n=1,
+    num_partitions)`` — one map-side-combinable count shuffle over the
+    join keys, cheap relative to the join it protects.  Pass a
+    precomputed/persisted profile to reuse a diagnostic you already ran.
+    Answer-identical to the plain join by construction (the
+    ``revenue_by_priority_salted`` equivalence gate covers the fixed-
+    factor core; ``events_salted_join_adaptive`` gates this wrapper).
+
+    ``small_hint`` (e.g. ``"merge"``) attaches a join-strategy hint to
+    the REPLICATED side immediately before the final join — a hint on
+    the caller's ``small`` relation would be swallowed by the
+    salt-broadcast cross join below it ("no equi-join keys").  Use it
+    to pin the shuffle plan when demonstrating/testing the salted
+    exchange; at real scale the small-but-not-broadcastable side that
+    motivates salting forces the shuffle join on its own.
+    """
+    if num_partitions < 1:
+        raise ValueError(f"num_partitions must be >= 1, got {num_partitions}")
+    if profile is None:
+        profile = skew_profile(
+            skewed.select(*on), on, top_n=1, num_partitions=num_partitions
+        )
+    salt_n = profile.agg(
+        F.greatest(F.max("rec_salt"), F.lit(1)).alias("salt_n")
+    )
+    salted = (
+        skewed.crossJoin(F.broadcast(salt_n))
+        .withColumn(
+            _SALT,
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in skewed.columns]),
+                F.col("salt_n").cast("bigint"),
+            ),
+        )
+        .drop("salt_n")
+    )
+    replicated = (
+        small.crossJoin(F.broadcast(salt_n))
+        .withColumn(
+            _SALT,
+            F.explode(
+                F.sequence(F.lit(0), F.col("salt_n") - 1).cast("array<bigint>")
+            ),
+        )
+        .drop("salt_n")
+    )
+    if small_hint:
+        replicated = replicated.hint(small_hint)
     return salted.join(replicated, [*on, _SALT], how).drop(_SALT)
 
 
@@ -116,6 +191,8 @@ def skew_profile(
     100 TB); the total rides a one-row broadcast and the ranking window
     runs over ≤ ``top_n`` rows.
     """
+    if num_partitions < 1:  # rec_salt divides by ceil(total/num_partitions)
+        raise ValueError(f"num_partitions must be >= 1, got {num_partitions}")
     # group on the RAW columns — counting on a rendered string would
     # merge distinct keys (concat_ws drops NULLs, so ('US', NULL),
     # (NULL, 'US') and 'US' all collapse; '|' inside a value collides

@@ -3797,9 +3797,13 @@ def events_power_users_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_key_skew_profile",
     f"""
 WITH per_key AS (
-    SELECT CAST(event_type AS VARCHAR) AS key,
+    -- group on the RAW key, render '<NULL>' AFTER counting (round-11
+    -- ADVICE: COALESCE inside the GROUP BY would merge a NULL key with
+    -- a literal '<NULL>' value; the operator never does — it groups
+    -- raw columns and renders for display only)
+    SELECT COALESCE(CAST(event_type AS VARCHAR), '<NULL>') AS key,
            CAST(COUNT(*) AS BIGINT) AS cnt
-    FROM events GROUP BY 1
+    FROM events GROUP BY event_type
 ),
 tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM per_key),
 top AS (
@@ -6638,6 +6642,73 @@ def revenue_by_priority_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
         .orderBy("priority")
+    )
+
+
+@register(
+    "events_salted_join_adaptive",
+    """
+WITH dim AS (
+    SELECT event_type, MIN(event_id) AS first_id FROM events GROUP BY 1
+)
+SELECT e.event_type AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(d.first_id) AS BIGINT) AS first_id,
+       CAST(SUM(e.event_id - d.first_id) AS BIGINT) AS sum_id_offset
+FROM events e JOIN dim d ON d.event_type = e.event_type
+GROUP BY e.event_type
+ORDER BY e.event_type
+""",
+    doc="closes the skew loop (round-11 verdict item 3): "
+    "operators/skew.adaptive_salted_join derives its salt factor from "
+    "skew_profile's rec_salt IN-PLAN — the heaviest key's recommended "
+    "salt rides a one-row broadcast into both join sides, so the salt "
+    "width adapts to the data with no driver hop and no hand-tuned "
+    "constant (the fixed-8 twin revenue_by_priority_salted keeps the "
+    "classic form).  events joins its per-type first-event dim on the "
+    "5-whale-key event_type — every key is hot, the canonical "
+    "salted-join shape; the replicated dim carries a merge hint "
+    "(small_hint — a hint on the raw dim would be swallowed by the "
+    "salt-broadcast cross join) because a "
+    "broadcastable 5-row dim would never need salting (the operator "
+    "targets dims too big to broadcast — replicas of a salted "
+    "broadcast side would DUPLICATE rows; the hint pins the "
+    "sort-merge plan the operator exists for, and the plan test pins "
+    "the salted exchange).  Oracle is the PLAIN join: the gate proves "
+    "the adaptive rewrite answer-identical, all measures integer-exact "
+    "(no float boundary can flip a row between engines)",
+    defer=True,
+    since=11,
+)
+def events_salted_join_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myrecommendsystem_spark.operators.skew import (
+        adaptive_salted_join,
+        skew_profile,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "event_id")
+    dim = ev.groupBy("event_type").agg(F.min("event_id").alias("first_id"))
+    profile = skew_profile(
+        ev.select("event_type"), ["event_type"], top_n=1, num_partitions=32
+    )
+    joined = adaptive_salted_join(
+        ev,
+        dim,
+        on=["event_type"],
+        num_partitions=32,
+        profile=profile,
+        small_hint="merge",
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.min("first_id").cast("bigint").alias("first_id"),
+            F.sum(F.col("event_id") - F.col("first_id"))
+            .cast("bigint")
+            .alias("sum_id_offset"),
+        )
+        .orderBy("event_type")
     )
 
 

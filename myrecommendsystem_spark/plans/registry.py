@@ -481,9 +481,74 @@ _DRIVER_WINDOW_R10 = [
     "product_score_trend",
 ]
 
+# Round-11 window == ``expected_driver_window(11)`` verbatim.  Tier 1:
+# the six ``since=10`` registrations (chunk dedup, video near-dup, the
+# two recall reports, key-skew profile, histogram-sketch quantiles) —
+# structurally excluded from their own round's window, all replayed
+# hash-green at sf0.01 locally in r10.  Tiers 2-4 are empty (no
+# rows-only registrations since r10, no stale-oracle or red-hash
+# rows).  Tier 5 pads with the 44 stalest hash-green re-checks (latest
+# green round ascending, registration order within a round): the
+# r5-green orders_benford_digits .. product_graph_triangles block,
+# then r6-green entries through revenue_by_priority_salted.
+_DRIVER_WINDOW_R11 = [
+    # -- tier 1: never driver-verified, oracle-gated (since=10 front) --
+    "dedup_lsh_recall_report",
+    "ann_recall_report",
+    "doc_chunk_dedup_docs",
+    "video_near_dup_pairs",
+    "events_key_skew_profile",
+    "events_value_quantiles_histsketch",
+    # -- tier 5 padding: stalest hash-green re-checks --
+    "orders_benford_digits",
+    "events_seasonality_profile",
+    "corpus_export_pipeline",
+    "recsys_popularity_eval",
+    "events_k_anonymity",
+    "doc_oov_rate",
+    "recsys_itemcf_eval",
+    "users_churn_labels",
+    "events_pit_training_set",
+    "recsys_beyond_accuracy",
+    "product_graph_triangles",
+    "events_session_metrics",
+    "doc_perplexity_report",
+    "orders_cohort_ltv",
+    "supplier_scorecard",
+    "events_forecast_backtest",
+    "orders_duplicate_suspects",
+    "events_power_users_pareto",
+    "doc_readability_report",
+    "parts_abc_classification",
+    "doc_langid_confusion",
+    "users_bot_signals",
+    "customer_segment_migration",
+    "users_growth_accounting",
+    "embedding_outlier_scores",
+    "doc_duplication_profile",
+    "events_error_pchart",
+    "parts_skyline",
+    "events_audience_overlap",
+    "orders_chi2_status_priority",
+    "product_graph_components",
+    "events_time_to_convert",
+    "events_late_arrivals",
+    "parts_entity_resolution",
+    "users_cumulative_reach",
+    "parts_price_band_join",
+    "events_rollup_two_level",
+    "events_dp_type_counts",
+    "events_anomalous_sequences",
+    "events_multitouch_attribution",
+    "orders_repurchase_survival",
+    "events_twap_daily",
+    "events_burst_scores",
+    "revenue_by_priority_salted",
+]
+
 # The window the driver verifies THIS round; tests pin invariants
 # against this alias so rotations touch one assignment.
-DRIVER_WINDOW = _DRIVER_WINDOW_R10
+DRIVER_WINDOW = _DRIVER_WINDOW_R11
 
 # Round 5 fronted the verification backlog (round-4 verdict item 1):
 # 47 oldest never-driver-verified oracle-gated queries in registration

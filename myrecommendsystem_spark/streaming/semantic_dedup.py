@@ -234,6 +234,7 @@ def run_semantic_dedup_stream(
     trigger: dict | None = None,
     bands_path: str | None = None,
     num_band_parts: int = 64,
+    compact_every: int | None = None,
 ):
     """Maintain the survivor table from a vector stream (vec_id,
     embedding): per micro-batch, gate against the CURRENT table, self-
@@ -278,9 +279,21 @@ def run_semantic_dedup_stream(
     against the CURRENT vector table before it gates anything.
     ``num_band_parts`` is a layout dial: raise it with corpus size so
     matched-partition bytes stay bounded (it only changes file layout,
-    never results); long-running streams compact the log offline with
+    never results); long-running streams compact the log with
     :func:`compact_band_log` (one batch_id subtree per trigger is the
-    classic many-small-files trade, not a correctness term)."""
+    classic many-small-files trade, not a correctness term).
+
+    ``compact_every=N`` (round-11 verdict item 4) schedules that
+    compaction INSIDE foreachBatch every N triggers — after the
+    batch's own append, where no concurrent trigger can interleave —
+    so a long-running stream holds at most N uncompacted batch_id
+    subtrees instead of one per trigger forever.  Crash window: a
+    replay of the compacting trigger re-appends its own batch_id
+    subtree next to the already-folded COMPACTED_EPOCH copy —
+    duplicate band rows are correctness-neutral (candidates are
+    distinct-collapsed and exact-cosine verified) and the NEXT
+    compaction folds them away (latest batch_id per vec_id wins).
+    ``None`` (default) keeps compaction fully offline/cron-owned."""
     from myrecommendsystem_spark.streaming.recommender import (
         BUCKET_COL,
         _fs_exists,
@@ -399,6 +412,8 @@ def run_semantic_dedup_stream(
             _append_bands(
                 spark, bands_b.join(dropped, "id", "left_anti"), batch_id
             )
+            if compact_every and (batch_id + 1) % compact_every == 0:
+                compact_band_log(spark, bands_path)
         finally:
             release_checkpoint(step_bands, fresh, matched)
 
@@ -443,8 +458,9 @@ def compact_band_log(
     old directory and rename — a crash between the steps leaves either
     the intact original or the intact compacted copy beside it, never a
     half-rewritten log.  OFFLINE means between triggers: run while the
-    stream is stopped (or from ``foreachBatch`` itself every N batches,
-    where no concurrent trigger can interleave).
+    stream is stopped, or from ``foreachBatch`` itself every N batches,
+    where no concurrent trigger can interleave —
+    ``run_semantic_dedup_stream(compact_every=N)`` wires exactly that.
 
     Returns ``{"rows_kept", "rows_dropped", "files_before",
     "files_after"}``.

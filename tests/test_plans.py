@@ -409,10 +409,10 @@ def test_driver_window_matches_encoded_composition_rule():
     artifacts of rounds < 8 exactly: never-verified gated, then
     never-verified rows-only, then stale-oracle re-checks, then red-hash
     re-checks (round-7 ADVICE tier), then the stalest hash-green
-    re-checks.  The derivation is pinned to round 10, so this stays
-    reproducible after the r10 artifact lands; the NEXT rotation bumps
+    re-checks.  The derivation is pinned to round 11, so this stays
+    reproducible after the r11 artifact lands; the NEXT rotation bumps
     the round number and re-derives."""
-    derived = registry.expected_driver_window(10, artifact_dir=str(REPO_ROOT))
+    derived = registry.expected_driver_window(11, artifact_dir=str(REPO_ROOT))
     assert registry.DRIVER_WINDOW == derived
 
 
@@ -442,10 +442,10 @@ def test_driver_window_derived_from_correctness_artifacts():
 
 
 def test_next_round_window_derivation_is_ready(tmp_path):
-    """Dry-run the r11 rotation before it happens: with a synthetic r10
+    """Dry-run the r12 rotation before it happens: with a synthetic r11
     artifact covering the committed window (hash rows for gated
-    members, rows-only rows for the rest), expected_driver_window(11)
-    must front exactly the round-10 registrations (``since=10`` — no
+    members, rows-only rows for the rest), expected_driver_window(12)
+    must front exactly the round-11 registrations (``since=11`` — no
     driver row can exist for them by construction), gated before
     rows-only, then pad with hash-green re-checks to exactly 50 unique
     real names.  If this breaks, next round's rotation breaks."""
@@ -463,18 +463,39 @@ def test_next_round_window_derivation_is_ready(tmp_path):
         )
         for name in registry.DRIVER_WINDOW
     }
-    (tmp_path / "CORRECTNESS_r10.json").write_text(json.dumps(fake))
-    win11 = registry.expected_driver_window(11, artifact_dir=str(tmp_path))
+    (tmp_path / "CORRECTNESS_r11.json").write_text(json.dumps(fake))
+    win12 = registry.expected_driver_window(12, artifact_dir=str(tmp_path))
     names = {s.name for s in registry.REGISTRY}
     expected_front = [
-        s.name for s in registry.REGISTRY if s.since == 10 and s.oracle is not None
-    ] + [s.name for s in registry.REGISTRY if s.since == 10 and s.oracle is None]
-    assert len(win11) == 50
-    assert len(set(win11)) == 50
-    assert set(win11) <= names
-    assert win11[: len(expected_front)] == expected_front
+        s.name for s in registry.REGISTRY if s.since == 11 and s.oracle is not None
+    ] + [s.name for s in registry.REGISTRY if s.since == 11 and s.oracle is None]
+    assert len(win12) == 50
+    assert len(set(win12)) == 50
+    assert set(win12) <= names
+    assert win12[: len(expected_front)] == expected_front
     # every padding entry is a genuine re-check with a hash-green row
-    assert all(n in names for n in win11[len(expected_front) :])
+    assert all(n in names for n in win12[len(expected_front) :])
+
+
+def test_coverage_md_gate_labels_match_registry():
+    """Round-11 verdict item 6: COVERAGE.md's ``(oracle)`` / ``(rows)``
+    gate labels drift when a query is upgraded rows-only → hash-gated
+    (dedup_minhash_pairs/_simhash_pairs sat stale since r6; the sweep
+    found five more).  Diff every label that names a registered query
+    against the registry's actual oracle status — prose stays honest or
+    CI says so."""
+    import re
+
+    text = (REPO_ROOT / "COVERAGE.md").read_text()
+    gated = {s.name: s.oracle is not None for s in registry.REGISTRY}
+    mismatched = [
+        (name, label)
+        for name, label in re.findall(
+            r"`([a-z0-9_]+)`\s*\((oracle|rows)[);:,\s]", text
+        )
+        if name in gated and (label == "oracle") != gated[name]
+    ]
+    assert not mismatched, mismatched
 
 
 def test_two_digit_round_artifacts_are_parsed(tmp_path):

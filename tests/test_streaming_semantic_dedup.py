@@ -347,3 +347,76 @@ def test_compact_band_log_folds_epochs_and_drops_stale(spark, tmp_path):
     )
     final = sorted(r.vec_id for r in spark.read.parquet(out_path).collect())
     assert final == [1, 3, 11, 22]
+
+
+def test_scheduled_compaction_bounds_uncompacted_subtrees(spark, tmp_path):
+    """Round-11 verdict item 4: ``compact_every=N`` runs
+    compact_band_log from foreachBatch every N triggers — a long stream
+    holds at most N uncompacted batch_id subtrees (plus the folded
+    COMPACTED_EPOCH) instead of one per trigger forever, and gating
+    results across a compaction boundary are identical to the
+    never-compacted stream (same survivors, same arrival tags)."""
+    import os
+
+    from myrecommendsystem_spark.streaming.semantic_dedup import (
+        COMPACTED_EPOCH,
+    )
+
+    batches = [
+        _BATCH1,  # batch 0 -> survivors {1, 3}
+        _BATCH2,  # batch 1 -> {11}; compaction fires (N=2)
+        # batch 2 straddles the boundary: 20 dups COMPACTED survivor 1
+        # (gated out), 30 is fresh
+        [
+            {"vec_id": 20, "embedding": _vec(0, eps_axis=5)},
+            {"vec_id": 30, "embedding": _vec(5)},
+        ],
+        # batch 3 -> compaction fires again, folding batch 2's subtree
+        [{"vec_id": 40, "embedding": _vec(6)}],
+    ]
+
+    def _run_all(root, compact_every):
+        src = root / "vectors_in"
+        src.mkdir()
+        out_path = str(root / "survivors")
+        ckpt = str(root / "ckpt")
+        subtree_counts = []
+        for i, rows in enumerate(batches):
+            with open(src / f"b{i}.json", "w") as f:
+                for r in rows:
+                    f.write(json.dumps(r) + "\n")
+            stream = spark.readStream.schema(_SCHEMA).json(str(src))
+            q = run_semantic_dedup_stream(
+                stream,
+                out_path,
+                ckpt,
+                trigger={"availableNow": True},
+                compact_every=compact_every,
+            )
+            q.awaitTermination(120)
+            subtree_counts.append(
+                sorted(
+                    int(d.split("=")[1])
+                    for d in os.listdir(out_path + "_bands")
+                    if d.startswith("batch_id")
+                )
+            )
+        surv = sorted(
+            (r.vec_id, r.arrived_batch)
+            for r in spark.read.parquet(out_path).collect()
+        )
+        return subtree_counts, surv
+
+    plain_dir, sched_dir = tmp_path / "plain", tmp_path / "sched"
+    plain_dir.mkdir(), sched_dir.mkdir()
+    _, surv_plain = _run_all(plain_dir, compact_every=None)
+    trees, surv_sched = _run_all(sched_dir, compact_every=2)
+    assert surv_sched == surv_plain  # gating unchanged by compaction
+    # after triggers 2 and 4 (batch ids 1, 3) the live subtrees fold
+    assert trees[1] == [COMPACTED_EPOCH]
+    assert trees[2] == [COMPACTED_EPOCH, 2]
+    assert trees[3] == [COMPACTED_EPOCH]
+    # the bound: never more than compact_every uncompacted subtrees
+    assert all(
+        sum(1 for b in t if b >= 0) <= 2 for t in trees
+    )

@@ -184,6 +184,121 @@ def test_fingerprint_adaptive_probe_picks_collapse_when_clone_heavy(spark):
         assert got == 0, forced
 
 
+def test_fingerprint_probe_memo_skips_probe(spark):
+    """Round-11 (verdict item 2): the adaptive probe's two scalar jobs
+    are memoizable per (caller key, bands) — the dedup_simhash_pairs
+    bench regression was pure probe tax on a corpus that never
+    collapses.  Pin the contract: (a) a keyed call records its decision
+    in the memo; (b) a later call with the same key follows the MEMO,
+    not a fresh probe — proven by poisoning the entry with the opposite
+    decision and watching the plan flip to the collapse shape the probe
+    itself would never pick here; (c) both calls stay output-identical
+    (the strategies are equivalent by construction, so a stale memo can
+    only change the plan, never the results)."""
+    from myrecommendsystem_spark.functions import caching
+
+    df = spark.range(200).select(F.col("id"), F.xxhash64("id").alias("fp"))
+    key = ("test_fingerprint_probe_memo", "unique-corpus")
+    dedup._PROBE_MEMO.pop((key, 8), None)
+    try:
+        first = sorted(
+            map(
+                tuple,
+                dedup.fingerprint_near_duplicates(
+                    df, max_hamming=2, probe_memo_key=key
+                ).collect(),
+            )
+        )
+        assert dedup._PROBE_MEMO[(key, 8)] is False  # (a) probe ran, direct
+        dedup._PROBE_MEMO[(key, 8)] = True  # poison: opposite decision
+        with caching.lazy_plans():
+            out = dedup.fingerprint_near_duplicates(
+                df, max_hamming=2, probe_memo_key=key
+            )
+            plan = out._jdf.queryExecution().analyzed().toString()
+        assert "least(" in plan, "memo hit must skip the probe"  # (b)
+        spark.catalog.clearCache()
+        second = sorted(
+            map(
+                tuple,
+                dedup.fingerprint_near_duplicates(
+                    df, max_hamming=2, probe_memo_key=key
+                ).collect(),
+            )
+        )
+        assert first == second  # (c)
+    finally:
+        dedup._PROBE_MEMO.pop((key, 8), None)
+        spark.catalog.clearCache()
+
+
+def test_winnowing_selection_semantics(spark):
+    """MOSS winnowing contract (round-11): (a) the guarantee — two docs
+    sharing a substring of length >= window + guarantee - 1 (16+8-1=23)
+    share at least one SELECTED fingerprint VALUE; (b) rightmost-min
+    tie-break — a constant doc's hashes are all equal, so every window
+    selects its RIGHTMOST position: selected positions are exactly
+    {guarantee-1 .. n_hashes-1} with one fp value; (c) density — the
+    winnowed set is a strict, much smaller subset of the rolling index;
+    (d) short docs (< window bytes) keep their single whole-text hash
+    at pos 0 — including the empty doc, whose whole-text hash is 0
+    (the rolling kernel's short-doc path never emits an empty
+    stream)."""
+    shared = "the quick brown fox jumps!"  # 26 chars >= 23
+    rows = [
+        (1, "A" * 40 + shared + "B" * 40),
+        (2, "C" * 37 + shared + "D" * 29),
+        (3, "unrelated content entirely different here"),
+        (4, "Z" * 64),  # constant doc -> all hashes equal
+        (5, "tiny"),  # < 16 bytes -> one whole-text hash
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = dedup.winnowing_fingerprints(df).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add((r.pos, r.fp))
+    vals = {d: {fp for _, fp in s} for d, s in by_doc.items()}
+    assert vals[1] & vals[2], "guarantee: shared 23+ byte run must match"
+    assert not (vals[1] & vals[3]) and not (vals[2] & vals[3])
+    # (b) constant doc: 64-16+1 = 49 hashes, windows select rightmost
+    pos4 = sorted(p for p, _ in by_doc[4])
+    assert pos4 == list(range(7, 49))
+    assert len(vals[4]) == 1
+    # (c) winnowed density well below the full rolling index on natural
+    # text (constant runs like docs 1/4 legitimately select one VALUE at
+    # many rightmost positions — their fp-value count is tiny instead)
+    n_hashes_3 = len(rows[2][1]) - 16 + 1
+    assert len(by_doc[3]) < n_hashes_3 / 2
+    # (d) short + empty docs: one whole-text hash each, selected at 0
+    assert by_doc[5] == {(0, next(iter(vals[5])))}
+    assert by_doc[6] == {(0, 0)}
+
+
+def test_winnowing_overlap_pairs_position_independent(spark):
+    """Overlap pairing matches on fingerprint VALUES, not positions —
+    a moved paragraph still pairs; the doc-frequency cap drops
+    boilerplate fingerprints before the self-join."""
+    para = "shared paragraph of meaningful length here."
+    rows = [
+        (1, para + " unique tail one two three four"),
+        (2, "completely different head material " + para),
+        (3, "nothing in common with the others at all!!"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in dedup.winnowing_overlap_pairs(df, min_shared=2).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert not any(3 in p for p in pairs)
+    # cap: with max_doc_freq=1 every shared fp is dropped -> no pairs
+    assert (
+        dedup.winnowing_overlap_pairs(df, min_shared=1, max_doc_freq=1).count()
+        == 0
+    )
+
+
 def test_simhash_near_dups(docs):
     pairs = dedup.simhash_near_duplicates(docs, max_hamming=6)
     found = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
