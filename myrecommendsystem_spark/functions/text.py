@@ -403,6 +403,85 @@ def rolling_fingerprints(text: Column, window: int = 16) -> Column:
     return _fp(text)
 
 
+def winnowed_fingerprints(
+    text: Column, window: int = 16, guarantee: int = 8
+) -> Column:
+    """Packed MOSS winnowing selections per document (array<long>):
+    from the RK rolling hashes, the minimum of every run of
+    ``guarantee`` consecutive window hashes, rightmost on ties —
+    encoded h·2³¹ + (2³¹−1−pos) so one int64 ``min`` decides both the
+    hash comparison and the tie-break.  Duplicates across overlapping
+    runs are RETAINED — dedupe with ``array_distinct`` downstream
+    (JVM-side, cheap) rather than per-doc ``np.unique`` here.
+
+    Fused into the :func:`rolling_fingerprints` kernel pass (same
+    segmented whole-batch matmul, same short-doc rare path) because the
+    expression-level formulation — nested transforms slicing a lambda
+    variable — evaluates HOFs interpreted per window: measured ~8 s at
+    sf0.1 vs ~2 s end-to-end with this kernel, on identical output.  The
+    winnowing itself is one ``sliding_window_view(...).min(axis=1)``
+    per document — O(n·guarantee) vectorized, ~4 small numpy calls per
+    doc on top of the already-fused hashing.  Docs shorter than
+    ``window`` (including empty) select their single whole-text hash at
+    pos 0.
+    """
+    powers = np.array(
+        [pow(_RK_BASE, window - 1 - j, _RK_MOD) for j in range(window)],
+        dtype=np.int64,
+    )
+    seg = 1 << 17
+    shift = np.int64(1 << 31)
+    maxp = np.int64((1 << 31) - 1)
+
+    @pandas_udf("array<long>")
+    def _wfp(texts: pd.Series) -> pd.Series:
+        bufs = [(t or "").encode("utf-8") for t in texts]
+        lens = np.fromiter(
+            (len(b) for b in bufs), dtype=np.int64, count=len(bufs)
+        )
+        data = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+        hashes = None
+        if data.size >= window:
+            n_pos = data.size - window + 1
+            hashes = np.empty(n_pos, dtype=np.int64)
+            for s in range(0, n_pos, seg):
+                e = min(s + seg, n_pos)
+                w = np.lib.stride_tricks.sliding_window_view(
+                    data[s : e + window - 1], window
+                )
+                hashes[s:e] = (
+                    w.astype(np.int64) * powers % _RK_MOD
+                ).sum(axis=1) % _RK_MOD
+        offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        out = []
+        for off, n, buf in zip(offs, lens, bufs):
+            if n < window:  # rare path: one whole-text hash, always kept
+                p = np.array(
+                    [
+                        pow(_RK_BASE, int(n) - 1 - j, _RK_MOD)
+                        for j in range(int(n))
+                    ],
+                    dtype=np.int64,
+                )
+                d = np.frombuffer(buf, dtype=np.uint8)
+                h = int((d.astype(np.int64) * p % _RK_MOD).sum() % _RK_MOD)
+                out.append(np.array([h * shift + maxp], dtype=np.int64))
+                continue
+            hv = hashes[off : off + n - window + 1]
+            enc = hv * shift + (maxp - np.arange(hv.size, dtype=np.int64))
+            if hv.size < guarantee:  # one whole-sequence window
+                out.append(enc.min(keepdims=True))
+            else:
+                out.append(
+                    np.lib.stride_tricks.sliding_window_view(
+                        enc, guarantee
+                    ).min(axis=1)
+                )
+        return pd.Series(out)
+
+    return _wfp(text)
+
+
 def minhash_band_hashes(
     text: Column, k: int = 64, n: int = 3, bands: int = 16
 ) -> Column:

@@ -806,39 +806,26 @@ def winnowing_fingerprints(
     plagiarism/attribution-style overlap detection at a fraction of
     the full rolling index's size.
 
-    Scale shape: selection is PER-DOCUMENT LOCAL, so it runs entirely
-    in expressions over the kernel's hash array — no shuffle, no window
-    function, the corpus is scanned once (the only Python is the
-    existing segmented Arrow rolling-hash kernel).  The rightmost-min
-    tie-break packs (hash, position) into one BIGINT — h·2³¹ +
-    (2³¹−1−pos) — so array_min picks min hash then max position in
-    pure integer arithmetic both engines can replay.  The per-window
-    slice is O(guarantee) on a LAMBDA VARIABLE (the nested-transform
-    share trick — slicing a rebuilt array per element would be the
-    O(L²) HOF-CSE trap named in ml/quality.bigram_slots).  Documents
-    shorter than ``window`` bytes (including empty ones) hash once via
-    the kernel's short-doc path and that hash is always selected; a
-    genuinely empty hash stream (NULL text) selects nothing
-    (NULL-filtered).
+    Scale shape: selection is PER-DOCUMENT LOCAL — no shuffle, no
+    window function, the corpus is scanned once, and the selection is
+    FUSED into the rolling-hash Arrow kernel
+    (``functions/text.winnowed_fingerprints``: one vectorized
+    sliding-min per doc on top of the already-fused hashing — the
+    expression-level nested-transform formulation evaluated HOFs
+    interpreted per window, measured ~8 s vs ~2 s at sf0.1, same
+    output).  The rightmost-min tie-break packs (hash, position) into
+    one BIGINT — h·2³¹ + (2³¹−1−pos) — so a single int64 ``min``
+    picks min hash then max position in pure integer arithmetic both
+    engines replay exactly.  Documents shorter than ``window`` bytes
+    (including empty ones) hash once via the kernel's short-doc path
+    and that hash is always selected; a genuinely empty hash stream
+    (NULL-decoded) selects nothing (NULL-filtered).
     """
-    enc_arr = F.transform(
-        TXT.rolling_fingerprints(F.col(text_col), window=window),
-        lambda h, i: h * F.lit(_WINNOW_SHIFT) + (F.lit(_WINNOW_MAXP) - i),
-    )
-    winnowed = F.element_at(
-        F.transform(
-            F.array(enc_arr),
-            lambda ea: F.transform(
-                F.sequence(
-                    F.lit(0), F.greatest(F.size(ea) - guarantee, F.lit(0))
-                ),
-                lambda i: F.array_min(F.slice(ea, i + 1, guarantee)),
-            ),
-        ),
-        1,
+    winnowed = TXT.winnowed_fingerprints(
+        F.col(text_col), window=window, guarantee=guarantee
     )
     return (
-        docs.select(
+        widen_for_kernel(docs).select(
             F.col(id_col).alias("doc_id"),
             F.explode(F.array_distinct(winnowed)).alias("v"),
         )

@@ -679,14 +679,16 @@ ORDER BY doc_id, pos
     "2/9 of the full rolling index with the guarantee that any "
     "substring match ≥ 16+8−1 bytes shares a selected fingerprint "
     "(operators/dedup.winnowing_fingerprints).  Selection is per-doc "
-    "LOCAL: pure expressions over the kernel's hash array — no "
-    "shuffle, no window function; the rightmost-min tie-break packs "
-    "(hash, pos) into one BIGINT so array_min decides it in integer "
-    "arithmetic both engines replay exactly.  The per-window slice "
-    "reads a nested-lambda VARIABLE (the HOF-CSE trap dodge).  Oracle "
-    "reuses the doc_rolling_fingerprints arithmetic verbatim and "
-    "replays packing, window minima, and decode; same ASCII ≥ 16-byte "
-    "corpus assumption, short/odd docs pinned in tests",
+    "LOCAL — no shuffle, no window function — and FUSED into the "
+    "rolling-hash Arrow kernel (one vectorized sliding-min per doc; "
+    "the expression-level nested-transform form evaluated HOFs "
+    "interpreted per window, ~4× slower on identical output).  The "
+    "rightmost-min tie-break packs (hash, pos) into one BIGINT so a "
+    "single int64 min decides it in integer arithmetic both engines "
+    "replay exactly.  Oracle reuses the doc_rolling_fingerprints "
+    "arithmetic verbatim and replays packing, window minima, and "
+    "decode; same ASCII ≥ 16-byte corpus assumption, short/odd docs "
+    "pinned in tests",
     defer=True,
     since=11,
 )

@@ -263,6 +263,33 @@ def test_video_near_dup_scales_subquadratically(spark):
     )
 
 
+def test_winnowing_overlap_scales_subquadratically(spark):
+    """Round-11: the full winnowing pipeline (per-doc LOCAL selection —
+    no shuffle — then the winnowed inverted-index join with the
+    doc-frequency cap) on the pseudo-random corpus at 4x/16x.  The
+    selection is map-only by construction; the join side's candidate
+    volume is Σdf² over kept fingerprints, bounded by
+    max_doc_freq·Σdf, so cost must track the winnowed index size
+    (≈ 2/(guarantee+1) of the hash volume), never corpus pairs."""
+    from myrecommendsystem_spark.operators import dedup as _dedup
+
+    times = {}
+    for mult in (4, 16):
+        d = _corpus(spark, BASE_DOCS * mult)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _dedup.winnowing_overlap_pairs(d).count()
+            best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        times[mult] = best
+    exponent = math.log(times[16] / times[4]) / math.log(4)
+    assert exponent < 1.5, (
+        f"winnowing overlap: {times[4]:.1f}s @4x -> {times[16]:.1f}s @16x "
+        f"(exponent {exponent:.2f})"
+    )
+
+
 def test_recall_report_scales_linearly_with_fixed_probe(spark):
     """dedup_lsh_recall_report's scale contract: with the probe sample
     FIXED (500 docs), cost grows ~linearly with the corpus — the
