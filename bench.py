@@ -254,6 +254,9 @@ HEADLINE: tuple[str, ...] = (
     "events_salted_join_adaptive",
     "doc_winnowing_fingerprints",
     "doc_winnowing_overlap",
+    # round-11: the z-order key gate (the layout module existed since
+    # r4 with tests but no driver-verified entry)
+    "events_zorder_keys",
     # rag_ingest_pipeline intentionally NOT in the headline: index-build
     # dominated (~7 s at any sf — amortized once in production); its
     # family is represented by ann_topk_ivfpq(+_search).  The registry

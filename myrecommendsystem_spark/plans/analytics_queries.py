@@ -6712,6 +6712,66 @@ def events_salted_join_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ZORDER_INTERLEAVE_SQL = " | ".join(
+    f"(((a >> {i}) & 1) << {2 * i}) | (((b >> {i}) & 1) << {2 * i + 1})"
+    for i in range(16)
+)
+
+
+@register(
+    "events_zorder_keys",
+    f"""
+WITH s AS (
+    SELECT MIN(CAST(user_id AS DOUBLE)) AS mn0,
+           MAX(CAST(user_id AS DOUBLE)) AS mx0,
+           MIN(value) AS mn1, MAX(value) AS mx1
+    FROM events
+),
+sc AS (
+    SELECT e.event_id,
+           LEAST(65535, CAST(FLOOR(
+               (CAST(e.user_id AS DOUBLE) - s.mn0)
+               / (CASE WHEN s.mx0 > s.mn0 THEN s.mx0 - s.mn0 ELSE 1.0 END)
+               * 65536) AS BIGINT)) AS a,
+           LEAST(65535, CAST(FLOOR(
+               (e.value - s.mn1)
+               / (CASE WHEN s.mx1 > s.mn1 THEN s.mx1 - s.mn1 ELSE 1.0 END)
+               * 65536) AS BIGINT)) AS b
+    FROM events e CROSS JOIN s
+)
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST({_ZORDER_INTERLEAVE_SQL} AS BIGINT) AS z
+FROM sc
+ORDER BY z, event_id
+""",
+    doc="Z-order (Morton) clustering keys over (user_id, value) — the "
+    "data-layout half of scan pruning at 100 TB "
+    "(operators/zorder.zorder_value, the Delta/Iceberg OPTIMIZE "
+    "ZORDER move built from plain Catalyst bit expressions): each "
+    "column normalizes to 2^16 buckets between its observed min/max "
+    "(a one-row broadcast, never a driver collect) and the bucket "
+    "bits interleave into one BIGINT; sorting files by z gives every "
+    "file a compact hyper-rectangle so parquet min/max stats prune on "
+    "BOTH columns (write path + pruning effect pinned in "
+    "tests/test_zorder.py; this gate pins the KEY arithmetic "
+    "cross-engine — scaling is IEEE-deterministic double math in "
+    "identical op order, interleave is integer bit ops).  The module "
+    "existed since round 4 with tests but no driver-verified gate — "
+    "this closes that audit hole",
+    defer=True,
+    since=11,
+)
+def events_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myrecommendsystem_spark.operators import zorder
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    return (
+        zorder.zorder_value(ev, ["user_id", "value"], bits=16, out_col="z")
+        .select(F.col("event_id").cast("bigint").alias("event_id"), "z")
+        .orderBy("z", "event_id")
+    )
+
+
 @register(
     "revenue_share_of_parent",
     f"""
