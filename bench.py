@@ -257,11 +257,51 @@ HEADLINE: tuple[str, ...] = (
     # round-11: the z-order key gate (the layout module existed since
     # r4 with tests but no driver-verified entry)
     "events_zorder_keys",
+    # round-12: the groupBy half of the skew loop, cross-corpus
+    # winnowing (the new-vs-ref convention every other dedup family
+    # has), and the sign-bit LSH acceptance gate (completing the
+    # recall-report matrix: MinHash/IVF/hyperplane) — benched on
+    # registration, r13 window front
+    "events_salted_agg_adaptive",
+    "doc_winnowing_cross_corpus",
+    "embedding_lsh_recall_report",
     # rag_ingest_pipeline intentionally NOT in the headline: index-build
     # dominated (~7 s at any sf — amortized once in production); its
     # family is represented by ann_topk_ivfpq(+_search).  The registry
     # sweep still covers it.
 )
+
+
+# Contention bar for the file-of-record guard (and the repeat
+# escalation below): a sweep whose own calibration probe lands this far
+# above the committed quiet-host pin is measuring the hypervisor, not
+# the code.
+CONTENTION_BAR = 1.25
+
+
+def detail_record_paths(
+    here: str, calib_ratio: float, ref_calib: float | None
+) -> tuple[str, str]:
+    """Where this sweep's detail may be written: ``(record_path,
+    suffix)`` — round-11 verdict item 1.  A contended capture (own
+    ``calib_ratio`` above :data:`CONTENTION_BAR` vs a committed
+    quiet-host pin) has now clobbered the committed file-of-record
+    twice (r10 close, r11 driver run) — once all the way into a commit
+    — silently laxing the re-run pass for later sweeps.  So the guard
+    is structural: such a run writes ``BENCH_DETAIL_contended.json``
+    (and a ``_contended``-suffixed versioned copy) and leaves the
+    committed record untouched.  ``MRS_BENCH_FORCE_RECORD=1``
+    overrides for deliberately re-establishing a record; a run with no
+    committed pin (fresh checkout, sf mismatch) establishes one.
+    """
+    contended = (
+        ref_calib is not None
+        and calib_ratio > CONTENTION_BAR
+        and not os.environ.get("MRS_BENCH_FORCE_RECORD")
+    )
+    if contended:
+        return os.path.join(here, "BENCH_DETAIL_contended.json"), "_contended"
+    return os.path.join(here, "BENCH_DETAIL.json"), ""
 
 
 def _calibrate(spark) -> float:
@@ -338,16 +378,37 @@ def main() -> None:
     calib_ratio = round(calib / ref_calib, 3) if ref_calib else 1.0
 
     repeat = max(1, int(os.environ.get("MRS_BENCH_REPEAT", "2")))
-    if calib_ratio > 1.25:
+    if calib_ratio > CONTENTION_BAR:
         # sustained steal at sweep start: best-of-2 is not enough to
         # dodge multi-second steal windows — escalate everything
         repeat = max(repeat, 3)
+
+    # Per-cycle split for the structural multi-fold entries (round-11
+    # verdict item 7: embedding_incremental_survivors is three ingest
+    # cycles by construction — its ~7 s headline row read as one slow
+    # query and regression attribution couldn't land on the cycle that
+    # moved).  The fold records its per-cycle wall-clock into
+    # semantic_dedup.LAST_CYCLE_SECONDS; the capture keeps the split
+    # from each entry's FASTEST run (same best-of-N policy as the
+    # headline number) and lands in the detail file only — the headline
+    # and re-run reference are unchanged.
+    from myrecommendsystem_spark.streaming import semantic_dedup as _sd
+
+    _CYCLE_SOURCES = {
+        "embedding_incremental_survivors": lambda: list(_sd.LAST_CYCLE_SECONDS)
+    }
+    cycle_rec: dict[str, tuple[float, list[float]]] = {}
 
     def _time_once(name: str) -> float:
         t0 = time.perf_counter()
         df = all_q[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
-        return time.perf_counter() - t0
+        elapsed = time.perf_counter() - t0
+        probe = _CYCLE_SOURCES.get(name)
+        cyc = probe() if probe else None
+        if cyc and (name not in cycle_rec or elapsed < cycle_rec[name][0]):
+            cycle_rec[name] = (elapsed, cyc)
+        return elapsed
 
     timings: dict[str, float] = {}
     for name in names:
@@ -418,7 +479,12 @@ def main() -> None:
         "calib_ratio": calib_ratio,
         "reran": reran,
     }
-    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+    if cycle_rec:
+        detail["cycles"] = {
+            n: [round(s, 3) for s in cyc] for n, (_, cyc) in cycle_rec.items()
+        }
+    record_path, suffix = detail_record_paths(here, calib_ratio, ref_calib)
+    with open(record_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
     # Versioned copy (round-5 verdict item 5): BENCH_DETAIL.json is
     # overwritten each run, so per-query round-over-round diffs needed
@@ -436,7 +502,8 @@ def main() -> None:
                 if (m := re.search(r"BENCH_r(\d+)\.json$", p))
             ]
             rnd = str(max(recorded, default=0) + 1)
-        with open(os.path.join(here, f"BENCH_DETAIL_r{int(rnd):02d}.json"), "w") as f:
+        versioned = os.path.join(here, f"BENCH_DETAIL_r{int(rnd):02d}{suffix}.json")
+        with open(versioned, "w") as f:
             json.dump(detail, f, indent=1, sort_keys=True)
     except OSError:
         pass  # read-only checkout: the unversioned detail already printed

@@ -422,8 +422,12 @@ def winnowed_fingerprints(
     winnowing itself is one ``sliding_window_view(...).min(axis=1)``
     per document — O(n·guarantee) vectorized, ~4 small numpy calls per
     doc on top of the already-fused hashing.  Docs shorter than
-    ``window`` (including empty) select their single whole-text hash at
-    pos 0.
+    ``window`` (including empty STRINGS) select their single whole-text
+    hash at pos 0; NULL text selects NOTHING — an empty array, so
+    explode() consumers emit no rows for NULL docs, exactly like the
+    SQL oracle's shingle expansion (round-11 ADVICE: the old None→""
+    coercion emitted the empty-text hash for NULL, a row the oracle
+    never produces).
     """
     powers = np.array(
         [pow(_RK_BASE, window - 1 - j, _RK_MOD) for j in range(window)],
@@ -435,6 +439,7 @@ def winnowed_fingerprints(
 
     @pandas_udf("array<long>")
     def _wfp(texts: pd.Series) -> pd.Series:
+        nulls = texts.isna().to_numpy()
         bufs = [(t or "").encode("utf-8") for t in texts]
         lens = np.fromiter(
             (len(b) for b in bufs), dtype=np.int64, count=len(bufs)
@@ -454,7 +459,10 @@ def winnowed_fingerprints(
                 ).sum(axis=1) % _RK_MOD
         offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
         out = []
-        for off, n, buf in zip(offs, lens, bufs):
+        for off, n, buf, isnull in zip(offs, lens, bufs, nulls):
+            if isnull:  # NULL text: no fingerprints (oracle parity)
+                out.append(np.empty(0, dtype=np.int64))
+                continue
             if n < window:  # rare path: one whole-text hash, always kept
                 p = np.array(
                     [

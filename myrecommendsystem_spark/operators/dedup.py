@@ -817,9 +817,12 @@ def winnowing_fingerprints(
     one BIGINT — h·2³¹ + (2³¹−1−pos) — so a single int64 ``min``
     picks min hash then max position in pure integer arithmetic both
     engines replay exactly.  Documents shorter than ``window`` bytes
-    (including empty ones) hash once via the kernel's short-doc path
-    and that hash is always selected; a genuinely empty hash stream
-    (NULL-decoded) selects nothing (NULL-filtered).
+    (including empty STRINGS) hash once via the kernel's short-doc path
+    and that hash is always selected; NULL text yields an EMPTY
+    selection array from the kernel, so ``explode`` drops the doc
+    entirely — matching the SQL oracle, whose shingle expansion emits
+    no rows for NULL (round-11 ADVICE: the old None→"" coercion
+    emitted the empty-text hash for NULL docs).
     """
     winnowed = TXT.winnowed_fingerprints(
         F.col(text_col), window=window, guarantee=guarantee
@@ -829,7 +832,6 @@ def winnowing_fingerprints(
             F.col(id_col).alias("doc_id"),
             F.explode(F.array_distinct(winnowed)).alias("v"),
         )
-        .filter(F.col("v").isNotNull())
         .select(
             "doc_id",
             (F.lit(_WINNOW_MAXP) - F.col("v") % F.lit(_WINNOW_SHIFT))
@@ -880,6 +882,62 @@ def winnowing_overlap_pairs(
         a.join(b, "fp")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def winnowing_cross_corpus_pairs(
+    new_docs: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 16,
+    guarantee: int = 8,
+    min_shared: int = 2,
+    max_doc_freq: int = 100,
+) -> DataFrame:
+    """Substring-overlap matches BETWEEN corpora →
+    (new_id, ref_id, n_shared): new docs sharing ≥ ``min_shared``
+    winnowed fingerprint VALUES with a held-corpus doc — the
+    attribution/plagiarism-style ingest gate (MOSS overlap applied
+    cross-corpus, the convention every other dedup family already has:
+    cf. :func:`minhash_cross_corpus_pairs`,
+    ``corpus_quality.cross_corpus_dedup``).
+
+    Shape: each side is winnowed independently (per-doc-local Arrow
+    selection, no shuffle); the inverted-index join keys NEW against
+    REFERENCE on fp — never a self-join of the union, so candidate
+    volume is |new ∩ ref fingerprints|, not (|new|+|ref|)².  The
+    ``max_doc_freq`` boilerplate cap applies to the REFERENCE side
+    only (the held corpus carries the boilerplate; an uncapped new
+    batch can't inflate Σdf² because each new fp row joins ≤
+    ``max_doc_freq`` ref rows — the bound is max_doc_freq·|new fps|).
+    Shuffles: one on fp per side (distinct), the ref-frequency window
+    reusing the ref exchange, one on the pair key.
+    """
+    from pyspark.sql.window import Window
+
+    new_fps = (
+        winnowing_fingerprints(new_docs, id_col, text_col, window, guarantee)
+        .select(F.col("doc_id").alias("new_id"), "fp")
+        .distinct()
+    )
+    ref_fps = (
+        winnowing_fingerprints(reference, id_col, text_col, window, guarantee)
+        .select(F.col("doc_id").alias("ref_id"), "fp")
+        .distinct()
+    )
+    ref_kept = (
+        ref_fps.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+        )
+        .filter(F.col("df") <= max_doc_freq)
+        .select("fp", "ref_id")
+    )
+    return (
+        new_fps.join(ref_kept, "fp")
+        .groupBy("new_id", "ref_id")
         .agg(F.count(F.lit(1)).cast("int").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )

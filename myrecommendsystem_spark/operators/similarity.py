@@ -504,6 +504,100 @@ def hp_pairs_from_prepared(
     )
 
 
+def hyperplane_recall_report(
+    df: DataFrame,
+    probe_max_id: int = 20,
+    n_bits: int = 16,
+    band_bits: int = 8,
+    max_bucket: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "hp",
+) -> DataFrame:
+    """Sign-bit LSH S-curve measurement: per exact-cosine decile band,
+    how many true pairs exist and how many the banded candidate stage
+    caught — the acceptance gate the hyperplane family lacked while
+    MinHash had ``minhash_recall_report`` and IVF had
+    ``ann_recall_report`` (round-11 verdict item 3).
+
+    Returns (cosband, n_true, n_caught): ``cosband`` =
+    ⌊10·round(cos, 4)⌋ over the exact cosine (band 3 ≈ cos ∈
+    [0.3, 0.4); negative bands are the far rejection side), ``n_true``
+    = probe pairs in the band, ``n_caught`` = those the capped
+    (band_idx, band_val) candidate stage emitted.  For 16 bits in two
+    8-bit bands the analytic curve is 1−(1−(1−θ/π)⁸)² with θ =
+    arccos(cos) — low bands must show n_caught ≈ 0 (the banding
+    doesn't flood the verify stage), high bands → 1.
+
+    Scale shape: exact ground truth is the quadratic term, so it is
+    bounded to a PROBE sample (ids < ``probe_max_id``) — the probe
+    side broadcasts into one linear pass over the corpus (the
+    brute_force_topk venue; the corpus never shuffles) — while the
+    candidate side runs the production signing/banding/cap path over
+    the full corpus unchanged.  Truth pairs are (probe, higher id):
+    every such pair's smaller id is a probe, matching the candidate
+    slice ``id_a < probe_max_id`` exactly (the minhash report's
+    convention).
+    """
+    out_schema = "cosband int, n_true bigint, n_caught bigint"
+    prepared = _hp_prepare(df, n_bits, band_bits, id_col, vec_col, salt)
+    if prepared is None:
+        return _empty_frame(df, out_schema)
+    base, bands = prepared
+    w = Window.partitionBy("band_idx", "band_val")
+    ok = bands.withColumn("bucket_n", F.count(F.lit(1)).over(w)).filter(
+        F.col("bucket_n") <= max_bucket
+    )
+    a, b = ok.alias("a"), ok.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+        .filter(F.col("id_a") < probe_max_id)
+    )
+    normed = base.select(
+        "id", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm")
+    )
+    pe = normed.filter(F.col("id") < probe_max_id).select(
+        F.col("id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    all_v = normed.select(
+        F.col("id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    # ⌊10·round(cos,4)⌋: the 4-digit round-stable cosine is already
+    # replayed bitwise by the hp_pairs oracle convention, and ×10/floor
+    # are single IEEE ops written identically in both engines — the
+    # integer-div trick isn't available (no integer ratio exists for a
+    # cosine), so op-order identity is the cross-engine contract here.
+    cosband = F.floor(
+        round_stable(
+            _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4
+        )
+        * 10
+    ).cast("int")
+    truth = (
+        all_v.join(F.broadcast(pe), F.col("id_b") > F.col("id_a"))
+        .select("id_a", "id_b", cosband.alias("cosband"))
+    )
+    return (
+        truth.join(cand.withColumn("m", F.lit(1)), ["id_a", "id_b"], "left")
+        .groupBy("cosband")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_true"),
+            F.coalesce(F.sum("m"), F.lit(0)).cast("long").alias("n_caught"),
+        )
+    )
+
+
 def hyperplane_lsh_cross_pairs(
     new_df: DataFrame,
     ref_df: DataFrame,

@@ -5,17 +5,68 @@ most hot keys at runtime, but it only works for sort-merge joins and only
 when statistics expose the skew.  The classic manual remedy — salt the hot
 side, replicate the small side — stays useful for the 100 TB cases AQE
 misses (skewed broadcast-probe misses, stateful streaming joins).  The
-salt here is DETERMINISTIC (hash of the whole row modulo the factor), so
-results are reproducible and no ``rand()`` breaks retries/speculation.
+salt here is DETERMINISTIC (hash of the whole row + the partition-local
+row ordinal, modulo the factor — see :func:`_salt_col` for why the
+ordinal matters on duplicate-heavy inputs), so results are reproducible
+and no ``rand()`` breaks retries/speculation.
 """
 
 from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 _SALT = "__salt"
+
+# Join types where replicating the small side per salt value is
+# answer-preserving.  right/full outer are NOT: an unmatched small-side
+# row exists once per replica, so the explode would emit salt_n
+# null-extended copies instead of one (round-11 ADVICE).  Semi/anti on
+# the skewed side are safe — every salt value of every small-side key
+# exists in the replicated relation, so membership per (key, salt) is
+# membership per key.
+_SALTABLE_HOW = {
+    "inner",
+    "cross",
+    "left",
+    "leftouter",
+    "left_outer",
+    "semi",
+    "leftsemi",
+    "left_semi",
+    "anti",
+    "leftanti",
+    "left_anti",
+}
+
+
+def _check_saltable_how(how: str) -> None:
+    if how.lower().replace(" ", "") not in _SALTABLE_HOW:
+        raise ValueError(
+            f"salted joins do not support how={how!r}: the small side is "
+            "replicated once per salt value, so right/full outer joins "
+            "would emit salt_factor null-extended rows for every "
+            "unmatched small-side row.  Supported: inner, cross, "
+            "left[_outer], [left_]semi, [left_]anti."
+        )
+
+
+def _salt_col(cols: Sequence[Column], salt_n: Column) -> Column:
+    """Deterministic salt in ``[0, salt_n)`` that levels even FULL-ROW
+    DUPLICATES (round-11 verdict: a whale key whose rows are literal
+    copies — common in event logs — hashes every copy to one salt if
+    the salt is a pure row hash, landing the whale back on a single
+    reducer).  ``monotonically_increasing_id()`` (partition ordinal in
+    the high bits, row ordinal in the low bits) is mixed into the row
+    hash, so identical rows in one partition fan out across salts and
+    the levelling guarantee survives duplicate-heavy inputs.  Still
+    deterministic under task retry/speculation: a recomputed partition
+    replays the same ordinals, unlike ``rand()``.  The salt only ROUTES
+    rows — every salt value joins the same replicated small side — so
+    results never depend on its value.
+    """
+    return F.pmod(F.xxhash64(*cols, F.monotonically_increasing_id()), salt_n)
 
 
 def salted_join(
@@ -32,18 +83,28 @@ def salted_join(
     becomes (join keys…, salt) so one hot key spreads over
     ``salt_factor`` reducers instead of melting one.  Replication
     multiplies the small side — keep it for dimension-sized relations.
+    ``how`` must keep the replicated side on the non-preserved flank:
+    right/full outer joins raise (see :data:`_SALTABLE_HOW`).
     """
     if salt_factor < 1:
         raise ValueError(f"salt_factor must be >= 1, got {salt_factor}")
+    _check_saltable_how(how)
     salted = skewed.withColumn(
         _SALT,
-        F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(salt_factor)),
+        _salt_col([F.col(c) for c in skewed.columns], F.lit(salt_factor)),
     )
     replicated = small.withColumn(
         _SALT,
         F.explode(F.sequence(F.lit(0), F.lit(salt_factor - 1)).cast("array<bigint>")),
     )
     return salted.join(replicated, [*on, _SALT], how).drop(_SALT)
+
+
+def _profile_salt_n(profile: DataFrame) -> DataFrame:
+    """One-row relation ``(salt_n)`` from a :func:`skew_profile`: the
+    heaviest key's ``rec_salt``, floored at 1 so a uniform corpus
+    degenerates to the unsalted plan shape."""
+    return profile.agg(F.greatest(F.max("rec_salt"), F.lit(1)).alias("salt_n"))
 
 
 def adaptive_salted_join(
@@ -72,9 +133,12 @@ def adaptive_salted_join(
     num_partitions)`` — one map-side-combinable count shuffle over the
     join keys, cheap relative to the join it protects.  Pass a
     precomputed/persisted profile to reuse a diagnostic you already ran.
-    Answer-identical to the plain join by construction (the
-    ``revenue_by_priority_salted`` equivalence gate covers the fixed-
-    factor core; ``events_salted_join_adaptive`` gates this wrapper).
+    Answer-identical to the plain join by construction FOR the
+    supported ``how`` values (the ``revenue_by_priority_salted``
+    equivalence gate covers the fixed-factor core;
+    ``events_salted_join_adaptive`` gates this wrapper).  right/full
+    outer joins raise — replication would multiply unmatched
+    small-side rows (round-11 ADVICE; see :data:`_SALTABLE_HOW`).
 
     ``small_hint`` (e.g. ``"merge"``) attaches a join-strategy hint to
     the REPLICATED side immediately before the final join — a hint on
@@ -86,19 +150,18 @@ def adaptive_salted_join(
     """
     if num_partitions < 1:
         raise ValueError(f"num_partitions must be >= 1, got {num_partitions}")
+    _check_saltable_how(how)
     if profile is None:
         profile = skew_profile(
             skewed.select(*on), on, top_n=1, num_partitions=num_partitions
         )
-    salt_n = profile.agg(
-        F.greatest(F.max("rec_salt"), F.lit(1)).alias("salt_n")
-    )
+    salt_n = _profile_salt_n(profile)
     salted = (
         skewed.crossJoin(F.broadcast(salt_n))
         .withColumn(
             _SALT,
-            F.pmod(
-                F.xxhash64(*[F.col(c) for c in skewed.columns]),
+            _salt_col(
+                [F.col(c) for c in skewed.columns],
                 F.col("salt_n").cast("bigint"),
             ),
         )
@@ -131,14 +194,63 @@ def salted_group_count(
     partial = (
         df.withColumn(
             _SALT,
-            F.pmod(
-                F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_factor)
-            ),
+            _salt_col([F.col(c) for c in df.columns], F.lit(salt_factor)),
         )
         .groupBy(*keys, _SALT)
         .agg(F.count("*").alias("partial_cnt"))
     )
     return partial.groupBy(*keys).agg(F.sum("partial_cnt").alias("cnt"))
+
+
+def adaptive_salted_group_count(
+    df: DataFrame,
+    keys: Sequence[str],
+    num_partitions: int = 200,
+    profile: DataFrame | None = None,
+) -> DataFrame:
+    """:func:`salted_group_count` whose salt factor is DERIVED from the
+    data — the groupBy half of the skew loop (round-11 verdict item 4:
+    :func:`adaptive_salted_join` consumed ``rec_salt`` in-plan, the
+    aggregation path still took a hand-tuned constant).
+
+    Same one-row-broadcast trick: the heaviest key's ``rec_salt`` from
+    :func:`skew_profile` rides ``F.broadcast`` into the salt
+    expression, the partial aggregate shuffles on (keys…, salt) —
+    spreading a whale key over ``salt_n`` reducers — and the final
+    aggregate re-shuffles the ``salt_n``-bounded partials on the bare
+    keys.  A uniform corpus degenerates to salt_n=1: the plain
+    two-stage count with one trivially-small extra broadcast.  Answer-
+    identical to ``groupBy(keys).count()`` by construction (gated by
+    ``events_salted_agg_adaptive``).
+
+    ``profile`` defaults to one map-side-combinable count shuffle over
+    the keys; pass a precomputed/persisted profile to reuse one you
+    already ran — e.g. the same profile that sized a neighbouring
+    :func:`adaptive_salted_join`.
+    """
+    if num_partitions < 1:
+        raise ValueError(f"num_partitions must be >= 1, got {num_partitions}")
+    if profile is None:
+        profile = skew_profile(
+            df.select(*keys), keys, top_n=1, num_partitions=num_partitions
+        )
+    salt_n = _profile_salt_n(profile)
+    partial = (
+        df.crossJoin(F.broadcast(salt_n))
+        .withColumn(
+            _SALT,
+            _salt_col(
+                [F.col(c) for c in df.columns],
+                F.col("salt_n").cast("bigint"),
+            ),
+        )
+        .drop("salt_n")
+        .groupBy(*keys, _SALT)
+        .agg(F.count(F.lit(1)).alias("partial_cnt"))
+    )
+    return partial.groupBy(*keys).agg(
+        F.sum("partial_cnt").cast("bigint").alias("cnt")
+    )
 
 
 def count_distinct_two_phase(

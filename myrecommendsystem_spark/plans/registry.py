@@ -546,9 +546,74 @@ _DRIVER_WINDOW_R11 = [
     "revenue_by_priority_salted",
 ]
 
+# Round-12 window == ``expected_driver_window(12)`` verbatim.  Tier 1:
+# the four ``since=11`` registrations (winnowing fingerprints/overlap,
+# the adaptive salted join, z-order keys) — structurally excluded from
+# their own round's window, all replayed hash-green at sf0.01 locally
+# in r11.  Tiers 2-4 are empty (no rows-only registrations since r11,
+# no stale-oracle or red-hash rows).  Tier 5 pads with the 46 stalest
+# hash-green re-checks (latest green round ascending, registration
+# order within a round): the r6-green block from
+# revenue_share_of_parent onward, then r7-green entries through
+# doc_rolling_fingerprints.
+_DRIVER_WINDOW_R12 = [
+    # -- tier 1: never driver-verified, oracle-gated (since=11 front) --
+    "doc_winnowing_fingerprints",
+    "doc_winnowing_overlap",
+    "events_salted_join_adaptive",
+    "events_zorder_keys",
+    # -- tier 5 padding: stalest hash-green re-checks --
+    "revenue_share_of_parent",
+    "users_erasure_audit",
+    "events_ab_srm_check",
+    "events_dow_anova",
+    "revenue_price_volume_mix",
+    "parts_xyz_classification",
+    "parts_size_rank_semantics",
+    "incremental_join_view",
+    "bloom_prefilter_join",
+    "orders_frequent_triples",
+    "events_ks_test",
+    "revenue_decimal_exact",
+    "events_ab_cuped",
+    "orders_ols_by_segment",
+    "users_locf_daily",
+    "events_strict_funnel",
+    "events_mutual_information",
+    "stats_rate_more_recently_products",
+    "stats_average_products",
+    "ingest_ratings_csv",
+    "ingest_ratings_jsonl",
+    "filter_project_lineitem",
+    "distinct_users",
+    "q5_local_supplier_volume",
+    "semi_join_active",
+    "cross_join_region_nation",
+    "theta_self_join_parts",
+    "global_sort_orders",
+    "priority_scores",
+    "profile_lineitem",
+    "events_asof_prior_value",
+    "events_range_hourly_activity",
+    "rollup_revenue_region_nation",
+    "events_rolling_frames",
+    "sql_string_lifecycle",
+    "pivot_orders_status",
+    "events_json_props",
+    "outer_join_custdist",
+    "set_ops_order_status",
+    "events_lag_delta",
+    "doc_token_counts",
+    "dedup_minhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
+    "embedding_near_dup_pairs",
+    "doc_rolling_fingerprints",
+]
+
 # The window the driver verifies THIS round; tests pin invariants
 # against this alias so rotations touch one assignment.
-DRIVER_WINDOW = _DRIVER_WINDOW_R11
+DRIVER_WINDOW = _DRIVER_WINDOW_R12
 
 # Round 5 fronted the verification backlog (round-4 verdict item 1):
 # 47 oldest never-driver-verified oracle-gated queries in registration

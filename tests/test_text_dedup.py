@@ -252,6 +252,7 @@ def test_winnowing_selection_semantics(spark):
         (4, "Z" * 64),  # constant doc -> all hashes equal
         (5, "tiny"),  # < 16 bytes -> one whole-text hash
         (6, ""),
+        (7, None),  # NULL text -> NO fingerprints (oracle parity)
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     fps = dedup.winnowing_fingerprints(df).collect()
@@ -273,6 +274,10 @@ def test_winnowing_selection_semantics(spark):
     # (d) short + empty docs: one whole-text hash each, selected at 0
     assert by_doc[5] == {(0, next(iter(vals[5])))}
     assert by_doc[6] == {(0, 0)}
+    # (e) round-11 ADVICE: NULL text selects NOTHING — the kernel emits
+    # an empty array and explode drops the doc, exactly like the SQL
+    # oracle (the old None->"" coercion emitted the empty-text hash)
+    assert 7 not in by_doc
 
 
 def test_winnowing_overlap_pairs_position_independent(spark):
@@ -1015,6 +1020,60 @@ def test_recall_report_scurve_shape(scurve_corpus):
     assert rep[9].n_caught >= 18       # analytic ≈ 1.0
     assert 6 <= rep[5].n_caught <= 20  # analytic ≈ 0.8 of 20
     assert rep[2].n_caught <= 10       # analytic ≈ 0.06 of 20
+
+
+def test_hyperplane_recall_report_scurve_shape(spark):
+    """Constructed S-curve for the sign-bit LSH acceptance gate
+    (round-11 verdict item 3): identical vectors (cosband 10) are
+    caught with certainty (identical sign bits, same bucket), near-
+    orthogonal pairs (low bands) are nearly all rejected, and a
+    cos≈0.92 block lands in between — loose bands around the analytic
+    1−(1−(1−θ/π)⁸)² with the deterministic seeded hyperplanes."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    vid = 0
+    # 30 identical pairs at well-separated random directions (band 10)
+    for _ in range(30):
+        v = rng.standard_normal(16)
+        v /= np.linalg.norm(v)
+        for _ in range(2):
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    # 30 pairs at exact cosine 0.92 (band 9): w = c·v + s·u, u ⊥ v
+    for _ in range(30):
+        v = rng.standard_normal(16)
+        v /= np.linalg.norm(v)
+        u = rng.standard_normal(16)
+        u -= u.dot(v) * v
+        u /= np.linalg.norm(u)
+        w = 0.92 * v + np.sqrt(1 - 0.92**2) * u
+        rows.append((vid, [float(x) for x in v]))
+        rows.append((vid + 1, [float(x) for x in w]))
+        vid += 2
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    rep = {
+        r.cosband: r
+        for r in similarity.hyperplane_recall_report(
+            emb, probe_max_id=10**6
+        ).collect()
+    }
+    # identical vectors: identical signatures, caught with certainty
+    assert rep[10].n_true == 30 and rep[10].n_caught == 30
+    # cos≈0.92 block: analytic catch ≈ 0.55 — loose band
+    assert rep[9].n_true >= 30
+    assert 5 <= rep[9].n_caught <= rep[9].n_true
+    # rejection side: cross pairs of random dim-16 directions pile up
+    # in low/negative bands; the banding must not flood the verifier
+    low_true = sum(r.n_true for b, r in rep.items() if b <= 2)
+    low_caught = sum(r.n_caught for b, r in rep.items() if b <= 2)
+    assert low_true > 1000  # the quadratic cross-pair mass is there
+    assert low_caught <= 0.1 * low_true
+    # probe bounding: a probe cutoff below every id → empty report
+    assert similarity.hyperplane_recall_report(emb, probe_max_id=0).count() == 0
 
 
 def test_recall_report_probe_bounding(scurve_corpus):
