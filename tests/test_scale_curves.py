@@ -290,6 +290,59 @@ def test_winnowing_overlap_scales_subquadratically(spark):
     )
 
 
+def test_winnowing_cross_corpus_scales_subquadratically(spark):
+    """Round-12: the cross-corpus winnowing gate (new 20% of the corpus
+    probed against the held 80%) at 4x/16x.  Candidate volume is
+    bounded by max_doc_freq·|new fps| — each new fp row joins at most
+    max_doc_freq reference rows — so cost must track the winnowed
+    index size, never |new|·|ref|."""
+    from myrecommendsystem_spark.operators import dedup as _dedup
+
+    times = {}
+    for mult in (4, 16):
+        d = _corpus(spark, BASE_DOCS * mult)
+        new = d.filter(F.col("doc_id") % 5 == 0)
+        ref = d.filter(F.col("doc_id") % 5 != 0)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _dedup.winnowing_cross_corpus_pairs(new, ref).count()
+            best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        times[mult] = best
+    exponent = math.log(times[16] / times[4]) / math.log(4)
+    assert exponent < 1.5, (
+        f"winnowing cross-corpus: {times[4]:.1f}s @4x -> {times[16]:.1f}s "
+        f"@16x (exponent {exponent:.2f})"
+    )
+
+
+def test_hyperplane_recall_report_scales_linearly_with_fixed_probe(spark):
+    """embedding_lsh_recall_report's scale contract (the minhash recall
+    probe's twin): with the probe sample FIXED (500 vectors), cost
+    grows ~linearly with the corpus — signing is O(n), the truth join
+    is probe-broadcast × corpus (O(n·|probe|)), and the candidate side
+    is the production banding path.  Fails hard on a quadratic
+    regression (probe accidentally unbounded)."""
+    from myrecommendsystem_spark.operators import similarity as _sim
+
+    times = {}
+    for mult in (4, 16):
+        d = _embedding_corpus(spark, BASE_DOCS * mult)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _sim.hyperplane_recall_report(d, probe_max_id=500).count()
+            best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        times[mult] = best
+    exponent = math.log(times[16] / times[4]) / math.log(4)
+    assert exponent < 1.5, (
+        f"hp recall report: {times[4]:.1f}s @4x -> {times[16]:.1f}s @16x "
+        f"(exponent {exponent:.2f})"
+    )
+
+
 def test_recall_report_scales_linearly_with_fixed_probe(spark):
     """dedup_lsh_recall_report's scale contract: with the probe sample
     FIXED (500 docs), cost grows ~linearly with the corpus — the
