@@ -139,22 +139,43 @@ def label_documents(
     target_lang: str = "en",
 ) -> DataFrame:
     """(id, text, weak_label) — the shared featurization relation
-    (round-11 verdict item 5): ``predicted_lang`` is the scoring path's
-    dominant cost (the token×language stopword membership evaluates
-    interpreted, not codegen — the language_id_table docstring's
-    measurement), and BOTH the fit's weak labels and the output's
+    (round-11 verdict item 5): the language pass is the featurization's
+    dominant cost, and BOTH the fit's weak labels and the output's
     weak_label column need it.  fit + score previously each evaluated
     it over the whole corpus; computing it once here — and letting the
     caller ``localCheckpoint`` the result — halves the corpus
     expression passes.  At 100 TB the same split holds: featurize once
     into a persisted table, fit on a bounded sample of it, score every
-    batch from it."""
-    return docs.select(
-        F.col(id_col),
-        F.col(text_col),
-        (TXT.predicted_lang(F.col(text_col)) == target_lang)
-        .cast("int")
-        .alias("weak_label"),
+    batch from it.
+
+    Round 12: the language pass itself moved from the per-row
+    ``predicted_lang`` expression — token×language stopword membership,
+    the one expression family in the repo that evaluated INTERPRETED
+    instead of codegen — to the set-oriented
+    :func:`functions.text.language_id_table` (explode tokens,
+    broadcast-join the stopword lexicon, window-argmax; every stage
+    codegen — its docstring's measured ~4.5 s → ~1 s at sf0.1).  This
+    is also an ORACLE-ALIGNMENT fix on edge inputs the corpus never
+    exercises: the quality oracle labels via the doc_lang_id CTE chain
+    (``ORDER BY cnt DESC, lang`` — lexicographically FIRST language on
+    an argmax tie; NULL text → join miss → 'und' → label 0), which is
+    exactly language_id_table's semantics, whereas the old expression
+    form broke argmax ties to the lexicographically GREATEST language
+    (array_max over struct(hits, lang)) and yielded a NULL label on
+    NULL text.  Green before only because the corpora carry no argmax
+    ties and no NULL texts; identical by construction now.
+    """
+    langs = TXT.language_id_table(docs, id_col=id_col, text_col=text_col)
+    return (
+        docs.select(id_col, text_col)
+        .join(langs, id_col)
+        .select(
+            F.col(id_col),
+            F.col(text_col),
+            (F.col("predicted_lang") == target_lang)
+            .cast("int")
+            .alias("weak_label"),
+        )
     )
 
 
