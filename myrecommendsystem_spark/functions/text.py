@@ -119,8 +119,19 @@ def lang_scores(text: Column) -> Column:
 def predicted_lang(text: Column) -> Column:
     """argmax language by stopword hits; 'und' (undetermined) when no hits.
 
-    array_max on struct(hits, lang) picks highest hits with deterministic
-    lexicographic lang tie-break.
+    array_max on struct(hits, lang) picks highest hits with a
+    deterministic tie-break to the lexicographically GREATEST language
+    — note this is the OPPOSITE of :func:`language_id_table` (and of
+    the doc_lang_id oracle convention), which break ties to the FIRST
+    language.  On NULL text the hits are NULL, every struct ties on the
+    NULL field, and the ``<= 0`` guard is NULL (not true) — so this
+    form returns the greatest language name outright ('fr' with the
+    current lexicon) where the relational form returns 'und'.
+    Oracle-gated paths (the quality model's ``label_documents``,
+    ``doc_langid_confusion``) therefore use the relational form; this
+    per-row expression remains for ad-hoc projections where a join is
+    unwarranted.  Tie/NULL divergence pinned in
+    tests/test_text_dedup.py::test_language_id_tie_and_null_semantics.
     """
     scored = F.transform(
         lang_scores(text),

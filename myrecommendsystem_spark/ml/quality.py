@@ -161,9 +161,13 @@ def label_documents(
     an argmax tie; NULL text → join miss → 'und' → label 0), which is
     exactly language_id_table's semantics, whereas the old expression
     form broke argmax ties to the lexicographically GREATEST language
-    (array_max over struct(hits, lang)) and yielded a NULL label on
-    NULL text.  Green before only because the corpora carry no argmax
-    ties and no NULL texts; identical by construction now.
+    (array_max over struct(hits, lang)) — an 'en'-vs-other tie flipped
+    the label between engines.  (On NULL text both forms happened to
+    label 0 — the expression returns the greatest language outright,
+    which is never the target.)  Green before only because the corpora
+    carry no argmax ties; identical by construction now.  Divergence
+    pinned in tests/test_text_dedup.py::
+    test_language_id_tie_and_null_semantics.
     """
     langs = TXT.language_id_table(docs, id_col=id_col, text_col=text_col)
     return (

@@ -644,6 +644,44 @@ def test_language_id_relational_matches_expression(spark):
     assert expr == rel
 
 
+def test_language_id_tie_and_null_semantics(spark):
+    """Round 12: the two language-ID forms DIVERGE by design on edges —
+    the relational form (and the doc_lang_id oracle convention) breaks
+    an argmax tie to the lexicographically FIRST language and maps NULL
+    text to 'und', while the per-row expression breaks ties to the
+    GREATEST language and, on NULL text, returns the greatest language
+    outright (NULL hits tie every struct and the <=0 guard is NULL —
+    see the predicted_lang docstring).  Oracle-gated paths (quality
+    label_documents) must use the relational form; this test pins both
+    behaviors so a silent swap fails loudly."""
+    from myrecommendsystem_spark.functions import text as TXT
+    from pyspark.sql import functions as F
+
+    # 'the' is an en stopword, 'der' a de stopword: one hit each → tie
+    docs = spark.createDataFrame(
+        [(0, "the der"), (1, None)], "doc_id long, text string"
+    )
+    rel = {
+        r.doc_id: r.predicted_lang
+        for r in TXT.language_id_table(docs).collect()
+    }
+    assert rel[0] == "de"  # first language on the tie (oracle convention)
+    assert rel[1] == "und"  # NULL text → join miss → 'und'
+    expr = {
+        r.doc_id: r.pl
+        for r in docs.select(
+            "doc_id", TXT.predicted_lang(F.col("text")).alias("pl")
+        ).collect()
+    }
+    assert expr[0] == "en"  # greatest language on the tie
+    assert expr[1] == "fr"  # NULL text → all-NULL hits → greatest lang
+    # the oracle-gated featurization rides the relational convention
+    from myrecommendsystem_spark.ml.quality import label_documents
+
+    lab = {r.doc_id: r.weak_label for r in label_documents(docs).collect()}
+    assert lab == {0: 0, 1: 0}
+
+
 def test_simhash_null_text(spark):
     """NULL text must not crash the Arrow kernel (documents.text is
     nullable); it fingerprints to 0."""
