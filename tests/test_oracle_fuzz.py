@@ -145,3 +145,112 @@ def test_hyperplane_lsh_oracle_fuzz(spark, seed):
     assert (0, 1) in pairs  # exact copy collides in every band
     assert (0, 2) in pairs  # scaled copy: identical signs and cosine
     assert all(5 not in (a, b) for a, b in pairs)  # zero vector excluded
+
+
+@pytest.mark.parametrize("seed", [0, 6])
+def test_winnowing_cross_corpus_oracle_fuzz(spark, seed):
+    """Attack the r12 cross-corpus winnowing oracle: planted shared
+    substrings crossing the corpora (must pair), boilerplate injected
+    into MANY reference docs (the ref-side-only QUALIFY cap must drop
+    it on both engines), and an uncapped-new-side sanity planting (a
+    phrase shared by many NEW docs but ≤ cap REF docs must survive —
+    the cap is ref-side only).  Docs stay ASCII and ≥ 16 bytes — the
+    family's documented corpus assumption (short-doc divergence is
+    pinned separately in test_text_dedup)."""
+    from myrecommendsystem_spark.operators import dedup
+
+    rng = random.Random(seed)
+    vocab = [f"tok{i}" for i in range(60)]
+
+    def text(n):
+        return " ".join(rng.choice(vocab) for _ in range(n))
+
+    shared = "an exact shared run of bytes here!"  # > 16+8-1 bytes
+    boiler = "reference boilerplate footer text"
+    rows = []
+    # reference corpus (src0): 30 random + 8 boilerplate + 1 shared
+    for i in range(30):
+        rows.append((i, text(rng.randint(8, 25)), "src0"))
+    for i in range(30, 38):
+        rows.append((i, boiler + " " + text(10), "src0"))
+    rows.append((38, text(6) + " " + shared + " " + text(6), "src0"))
+    # new corpus (src1): 10 random + 1 shared + 2 sharing a new-only run
+    for i in range(100, 110):
+        rows.append((i, text(rng.randint(8, 25)), "src1"))
+    rows.append((100 + 11, shared + " " + text(8), "src1"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    new = docs.filter("source != 'src0'")
+    ref = docs.filter("source = 'src0'")
+    got = sorted(
+        (r.new_id, r.ref_id, r.n_shared)
+        for r in dedup.winnowing_cross_corpus_pairs(
+            new, ref, max_doc_freq=5
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents(doc_id BIGINT, text VARCHAR, source VARCHAR)"
+    )
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", rows)
+    want = sorted(
+        (int(a), int(b), int(n))
+        for a, b, n in con.execute(
+            _oracle("doc_winnowing_cross_corpus").replace("<= 100", "<= 5")
+        ).fetchall()
+    )
+    con.close()
+    assert got == want
+    # the planted cross-corpus substring must pair (guarantee length)
+    assert any(a == 111 and b == 38 for a, b, _ in got)
+    # boilerplate fps sit in 8 ref docs > cap 5: no pair may rest on them
+    boiler_ids = set(range(30, 38))
+    assert all(b not in boiler_ids for _, b, _ in got)
+
+
+@pytest.mark.parametrize("seed", [1, 8])
+def test_hyperplane_recall_oracle_fuzz(spark, seed):
+    """Attack the r12 hyperplane recall-report oracle: exact duplicates
+    inside the probe range (cosband 10, caught with certainty), a
+    negated copy (cosband -10, never caught), a zero vector (excluded
+    from truth AND candidates on both engines), and random vectors
+    piling up the rejection bands.  The ⌊10·round(cos,4)⌋ banding and
+    the probe-slice join must agree engine-for-engine."""
+    from myrecommendsystem_spark.operators import similarity
+
+    rng = random.Random(seed)
+
+    # 64-dim to match the registered oracle's INLINED sign matrix (the
+    # ±1 literals are generated for the testdata embedding dim; a
+    # different dim would silently NULL the oracle's dot terms)
+    def vec():
+        return [rng.gauss(0.0, 1.0) for _ in range(64)]
+
+    base = vec()
+    rows = [(0, base), (1, list(base)), (2, [-x for x in base])]
+    rows.append((3, [0.0] * 64))  # zero vector: excluded by contract
+    rows += [(4 + i, vec()) for i in range(30)]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    rep = similarity.hyperplane_recall_report(emb, probe_max_id=20)
+    got = sorted(
+        (r.cosband, r.n_true, r.n_caught) for r in rep.collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE embeddings(vec_id BIGINT, embedding FLOAT[])")
+    con.executemany(
+        "INSERT INTO embeddings VALUES (?, ?)",
+        [(i, [float(x) for x in v]) for i, v in rows],
+    )
+    want = sorted(
+        (int(b), int(t), int(c))
+        for b, t, c, _ in con.execute(
+            _oracle("embedding_lsh_recall_report")
+        ).fetchall()
+    )
+    con.close()
+    assert got == want
+    by_band = {b: (t, c) for b, t, c in got}
+    assert by_band[10] == (1, 1)  # the exact copy: caught with certainty
+    assert by_band[-10][1] == 0  # negated copy: never a candidate
