@@ -264,6 +264,7 @@ HEADLINE: tuple[str, ...] = (
     # registration, r13 window front
     "events_salted_agg_adaptive",
     "doc_winnowing_cross_corpus",
+    "doc_winnowing_cross_corpus_survivors",
     "embedding_lsh_recall_report",
     # rag_ingest_pipeline intentionally NOT in the headline: index-build
     # dominated (~7 s at any sf — amortized once in production); its

@@ -943,6 +943,40 @@ def winnowing_cross_corpus_pairs(
     )
 
 
+def winnowing_cross_corpus_survivors(
+    new_docs: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 16,
+    guarantee: int = 8,
+    min_shared: int = 2,
+    max_doc_freq: int = 100,
+) -> DataFrame:
+    """Rows of ``new_docs`` with NO ≥ ``min_shared``-fingerprint
+    winnowing overlap in ``reference`` — the ingest-gate composition of
+    :func:`winnowing_cross_corpus_pairs` (anti join on matched new
+    ids), the keep-list convention every other cross-corpus family has
+    (:func:`cross_corpus_near_survivors`,
+    ``corpus_quality.cross_corpus_dedup``).  Same scale shape as the
+    pair query plus one anti join on the (small) matched-id set."""
+    matched = (
+        winnowing_cross_corpus_pairs(
+            new_docs,
+            reference,
+            id_col=id_col,
+            text_col=text_col,
+            window=window,
+            guarantee=guarantee,
+            min_shared=min_shared,
+            max_doc_freq=max_doc_freq,
+        )
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
+    return new_docs.join(matched, id_col, "left_anti")
+
+
 def minhash_cross_corpus_pairs(
     new_docs: DataFrame,
     reference: DataFrame,

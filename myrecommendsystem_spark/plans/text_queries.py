@@ -808,6 +808,48 @@ def doc_winnowing_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_winnowing_cross_corpus_survivors",
+    f"""
+WITH {_WINNOW_X_CTES},
+matched AS (
+    SELECT DISTINCT new_id
+    FROM (SELECT new_id, ref_id FROM newf JOIN refkept USING (fpv)
+          GROUP BY new_id, ref_id HAVING COUNT(*) >= 2)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(length(text) AS INTEGER) AS n_bytes
+FROM documents d
+WHERE source != 'src0'
+  AND NOT EXISTS (SELECT 1 FROM matched m WHERE m.new_id = d.doc_id)
+ORDER BY doc_id
+""",
+    doc="the ingest-gate composition of doc_winnowing_cross_corpus "
+    "(operators/dedup.winnowing_cross_corpus_pairs + anti join): new "
+    "docs (source != src0) with NO >= 2-fingerprint winnowing overlap "
+    "in the held corpus survive — the keep list an ingest pipeline "
+    "actually consumes, completing the survivors convention every "
+    "other cross-corpus family has (cross_corpus_near_survivors, "
+    "cross_corpus_dedup).  Scale shape: the pair query plus one anti "
+    "join against the (output-sized) matched-id set.  n_bytes rides "
+    "along so the gate verifies the surviving ROWS, not just ids "
+    "(ASCII corpus: char length == byte length in both engines)",
+    defer=True,
+    since=12,
+)
+def doc_winnowing_cross_corpus_survivors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    new = docs.filter(F.col("source") != "src0")
+    ref = docs.filter(F.col("source") == "src0")
+    surv = dedup.winnowing_cross_corpus_survivors(new, ref)
+    return surv.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.length("text").cast("int").alias("n_bytes"),
+    ).orderBy("doc_id")
+
+
+@register(
     "dedup_minhash_survivors",
     f"""
 WITH RECURSIVE {_MINHASH_PAIRS_CTES},

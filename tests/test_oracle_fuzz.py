@@ -205,6 +205,15 @@ def test_winnowing_cross_corpus_oracle_fuzz(spark, seed):
     # boilerplate fps sit in 8 ref docs > cap 5: no pair may rest on them
     boiler_ids = set(range(30, 38))
     assert all(b not in boiler_ids for _, b, _ in got)
+    # survivors composition: exactly the new docs NOT in any pair
+    surv = {
+        r.doc_id
+        for r in dedup.winnowing_cross_corpus_survivors(
+            new, ref, max_doc_freq=5
+        ).collect()
+    }
+    new_ids = {i for i, _, s in rows if s != "src0"}
+    assert surv == new_ids - {a for a, _, _ in got}
 
 
 @pytest.mark.parametrize("seed", [1, 8])
