@@ -168,6 +168,13 @@ def label_documents(
     carry no argmax ties; identical by construction now.  Divergence
     pinned in tests/test_text_dedup.py::
     test_language_id_tie_and_null_semantics.
+
+    CONTRACT: ``id_col`` must be unique per row (true of every corpus
+    this engine ingests — doc_id is a key).  ``language_id_table``
+    preserves input multiplicity, so an input carrying k duplicate
+    rows for one id would join k×k here where the old per-row
+    expression produced k; pre-``dropDuplicates`` such an input before
+    calling (r12 ADVICE).
     """
     langs = TXT.language_id_table(docs, id_col=id_col, text_col=text_col)
     return (

@@ -6755,6 +6755,58 @@ def events_salted_agg_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_salted_distinct_users",
+    """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       array_to_string(
+           list_sort(list(DISTINCT CAST(user_id AS BIGINT))), ','
+       ) AS user_ids
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    doc="the adaptive salt's REAL venue (round-12 verdict item 6: a "
+    "salted count is pedagogical — counts map-side combine; the "
+    "no-partial-aggregation shape is a SET-VALUED aggregate, where "
+    "the (key, salt) pre-shuffle is the only bound on a whale key's "
+    "buffer).  operators/skew.salted_distinct_set: the salt is "
+    "pmod(xxhash64(VALUE), rec_salt-from-skew_profile) — keyed on the "
+    "value so partial collect_sets PARTITION each key's distinct set "
+    "(disjoint, sizes sum exactly) — the partial shuffles on "
+    "(event_type, __salt) spreading a whale key's buffer over salt_n "
+    "reducers, and the final merge flattens salt_n pre-deduped "
+    "disjoint arrays into the output-sized sorted set (the floor for "
+    "materializing a set).  Output rendered as the comma-joined "
+    "sorted id string (nested-column contract); oracle is the PLAIN "
+    "COUNT(DISTINCT) + sorted list(DISTINCT): the gate proves the "
+    "salted rewrite answer-identical, integer-exact",
+    defer=True,
+    since=13,
+)
+def events_salted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myrecommendsystem_spark.operators.skew import (
+        salted_distinct_set,
+        skew_profile,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    profile = skew_profile(
+        ev.select("event_type"), ["event_type"], top_n=1, num_partitions=32
+    )
+    res = salted_distinct_set(
+        ev, ["event_type"], "user_id", num_partitions=32, profile=profile
+    )
+    return res.select(
+        "event_type",
+        F.col("n_distinct").alias("n_users"),
+        F.concat_ws(
+            ",", F.col("distinct_values").cast("array<string>")
+        ).alias("user_ids"),
+    ).orderBy("event_type")
+
+
 _ZORDER_INTERLEAVE_SQL = " | ".join(
     f"(((a >> {i}) & 1) << {2 * i}) | (((b >> {i}) & 1) << {2 * i + 1})"
     for i in range(16)

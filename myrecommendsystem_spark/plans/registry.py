@@ -611,9 +611,75 @@ _DRIVER_WINDOW_R12 = [
     "doc_rolling_fingerprints",
 ]
 
+# Round-13 window == ``expected_driver_window(13)`` verbatim.  Tier 1:
+# the four ``since=12`` registrations (cross-corpus winnowing pair +
+# survivors, the embedding-LSH recall gate, the adaptive salted
+# aggregation) — structurally excluded from their own round's window,
+# all replayed hash-green at the driver's sf0.01 locally in r12 (and
+# independently by the r12 judge).  Tiers 2-4 are empty (no rows-only
+# registrations since r12, no stale-oracle or red-hash rows).  Tier 5
+# pads with the 46 stalest hash-green re-checks (latest green round
+# ascending, registration order within a round): the remaining
+# r7-green block from dedup_minhash_survivors onward, then the
+# r8-green TPC-H tail through embedding_near_dup_ivf.
+_DRIVER_WINDOW_R13 = [
+    # -- tier 1: never driver-verified, oracle-gated (since=12 front) --
+    "doc_winnowing_cross_corpus",
+    "doc_winnowing_cross_corpus_survivors",
+    "embedding_lsh_recall_report",
+    "events_salted_agg_adaptive",
+    # -- tier 5 padding: stalest hash-green re-checks --
+    "dedup_minhash_survivors",
+    "embedding_dedup_survivors",
+    "dedup_cross_corpus_near",
+    "recsys_mmr_rerank",
+    "media_image_features",
+    "media_frame_sample",
+    "events_cusum_alarms",
+    "bpe_pair_counts",
+    "bpe_learned_merges",
+    "doc_bpe_segment_stats",
+    "q4_order_priority_exists",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q21_late_exclusive_suppliers",
+    "q22_idle_rich_customers",
+    "cube_lineitem_status",
+    "lineitem_moments",
+    "q6_revenue_forecast",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_priority_linestatus",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_part_supplier_cnt",
+    "q19_disjunctive_revenue",
+    "q2_min_cost_supplier",
+    "q20_part_qty_suppliers",
+    "global_row_numbers",
+    "incremental_user_stats",
+    "orders_price_histogram",
+    "events_funnel_conversion",
+    "events_latest_per_user",
+    "doc_top_terms_global",
+    "events_distinct_products_two_phase",
+    "events_value_quantiles_by_type",
+    "lineitem_measures_unpivot",
+    "user_event_type_profile",
+    "events_hourly_gapfill",
+    "ratings_kfold_sizes",
+    "events_weighted_sample",
+    "orders_snapshot_diff",
+    "ann_topk_ivf",
+    "embedding_near_dup_ivf",
+]
+
 # The window the driver verifies THIS round; tests pin invariants
 # against this alias so rotations touch one assignment.
-DRIVER_WINDOW = _DRIVER_WINDOW_R12
+DRIVER_WINDOW = _DRIVER_WINDOW_R13
 
 # Round 5 fronted the verification backlog (round-4 verdict item 1):
 # 47 oldest never-driver-verified oracle-gated queries in registration

@@ -794,7 +794,12 @@ ORDER BY new_id, ref_id
     "boilerplate; each new fp row then joins <= 100 ref rows, "
     "bounding candidates by 100·|new fps|).  Oracle replays the "
     "RK-31 winnowing arithmetic of doc_winnowing_fingerprints plus "
-    "the ref-side QUALIFY cap and the pair count, integer-exact",
+    "the ref-side QUALIFY cap and the pair count, integer-exact.  "
+    "Corpus assumption (r12 ADVICE): every doc is >= the 16-byte "
+    "window — the kernel emits a whole-text fingerprint for "
+    "sub-window docs while the oracle's generate_series produces no "
+    "rows, so sub-window docs could pair in Spark but never in "
+    "DuckDB (cf. the winnowing fuzz test's corpus caveat)",
     defer=True,
     since=12,
 )
@@ -832,7 +837,11 @@ ORDER BY doc_id
     "cross_corpus_dedup).  Scale shape: the pair query plus one anti "
     "join against the (output-sized) matched-id set.  n_bytes rides "
     "along so the gate verifies the surviving ROWS, not just ids "
-    "(ASCII corpus: char length == byte length in both engines)",
+    "(ASCII corpus: char length == byte length in both engines).  "
+    "Same >= 16-byte-docs corpus assumption as "
+    "doc_winnowing_cross_corpus (r12 ADVICE): a sub-window doc "
+    "fingerprints in Spark but not in the oracle, so it could be "
+    "culled here yet survive there",
     defer=True,
     since=12,
 )

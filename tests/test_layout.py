@@ -304,6 +304,100 @@ def test_adaptive_salted_group_count_matches_plain_and_salts_in_plan(spark):
         adaptive_salted_group_count(skewed, ["k"], num_partitions=0)
 
 
+def test_salted_distinct_set_matches_plain_and_partitions_exactly(spark):
+    """Round-12 verdict item 6: the adaptive salt's real venue — a
+    set-valued aggregate with no partial-aggregation escape hatch.
+    The salt keys on the VALUE hash, so each distinct value lands in
+    exactly one (key, salt) bucket: partial sets are disjoint, their
+    sizes sum to the exact distinct count, and the flattened merge
+    equals the plain sort_array(collect_set).  Verified on a whale-key
+    corpus with literal duplicate rows (the row-hash trap), a forced
+    salt_n > 1, NULL values (ignored, COUNT(DISTINCT) semantics), and
+    a uniform corpus (degenerates to the plain two-stage plan)."""
+    from myrecommendsystem_spark.operators.skew import (
+        _SALT,
+        salted_distinct_set,
+    )
+
+    # whale key 1 carries 2700 rows over 81 distinct values (each value
+    # duplicated ~33× — literal copies); tail keys get a few values
+    # each; key 99 carries only NULLs
+    skewed = (
+        spark.range(0, 3000)
+        .select(
+            F.when(F.col("id") % 10 < 9, 1)
+            .otherwise(F.col("id") % 50 + 10)
+            .alias("k"),
+            F.when(F.col("id") % 10 < 9, (F.col("id") % 90).cast("long"))
+            .otherwise(F.col("id") % 7)
+            .alias("v"),
+        )
+        .union(
+            spark.createDataFrame(
+                [(99, None), (99, None)], "k long, v long"
+            )
+        )
+    )
+    forced = spark.createDataFrame([(6,)], "rec_salt int")
+    out = salted_distinct_set(skewed, ["k"], "v", profile=forced)
+    got = {
+        (r.k, r.n_distinct, tuple(r.distinct_values)) for r in out.collect()
+    }
+    plain = {
+        (r.k, r.n, tuple(r.vals))
+        for r in skewed.groupBy("k")
+        .agg(
+            F.countDistinct("v").cast("bigint").alias("n"),
+            F.sort_array(F.collect_set("v")).alias("vals"),
+        )
+        .collect()
+    }
+    assert got == plain
+    # the all-NULL key survives with an empty set, not a dropped row
+    assert (99, 0, ()) in got
+    # the salted-partial exchange is in the executed plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(k" in plan and _SALT in plan
+    # with the forced salt the whale's partial sets genuinely split:
+    # >1 (key, salt) partial row for the whale key, disjoint by size
+    partials = (
+        skewed.filter("k = 1 AND v IS NOT NULL")
+        .withColumn(
+            _SALT, F.pmod(F.xxhash64(F.col("v")), F.lit(6).cast("bigint"))
+        )
+        .groupBy(_SALT)
+        .agg(F.countDistinct("v").alias("d"))
+        .collect()
+    )
+    assert len(partials) > 1
+    whale_d = next(n for k, n, _ in got if k == 1)
+    assert sum(r.d for r in partials) == whale_d  # disjoint partition
+    # uniform corpus degenerates (adaptive profile path, salt_n=1)
+    uniform = spark.range(0, 300).select(
+        (F.col("id") % 3).alias("k"), (F.col("id") % 11).alias("v")
+    )
+    ugot = {
+        (r.k, r.n_distinct, tuple(r.distinct_values))
+        for r in salted_distinct_set(
+            uniform, ["k"], "v", num_partitions=10
+        ).collect()
+    }
+    uplain = {
+        (r.k, r.n, tuple(r.vals))
+        for r in uniform.groupBy("k")
+        .agg(
+            F.countDistinct("v").cast("bigint").alias("n"),
+            F.sort_array(F.collect_set("v")).alias("vals"),
+        )
+        .collect()
+    }
+    assert ugot == uplain
+    import pytest
+
+    with pytest.raises(ValueError):
+        salted_distinct_set(skewed, ["k"], "v", num_partitions=0)
+
+
 def test_skew_profile_null_and_composite_keys_not_merged(spark):
     """Counts group on the RAW key columns: NULL is not merged with
     empty string, and composite keys are never merged by the display

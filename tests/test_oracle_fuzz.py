@@ -242,9 +242,19 @@ def test_hyperplane_recall_oracle_fuzz(spark, seed):
         [(i, [float(x) for x in v]) for i, v in rows],
         "vec_id long, embedding array<float>",
     )
-    rep = similarity.hyperplane_recall_report(emb, probe_max_id=20)
+    # compute the recall column exactly the way the registered plan
+    # does (r12 ADVICE: the fuzz corpora previously verified only the
+    # count columns, leaving the round_stable division to the driver
+    # hash gate alone)
+    from pyspark.sql import functions as F
+
+    from myrecommendsystem_spark.functions.compat import round_stable
+
+    rep = similarity.hyperplane_recall_report(emb, probe_max_id=20).withColumn(
+        "recall", round_stable(F.col("n_caught") / F.col("n_true"))
+    )
     got = sorted(
-        (r.cosband, r.n_true, r.n_caught) for r in rep.collect()
+        (r.cosband, r.n_true, r.n_caught, r.recall) for r in rep.collect()
     )
     con = duckdb.connect()
     con.execute("CREATE TABLE embeddings(vec_id BIGINT, embedding FLOAT[])")
@@ -253,13 +263,13 @@ def test_hyperplane_recall_oracle_fuzz(spark, seed):
         [(i, [float(x) for x in v]) for i, v in rows],
     )
     want = sorted(
-        (int(b), int(t), int(c))
-        for b, t, c, _ in con.execute(
+        (int(b), int(t), int(c), float(r))
+        for b, t, c, r in con.execute(
             _oracle("embedding_lsh_recall_report")
         ).fetchall()
     )
     con.close()
     assert got == want
-    by_band = {b: (t, c) for b, t, c in got}
+    by_band = {b: (t, c) for b, t, c, _ in got}
     assert by_band[10] == (1, 1)  # the exact copy: caught with certainty
     assert by_band[-10][1] == 0  # negated copy: never a candidate

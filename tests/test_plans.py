@@ -409,10 +409,10 @@ def test_driver_window_matches_encoded_composition_rule():
     artifacts of rounds < 8 exactly: never-verified gated, then
     never-verified rows-only, then stale-oracle re-checks, then red-hash
     re-checks (round-7 ADVICE tier), then the stalest hash-green
-    re-checks.  The derivation is pinned to round 12, so this stays
-    reproducible after the r12 artifact lands; the NEXT rotation bumps
+    re-checks.  The derivation is pinned to round 13, so this stays
+    reproducible after the r13 artifact lands; the NEXT rotation bumps
     the round number and re-derives."""
-    derived = registry.expected_driver_window(12, artifact_dir=str(REPO_ROOT))
+    derived = registry.expected_driver_window(13, artifact_dir=str(REPO_ROOT))
     assert registry.DRIVER_WINDOW == derived
 
 
@@ -442,10 +442,10 @@ def test_driver_window_derived_from_correctness_artifacts():
 
 
 def test_next_round_window_derivation_is_ready(tmp_path):
-    """Dry-run the r13 rotation before it happens: with a synthetic r12
+    """Dry-run the r14 rotation before it happens: with a synthetic r13
     artifact covering the committed window (hash rows for gated
-    members, rows-only rows for the rest), expected_driver_window(13)
-    must front exactly the round-12 registrations (``since=12`` — no
+    members, rows-only rows for the rest), expected_driver_window(14)
+    must front exactly the round-13 registrations (``since=13`` — no
     driver row can exist for them by construction), gated before
     rows-only, then pad with hash-green re-checks to exactly 50 unique
     real names.  If this breaks, next round's rotation breaks."""
@@ -463,18 +463,18 @@ def test_next_round_window_derivation_is_ready(tmp_path):
         )
         for name in registry.DRIVER_WINDOW
     }
-    (tmp_path / "CORRECTNESS_r12.json").write_text(json.dumps(fake))
-    win13 = registry.expected_driver_window(13, artifact_dir=str(tmp_path))
+    (tmp_path / "CORRECTNESS_r13.json").write_text(json.dumps(fake))
+    win14 = registry.expected_driver_window(14, artifact_dir=str(tmp_path))
     names = {s.name for s in registry.REGISTRY}
     expected_front = [
-        s.name for s in registry.REGISTRY if s.since == 12 and s.oracle is not None
-    ] + [s.name for s in registry.REGISTRY if s.since == 12 and s.oracle is None]
-    assert len(win13) == 50
-    assert len(set(win13)) == 50
-    assert set(win13) <= names
-    assert win13[: len(expected_front)] == expected_front
+        s.name for s in registry.REGISTRY if s.since == 13 and s.oracle is not None
+    ] + [s.name for s in registry.REGISTRY if s.since == 13 and s.oracle is None]
+    assert len(win14) == 50
+    assert len(set(win14)) == 50
+    assert set(win14) <= names
+    assert win14[: len(expected_front)] == expected_front
     # every padding entry is a genuine re-check with a hash-green row
-    assert all(n in names for n in win13[len(expected_front) :])
+    assert all(n in names for n in win14[len(expected_front) :])
 
 
 def test_bench_contended_capture_cannot_touch_record(monkeypatch):
@@ -505,6 +505,92 @@ def test_bench_contended_capture_cannot_touch_record(monkeypatch):
     monkeypatch.setenv("MRS_BENCH_FORCE_RECORD", "1")
     path, suffix = bench.detail_record_paths("/x", 9.9, 2.0)
     assert path == "/x/BENCH_DETAIL.json" and suffix == ""
+
+
+def test_bench_late_onset_contention_cannot_touch_record(monkeypatch):
+    """Round-12 verdict item 2: the driver's r12 round-close sweep
+    started at a quiet probe (ratio 1.089) but ran 29% over the record
+    with 50/189 over-bar re-runs — sustained steal that began AFTER
+    calibration walked past the probe-only guard and overwrote the
+    working-tree record.  The guard must also route on the sweep's own
+    rerun-flag fraction: a late-onset-contention capture (quiet probe,
+    inflated timings) targets the _contended side file, never
+    BENCH_DETAIL.json."""
+    import bench
+
+    monkeypatch.delenv("MRS_BENCH_FORCE_RECORD", raising=False)
+    # the driver's r12 capture: quiet start probe, 50/189 entries flagged
+    path, suffix = bench.detail_record_paths("/x", 1.089, 0.188, 50 / 189)
+    assert path == "/x/BENCH_DETAIL_contended.json" and suffix == "_contended"
+    # a quiet sweep flagging a handful of entries still targets the record
+    path, suffix = bench.detail_record_paths("/x", 1.089, 0.188, 4 / 188)
+    assert path == "/x/BENCH_DETAIL.json" and suffix == ""
+    # exactly at the flag bar is not contended (strict-greater)
+    path, _ = bench.detail_record_paths("/x", 1.0, 0.188, bench.RERUN_FLAG_BAR)
+    assert path == "/x/BENCH_DETAIL.json"
+    # no committed pin → this run establishes the record even if noisy
+    path, _ = bench.detail_record_paths("/x", 1.0, None, 0.5)
+    assert path == "/x/BENCH_DETAIL.json"
+    # the force override wins over both signals
+    monkeypatch.setenv("MRS_BENCH_FORCE_RECORD", "1")
+    path, _ = bench.detail_record_paths("/x", 9.9, 0.188, 0.9)
+    assert path == "/x/BENCH_DETAIL.json"
+
+
+def test_bench_uniform_inflation_cannot_touch_record(monkeypatch):
+    """Round 13, caught in production the day the flag-frac guard
+    landed: a sweep with quiet probes (0.946/0.884) and flag-frac
+    0.085 ran its 188 recorded entries at MEDIAN ratio 1.176 with zero
+    faster — uniform inflation sits under every per-entry re-run bar
+    AND the flag-frac bar.  The median-ratio signal must route such a
+    capture to the _contended side file."""
+    import bench
+
+    monkeypatch.delenv("MRS_BENCH_FORCE_RECORD", raising=False)
+    # the production capture: quiet probes, low flag frac, median 1.176
+    path, suffix = bench.detail_record_paths("/x", 0.946, 0.188, 0.085, 1.176)
+    assert path == "/x/BENCH_DETAIL_contended.json" and suffix == "_contended"
+    # a genuinely quiet sweep (median ~1.0) targets the record
+    path, suffix = bench.detail_record_paths("/x", 0.946, 0.188, 0.085, 1.02)
+    assert path == "/x/BENCH_DETAIL.json" and suffix == ""
+    # exactly at the bar is not contended (strict-greater)
+    path, _ = bench.detail_record_paths(
+        "/x", 1.0, 0.188, 0.0, bench.MEDIAN_RATIO_BAR
+    )
+    assert path == "/x/BENCH_DETAIL.json"
+    # an optimization sweep (median < 1) is never blocked
+    path, _ = bench.detail_record_paths("/x", 1.0, 0.188, 0.0, 0.95)
+    assert path == "/x/BENCH_DETAIL.json"
+    # no median available (subset run below MEDIAN_RATIO_MIN_N) →
+    # the other two signals still decide
+    path, _ = bench.detail_record_paths("/x", 1.0, 0.188, 0.0, None)
+    assert path == "/x/BENCH_DETAIL.json"
+    # no committed pin → establishes the record
+    path, _ = bench.detail_record_paths("/x", 1.0, None, 0.0, 9.9)
+    assert path == "/x/BENCH_DETAIL.json"
+    # the force override wins
+    monkeypatch.setenv("MRS_BENCH_FORCE_RECORD", "1")
+    path, _ = bench.detail_record_paths("/x", 1.0, 0.188, 0.0, 9.9)
+    assert path == "/x/BENCH_DETAIL.json"
+
+
+def test_bench_calib_ref_is_pinned():
+    """Round-12 verdict item 3: the probe reference must be the pinned
+    quiet-host constant (BASELINE.md calibration protocol), not the
+    last committed record's own probe — one contended commit poisoned
+    the chain in r11/r12 (recorded ratio 0.767 measured against a
+    contended 0.291 probe).  The pin is the minimum committed
+    quiet-host probe across the r10/r11 records."""
+    import bench
+
+    assert bench.CALIB_REF_PIN == 0.188
+    # the restored quiet r11 record carries the probe the pin derives from
+    import json
+
+    with open(REPO_ROOT / "BENCH_DETAIL_r11.json") as f:
+        r11 = json.load(f)
+    assert r11["calib_sec"] == 0.188
+    assert r11["value"] < 160  # the quiet 157.97 capture, not the 170.9
 
 
 def test_coverage_md_gate_labels_match_registry():
