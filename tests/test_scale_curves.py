@@ -366,3 +366,49 @@ def test_recall_report_scales_linearly_with_fixed_probe(spark):
         f"recall report: {times[4]:.1f}s @4x -> {times[16]:.1f}s @16x "
         f"(exponent {exponent:.2f})"
     )
+
+
+def test_salted_distinct_set_scales_linearly_on_whale_corpus(spark):
+    """events_salted_distinct_users' scale contract: on a corpus where
+    one key carries 90% of the rows AND the distinct-value count grows
+    with input, the salted set build grows ~linearly — one value-keyed
+    (key, salt) partial collect_set pass plus a salt_n-bounded merge;
+    no stage is quadratic in the whale's set.  Fails hard on a
+    super-linear regression (e.g. the partial accidentally keyed so
+    values duplicate across salts)."""
+    from myrecommendsystem_spark.operators.skew import salted_distinct_set
+
+    forced = spark.createDataFrame([(16,)], "rec_salt int")
+    times = {}
+    base = 1_500_000
+    for mult in (4, 16):
+        n = base * mult
+        d = (
+            spark.range(0, n, 1, 32)
+            .select(
+                F.when(F.col("id") % 10 < 9, 0)
+                .otherwise((F.col("id") % 999) + 1)
+                .alias("k"),
+                F.when(F.col("id") % 10 < 9, F.col("id") % (n // 10))
+                .otherwise(F.col("id") % 50)
+                .alias("v"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            # size() keeps the whale array out of the driver while
+            # still materializing the full set build
+            salted_distinct_set(d, ["k"], "v", profile=forced).select(
+                F.size("distinct_values")
+            ).agg(F.sum("size(distinct_values)")).collect()
+            best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        times[mult] = best
+        d.unpersist()
+    exponent = math.log(times[16] / times[4]) / math.log(4)
+    assert exponent < 1.3, (
+        f"salted distinct set: {times[4]:.1f}s @4x -> {times[16]:.1f}s "
+        f"@16x (exponent {exponent:.2f})"
+    )
