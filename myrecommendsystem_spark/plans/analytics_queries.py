@@ -6760,9 +6760,9 @@ def events_salted_agg_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT event_type,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
-       array_to_string(
+       COALESCE(array_to_string(
            list_sort(list(DISTINCT CAST(user_id AS BIGINT))), ','
-       ) AS user_ids
+       ), '') AS user_ids
 FROM events
 GROUP BY event_type
 ORDER BY event_type
@@ -6781,7 +6781,10 @@ ORDER BY event_type
     "materializing a set).  Output rendered as the comma-joined "
     "sorted id string (nested-column contract); oracle is the PLAIN "
     "COUNT(DISTINCT) + sorted list(DISTINCT): the gate proves the "
-    "salted rewrite answer-identical, integer-exact",
+    "salted rewrite answer-identical, integer-exact.  NULL values "
+    "are dropped on both sides (collect_set / COUNT DISTINCT "
+    "semantics); an all-NULL key renders '' — the oracle COALESCEs "
+    "DuckDB's NULL-list rendering to match (fuzz-pinned)",
     defer=True,
     since=13,
 )

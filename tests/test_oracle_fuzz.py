@@ -273,3 +273,56 @@ def test_hyperplane_recall_oracle_fuzz(spark, seed):
     by_band = {b: (t, c) for b, t, c, _ in got}
     assert by_band[10] == (1, 1)  # the exact copy: caught with certainty
     assert by_band[-10][1] == 0  # negated copy: never a candidate
+
+
+@pytest.mark.parametrize("seed", [2, 6])
+def test_salted_distinct_set_oracle_fuzz(spark, seed):
+    """Attack the r13 salted distinct-set oracle where it could
+    plausibly break: NULL values mixed into keys (dropped on both
+    engines — collect_set vs COUNT DISTINCT), an ALL-NULL key (Spark
+    renders '' from the empty array; the oracle COALESCEs DuckDB's
+    NULL-list rendering to match), negative ids (sort + string
+    rendering), heavy literal duplication (the whale shape), and a
+    forced salt > 1 so the salted path — not the degenerate salt_n=1
+    plan — is what's being compared."""
+    from pyspark.sql import functions as F
+
+    from myrecommendsystem_spark.operators.skew import salted_distinct_set
+
+    rng = random.Random(seed)
+    keys = ["click", "view", "err"]
+    rows = []
+    for i in range(rng.randint(200, 400)):
+        k = rng.choice(keys) if rng.random() > 0.7 else "whale"
+        v = (
+            None
+            if rng.random() < 0.15
+            else rng.randint(-50, 50) if k != "whale" else rng.randint(-5, 5)
+        )
+        rows.append((k, v))
+    rows += [("nullonly", None)] * 3  # the all-NULL key
+    ev = spark.createDataFrame(rows, "event_type string, user_id long")
+    forced = spark.createDataFrame([(5,)], "rec_salt int")
+    res = salted_distinct_set(ev, ["event_type"], "user_id", profile=forced)
+    got = sorted(
+        (r.event_type, r.n_users, r.user_ids)
+        for r in res.select(
+            "event_type",
+            F.col("n_distinct").alias("n_users"),
+            F.concat_ws(
+                ",", F.col("distinct_values").cast("array<string>")
+            ).alias("user_ids"),
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events(event_type VARCHAR, user_id BIGINT)")
+    con.executemany("INSERT INTO events VALUES (?, ?)", rows)
+    want = sorted(
+        (k, int(n), s)
+        for k, n, s in con.execute(
+            _oracle("events_salted_distinct_users")
+        ).fetchall()
+    )
+    con.close()
+    assert got == want
+    assert ("nullonly", 0, "") in got  # all-NULL key: empty, not dropped
