@@ -331,8 +331,6 @@ def _hp_prepare(
     interpreted per node — measured 5.7 s vs 0.9 s for this fold at
     sf0.1.
     """
-    from functools import reduce
-
     # Null-safe dim probe (round-7 ADVICE): an arbitrary .first() row can
     # be a null/short embedding, which silently emptied the whole family
     # while the oracle still computed pairs over the remaining rows.
@@ -342,6 +340,36 @@ def _hp_prepare(
     # callers that already know the corpus dim pass it to skip the job
     # (the cross-pair gate probes its new side only — one corpus, one
     # dim by contract).
+    sig = _hp_prepare_sig(df, n_bits, band_bits, id_col, vec_col, salt, dim)
+    if sig is None:
+        return None
+    return sig.select("id", "v"), _explode_bands(sig, n_bits // band_bits)
+
+
+def _hp_prepare_sig(
+    df: DataFrame,
+    n_bits: int,
+    band_bits: int,
+    id_col: str,
+    vec_col: str,
+    salt: str,
+    dim: int | None = None,
+):
+    """Fused signed relation for the sign-bit LSH family: ``(id, v,
+    band0..band{k-1})`` — ONE row per vector carrying both the raw
+    vector and its byte-band values, or None on empty/0-dim input.
+
+    r13 optimization: :func:`_hp_prepare` used to hand back a separate
+    EXPLODED bands relation, so incremental consumers (the semantic
+    fold) checkpointed TWO relations per step (base + bands) — two
+    eager jobs and duplicated id/band storage.  Fusing the band values
+    onto the base row lets a caller checkpoint ONE relation and derive
+    the exploded view with :func:`_explode_bands` (a map-only
+    projection — free to recompute per consumer, unlike the sign fold,
+    which stays materialized in the checkpoint).  Sign-fold semantics
+    are bit-identical: same fused left-assoc fold, same band packing
+    (see the fold note below).
+    """
     if dim is None:
         probe = df.filter(F.col(vec_col).isNotNull()).agg(
             F.max(F.size(F.col(vec_col))).alias("d")
@@ -353,6 +381,8 @@ def _hp_prepare(
         )
     if dim <= 0:
         return None
+    from functools import reduce
+
     signs = hyperplane_signs(n_bits, dim, salt)
     base = df.select(
         F.col(id_col).cast("long").alias("id"),
@@ -374,7 +404,7 @@ def _hp_prepare(
         lambda acc, term: F.zip_with(acc, term, lambda a, t: a + t),
     )
     n_bands = n_bits // band_bits
-    dots = base.select("id", folded.alias("djs"))
+    dots = base.select("id", "v", folded.alias("djs"))
     band_cols = [
         reduce(
             lambda a, b: a + b,
@@ -388,8 +418,14 @@ def _hp_prepare(
         ).alias(f"band{b}")
         for b in range(n_bands)
     ]
-    sigs = dots.select("id", *band_cols)
-    bands = sigs.select(
+    return dots.select("id", "v", *band_cols)
+
+
+def _explode_bands(sig: DataFrame, n_bands: int) -> DataFrame:
+    """(id, band_idx, band_val) view over a :func:`_hp_prepare_sig`
+    relation — a map-only projection (prune + explode of already-
+    computed band values), free to derive per consumer."""
+    return sig.select(
         "id",
         F.explode(
             F.array(
@@ -407,7 +443,6 @@ def _hp_prepare(
         F.col("bk.band_idx").alias("band_idx"),
         F.col("bk.band_val").alias("band_val"),
     )
-    return base, bands
 
 
 def hyperplane_lsh_pairs(
@@ -419,6 +454,7 @@ def hyperplane_lsh_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     salt: str = "hp",
+    ordered: bool = True,
 ) -> DataFrame:
     """Sign-bit (random-hyperplane) LSH near-dup pairs → (id_a, id_b,
     n_bands, cos) — the fully ORACLE-GATED scale path for embedding
@@ -445,7 +481,9 @@ def hyperplane_lsh_pairs(
     if prepared is None:
         return _empty_frame(df, out_schema)
     base, bands = prepared
-    return hp_pairs_from_prepared(base, bands, threshold, max_bucket)
+    return hp_pairs_from_prepared(
+        base, bands, threshold, max_bucket, ordered=ordered
+    )
 
 
 def hp_pairs_from_prepared(
@@ -453,13 +491,20 @@ def hp_pairs_from_prepared(
     bands: DataFrame,
     threshold: float = 0.35,
     max_bucket: int = 1000,
+    ordered: bool = True,
 ) -> DataFrame:
     """Pair stage of :func:`hyperplane_lsh_pairs` over already-signed
     relations (``base`` = (id, v), ``bands`` = (id, band_idx,
     band_val)) — factored out in round 8 so incremental maintenance
     (streaming/semantic_dedup.py) signs each vector ONCE and reuses the
     bands across its gate and self-dedup stages, the way the fold
-    oracle's CTEs already do."""
+    oracle's CTEs already do.
+
+    ``ordered=False`` drops the final global sort (one whole exchange):
+    set-shaped consumers — connected components, distinct-id gates —
+    are order-insensitive, so internal callers skip the sort the
+    registered pair queries keep for presentation (r13 optimization;
+    the driver's oracle hash is order-insensitive either way)."""
     w = Window.partitionBy("band_idx", "band_val")
     ok = bands.withColumn("bucket_n", F.count(F.lit(1)).over(w)).filter(
         F.col("bucket_n") <= max_bucket
@@ -495,13 +540,13 @@ def hp_pairs_from_prepared(
     cos = round_stable(
         _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4
     )
-    return (
+    out = (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .select("id_a", "id_b", "n_bands", cos.alias("cos"))
         .filter(F.col("cos") >= threshold)
-        .orderBy("id_a", "id_b")
     )
+    return out.orderBy("id_a", "id_b") if ordered else out
 
 
 def hyperplane_recall_report(
@@ -608,6 +653,7 @@ def hyperplane_lsh_cross_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     salt: str = "hp",
+    ordered: bool = True,
 ) -> DataFrame:
     """Cross-corpus semantic dedup → (new_id, ref_id, n_bands, cos):
     incoming vectors against an existing reference corpus through
@@ -650,7 +696,13 @@ def hyperplane_lsh_cross_pairs(
     new_base, new_bands = new_prep
     ref_base, ref_bands = ref_prep
     return hp_cross_pairs_from_prepared(
-        new_base, new_bands, ref_base, ref_bands, threshold, max_bucket
+        new_base,
+        new_bands,
+        ref_base,
+        ref_bands,
+        threshold,
+        max_bucket,
+        ordered=ordered,
     )
 
 
@@ -677,7 +729,11 @@ def hyperplane_semantic_survivors(
     if prep is None:
         return _empty_frame(df, out_schema)
     base, bands = prep
-    pairs = hp_pairs_from_prepared(base, bands, threshold, max_bucket)
+    # ordered=False: the pair relation feeds the component closure (a
+    # set consumer) — the global sort exchange would be pure waste
+    pairs = hp_pairs_from_prepared(
+        base, bands, threshold, max_bucket, ordered=False
+    )
     comps = connected_components(pairs)
     sizes = comps.groupBy("comp").agg(
         F.count(F.lit(1)).cast("int").alias("cluster_size")
@@ -702,10 +758,12 @@ def hp_cross_pairs_from_prepared(
     ref_bands: DataFrame,
     threshold: float = 0.35,
     max_bucket: int = 1000,
+    ordered: bool = True,
 ) -> DataFrame:
     """Cross-pair stage of :func:`hyperplane_lsh_cross_pairs` over
     already-signed relations — the prepared-input twin of
-    :func:`hp_pairs_from_prepared` (same round-8 rationale)."""
+    :func:`hp_pairs_from_prepared` (same round-8 rationale; same
+    ``ordered=False`` escape for set-shaped internal consumers)."""
     w = Window.partitionBy("band_idx", "band_val")
     ref_ok = ref_bands.withColumn(
         "bucket_n", F.count(F.lit(1)).over(w)
@@ -734,13 +792,13 @@ def hp_cross_pairs_from_prepared(
     cos = round_stable(
         _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4
     )
-    return (
+    out = (
         cand.join(new_normed, "new_id")
         .join(ref_normed, "ref_id")
         .select("new_id", "ref_id", "n_bands", cos.alias("cos"))
         .filter(F.col("cos") >= threshold)
-        .orderBy("new_id", "ref_id")
     )
+    return out.orderBy("new_id", "ref_id") if ordered else out
 
 
 def kmeans_fit_mat(mat: np.ndarray, n_cells: int, seed: int = 42) -> np.ndarray:

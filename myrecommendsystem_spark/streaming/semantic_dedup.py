@@ -80,6 +80,7 @@ def _self_survivors(
         n_bits=n_bits,
         band_bits=band_bits,
         max_bucket=max_bucket,
+        ordered=False,  # feeds the component closure — a set consumer
     )
     comps = connected_components(pairs)
     dropped = comps.filter(F.col("comp") != F.col("id")).select(
@@ -110,6 +111,7 @@ def semantic_ingest_step(
             n_bits=n_bits,
             band_bits=band_bits,
             max_bucket=max_bucket,
+            ordered=False,  # distinct-id gate — order-insensitive
         ).select(F.col("new_id").alias("vec_id")).distinct()
         elig = elig.join(matched, "vec_id", "left_anti")
     return _self_survivors(elig, threshold, n_bits, band_bits, max_bucket)
@@ -137,105 +139,122 @@ def incremental_semantic_survivors(
     three, and the signature pass never re-runs over the growing
     survivor set.  Accumulated base+bands are localCheckpointed per
     step (the recsys-eval materialized-view discipline; without it the
-    plan doubles per batch).  DETERMINISTIC and DuckDB-replayed
+    plan doubles per batch).  Round 13 cut the fold's fixed job count
+    (the old structure ran ~94 scheduler jobs at bench scale — each an
+    eager barrier at ANY scale): ONE tagged-union dim probe replaces K
+    per-batch probe jobs, the survivor roster rides the base
+    accumulator as an ``arrived_batch`` column instead of its own
+    per-step checkpoint, and the pair stages skip their presentation
+    sort (``ordered=False`` — the gate's distinct and the component
+    closure are set consumers).  DETERMINISTIC and DuckDB-replayed
     (``embedding_incremental_survivors``); the streaming path persists
     the same accumulation to parquet instead
     (:func:`run_semantic_dedup_stream`).
     """
     import time
 
+    from functools import reduce
+
     if not batches:
         raise ValueError("incremental_semantic_survivors: no batches")
     spark = batches[0].sparkSession
     del LAST_CYCLE_SECONDS[:]
-    surv: DataFrame | None = None  # (vec_id, arrived_batch)
-    surv_base = surv_bands = None  # signed survivor relations
-    surv_is_ckpt = False  # surv is lazy until the second contributing step
+    # ONE dim-probe job for the whole fold (r13 optimization): the
+    # per-batch `_hp_prepare` probe is a full Spark job each, and the
+    # fold ran K of them.  A single tagged union reproduces the exact
+    # per-batch max-dims the individual probes would have returned
+    # (including 0/absent for an empty batch → that step contributes
+    # nothing, same as the old prep-is-None skip).
+    probe_union = reduce(
+        DataFrame.unionByName,
+        (
+            bt.filter(F.col("embedding").isNotNull()).select(
+                F.lit(i).alias("b"),
+                F.size(F.col("embedding").cast("array<double>")).alias("s"),
+            )
+            for i, bt in enumerate(batches)
+        ),
+    )
+    batch_dims = {
+        r["b"]: r["s"]
+        for r in probe_union.groupBy("b").agg(F.max("s").alias("s")).collect()
+    }
+    n_bands = n_bits // band_bits
+    # ONE accumulator: (id, v, band0.., arrived_batch) — the fused sig
+    # relation (similarity._hp_prepare_sig) carries vector, band values
+    # and arrival tag in one row, so each step checkpoints ONE relation
+    # where the old fold checkpointed three (base + exploded bands +
+    # roster); the exploded band view and the (vec_id, arrived_batch)
+    # roster are map-only projections derived per consumer.
+    surv_sig = None
     for b, batch in enumerate(batches):
         _cycle_t0 = time.perf_counter()
-        prep = similarity._hp_prepare(
-            batch, n_bits, band_bits, "vec_id", "embedding", "hp"
-        )
-        if prep is None:  # empty or 0-dim batch: nothing can survive
+        dim = batch_dims.get(b) or 0
+        if dim <= 0:  # empty or 0-dim batch: nothing can survive
             continue
-        base, bands = prep
-        # sign once per step: the bands relation feeds the gate, the
-        # self-pair join, and the survivor accumulation — uncheckpointed,
-        # each consumer re-ran the 16x64 sign fold (measured 3 runs of
-        # the cross pipeline per step through the checkpoint lineages)
-        bands = step_bands = bands.localCheckpoint(eager=True)
+        # sign once per step: the checkpoint materializes the 16x64
+        # sign fold exactly once; every consumer (gate, self-pair join,
+        # survivor accumulation) derives from the checkpointed rows
+        sig = similarity._hp_prepare_sig(
+            batch, n_bits, band_bits, "vec_id", "embedding", "hp", dim=dim
+        ).localCheckpoint(eager=True)
+        gated = sig
         matched = None
-        if surv_base is not None:
+        if surv_sig is not None:
             matched = (
                 similarity.hp_cross_pairs_from_prepared(
-                    base, bands, surv_base, surv_bands, threshold, max_bucket
+                    sig.select("id", "v"),
+                    similarity._explode_bands(sig, n_bands),
+                    surv_sig.select("id", "v"),
+                    similarity._explode_bands(surv_sig, n_bands),
+                    threshold,
+                    max_bucket,
+                    ordered=False,  # distinct-id gate — set consumer
                 )
                 .select(F.col("new_id").alias("id"))
                 .distinct()
                 .localCheckpoint(eager=True)
             )
-            base = base.join(matched, "id", "left_anti")
-            bands = bands.join(matched, "id", "left_anti")
+            gated = sig.join(matched, "id", "left_anti")
         pairs = similarity.hp_pairs_from_prepared(
-            base, bands, threshold, max_bucket
+            gated.select("id", "v"),
+            similarity._explode_bands(gated, n_bands),
+            threshold,
+            max_bucket,
+            ordered=False,
         )
         dropped = (
             connected_components(pairs)
             .filter(F.col("comp") != F.col("id"))
             .select("id")
         )
-        keep_base = base.join(dropped, "id", "left_anti").localCheckpoint(
-            eager=True
+        keep_sig = gated.join(dropped, "id", "left_anti").withColumn(
+            "arrived_batch", F.lit(b).cast("int")
         )
-        keep_bands = bands.join(dropped, "id", "left_anti")
-        fresh = keep_base.select(
-            F.col("id").alias("vec_id"),
-            F.lit(b).cast("int").alias("arrived_batch"),
-        )
-        prev_surv, prev_base, prev_bands = surv, surv_base, surv_bands
-        first = surv_base is None
-        if first:
-            # fresh stays lazy over keep_base — the accumulator itself;
-            # nothing to retire yet
-            surv = fresh
-            surv_base = keep_base
-        else:
-            # the step's keep_base folds into BOTH new checkpoints below,
-            # after which it (and the superseded accumulators) is dead
-            surv = surv.unionByName(fresh).localCheckpoint(eager=True)
-            surv_base = surv_base.unionByName(keep_base).localCheckpoint(
-                eager=True
-            )
-        surv_bands = (
-            keep_bands
-            if surv_bands is None
-            else surv_bands.unionByName(keep_bands)
+        prev = surv_sig
+        # keep_sig has exactly one consumer (this union), so it stays
+        # lazy and materializes inside the accumulator checkpoint
+        surv_sig = (
+            keep_sig if prev is None else prev.unionByName(keep_sig)
         ).localCheckpoint(eager=True)
         # every step output is materialized now → free the superseded
-        # accumulator checkpoints and the step-local ones (round-8
+        # accumulator checkpoint and the step-local ones (round-8
         # ADVICE: without this, pinned block storage grows per batch).
-        # prev_surv is only a checkpoint from the second union on — at
-        # step 1 it is the lazy fresh_0 (skip; release is ckpt-only).
-        release_checkpoint(step_bands, matched)
-        if not first:
-            release_checkpoint(prev_base, prev_bands, keep_base)
-            if surv_is_ckpt:
-                release_checkpoint(prev_surv)
-            surv_is_ckpt = True
+        release_checkpoint(sig, matched)
+        if prev is not None:
+            release_checkpoint(prev)
         LAST_CYCLE_SECONDS.append(time.perf_counter() - _cycle_t0)
-    if surv is None:
+    if surv_sig is None:
         return spark.createDataFrame([], "vec_id bigint, arrived_batch int")
-    # materialize the result, then release the final accumulators — the
+    # materialize the result, then release the final accumulator — the
     # only blocks that outlive the call are the (small) result's own
     _fin_t0 = time.perf_counter()
     out = (
-        surv.select("vec_id", "arrived_batch")
+        surv_sig.select(F.col("id").alias("vec_id"), "arrived_batch")
         .orderBy("vec_id")
         .localCheckpoint(eager=True)
     )
-    release_checkpoint(surv_bands, surv_base)
-    if surv_is_ckpt:  # surv itself is a checkpoint after ≥2 steps
-        release_checkpoint(surv)
+    release_checkpoint(surv_sig)
     LAST_CYCLE_SECONDS.append(time.perf_counter() - _fin_t0)
     return out
 
@@ -397,7 +416,7 @@ def run_semantic_dedup_stream(
             matched = (
                 similarity.hp_cross_pairs_from_prepared(
                     base_b, bands_b, surv_base, surv_bands,
-                    threshold, max_bucket,
+                    threshold, max_bucket, ordered=False,
                 )
                 .select(F.col("new_id").alias("id"))
                 .distinct()
@@ -406,7 +425,7 @@ def run_semantic_dedup_stream(
             base_b = base_b.join(matched, "id", "left_anti")
             bands_b = bands_b.join(matched, "id", "left_anti")
         pairs = similarity.hp_pairs_from_prepared(
-            base_b, bands_b, threshold, max_bucket
+            base_b, bands_b, threshold, max_bucket, ordered=False
         )
         dropped = (
             connected_components(pairs)
