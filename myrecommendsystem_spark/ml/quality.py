@@ -48,23 +48,26 @@ _REG = 0.01
 _N_ITER = 8
 
 
-def bigram_slots(col: Column) -> Column:
-    """array<int> of hashed char-bigram slots, one entry PER OCCURRENCE:
-    slot = (31·ord(c1) + ord(c2)) mod 256 over lower(trim(text)).  Pure
-    codegen (split + sequence + transform); docs shorter than 2 chars
-    yield an empty array.  The DuckDB twin is the same comprehension
-    over ``regexp_split_to_array``; the numpy fit twin is
-    :func:`bigram_count_mat` (counts of the same slots)."""
-    s = F.lower(F.trim(col))
-    # adjacent pairs via zip_with over two slices of ONE codepoint array.
-    # NOT sequence+transform with element_at(split(...), i): an
-    # expression referenced INSIDE a lambda body is re-evaluated per
-    # element (HOF lambdas see no common-subexpression elimination), so
-    # that shape re-splits the whole string per character — O(L²) per
-    # document, measured 57 s for sf0.1's 1.5M bigrams vs ~1 s for this
-    # form, where split/slice are lambda ARGUMENTS evaluated once per row
-    # and the lambdas touch only their own variables.
-    cps = F.transform(F.split(s, ""), lambda c: F.ascii(c))
+def char_codes(col: Column) -> Column:
+    """array<int> of codepoints over lower(trim(text)) — the shared
+    featurization prefix of :func:`bigram_slots`.  Exposed separately so
+    a caller can stage it as its OWN projection column: higher-order
+    functions are interpreted (no codegen subexpression elimination), so
+    every textual occurrence of this subtree in one projection re-splits
+    and re-transforms the whole string per row.  :func:`bigram_slots`
+    references its input five times (size guard + two slices + their
+    lengths); staged as a column, the transform runs once per row and
+    CollapseProject keeps the stage (a non-cheap expression referenced
+    more than once is never inlined back)."""
+    return F.transform(
+        F.split(F.lower(F.trim(col)), ""), lambda c: F.ascii(c)
+    )
+
+
+def bigram_slots_from_codes(cps: Column) -> Column:
+    """:func:`bigram_slots` over an already-staged :func:`char_codes`
+    column — pass a bare column reference (cheap to re-evaluate), not
+    the transform expression itself."""
     n = F.size(cps)
     return F.when(
         n >= 2,
@@ -74,6 +77,29 @@ def bigram_slots(col: Column) -> Column:
             lambda a, b: (a * 31 + b) % _N_FEATURES,
         ),
     ).otherwise(F.array().cast("array<int>"))
+
+
+def bigram_slots(col: Column) -> Column:
+    """array<int> of hashed char-bigram slots, one entry PER OCCURRENCE:
+    slot = (31·ord(c1) + ord(c2)) mod 256 over lower(trim(text)).  Pure
+    codegen (split + sequence + transform); docs shorter than 2 chars
+    yield an empty array.  The DuckDB twin is the same comprehension
+    over ``regexp_split_to_array``; the numpy fit twin is
+    :func:`bigram_count_mat` (counts of the same slots).
+
+    NOTE (r13): composing this inline evaluates :func:`char_codes` five
+    times per row — prefer staging the codes column and calling
+    :func:`bigram_slots_from_codes` on hot paths.
+    """
+    # adjacent pairs via zip_with over two slices of ONE codepoint array.
+    # NOT sequence+transform with element_at(split(...), i): an
+    # expression referenced INSIDE a lambda body is re-evaluated per
+    # element (HOF lambdas see no common-subexpression elimination), so
+    # that shape re-splits the whole string per character — O(L²) per
+    # document, measured 57 s for sf0.1's 1.5M bigrams vs ~1 s for this
+    # form, where split/slice are lambda ARGUMENTS evaluated once per row
+    # and the lambdas touch only their own variables.
+    return bigram_slots_from_codes(char_codes(col))
 
 
 def bigram_count_mat(texts: list[str]) -> np.ndarray:
@@ -266,9 +292,15 @@ def score_documents(
     # NON-foldable, e.g. joined in from a model table — unlike the
     # in-lambda form, whose cost would silently become per-element.)
     w_arr = F.array(*[F.lit(float(x)) for x in w])
-    with_w = src.withColumn("__w", w_arr)
+    # stage the codepoint array as its own projection (r13, guide §4.1):
+    # bigram_slots references it 5x, and HOFs see no subexpression
+    # elimination — inline, the split+ascii transform ran five times per
+    # row (measured 2.6 s → 1.0 s for this query's bench entry).
+    with_w = src.withColumn("__w", w_arr).withColumn(
+        "__cps", char_codes(F.col(text_col))
+    )
     margin = F.aggregate(
-        bigram_slots(F.col(text_col)),
+        bigram_slots_from_codes(F.col("__cps")),
         F.lit(float(b)),
         lambda acc, s: acc + F.element_at(F.col("__w"), s + 1),
     )
