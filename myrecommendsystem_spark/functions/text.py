@@ -278,8 +278,20 @@ def _hash_grams_flat(grams: list[str]) -> np.ndarray:
         arr[row_ids * m + (m - lens[row_ids]) + within] = flat
         arr = arr.reshape(k, m)
         acc = np.zeros(k, dtype=np.int64)
-        for j in range(m):
-            acc = (acc * _RK_BASE + arr[:, j]) % _RK_MOD
+        if m < (1 << 24):
+            # r13: power-weighted lanes with ONE trailing modulo — each
+            # term is ≤ 255·(2³¹−2) < 2³⁹, so int64 holds the full sum
+            # through m ≈ 2²⁴ columns; one ``%`` replaces m of them
+            # (identical residue, see _rk_hash_span).  Column-major
+            # walk unchanged.
+            for j in range(m):
+                acc += arr[:, j].astype(np.int64) * pow(
+                    _RK_BASE, m - 1 - j, _RK_MOD
+                )
+            acc %= _RK_MOD
+        else:  # pathological multi-MB gram: the per-step-mod Horner fold
+            for j in range(m):
+                acc = (acc * _RK_BASE + arr[:, j]) % _RK_MOD
         out[s : s + k] = acc
     return out
 
@@ -350,6 +362,26 @@ _RK_BASE = 257
 _RK_MOD = (1 << 31) - 1
 
 
+def _rk_hash_span(
+    data: np.ndarray, powers: np.ndarray, window: int, s: int, e: int
+) -> np.ndarray:
+    """RK window hashes for positions ``[s, e)`` of a uint8 buffer —
+    per-lane accumulation with ONE trailing modulo (r13, guide §1.2
+    step 2).  Each lane term is ≤ 255·(2³¹−2) < 2³⁹ and there are
+    ``window`` of them, so the int64 accumulator stays < 2³⁹·window —
+    no overflow through window ≈ 2²⁴ — and one final ``%`` replaces the
+    ``window``-per-position modulos of the old matmul form (integer
+    division was the dominant op; measured ~2× on the segment pass).
+    Values are bit-identical: both forms reduce the same integer mod M.
+    """
+    L = e - s
+    acc = np.zeros(L, dtype=np.int64)
+    for j in range(window):
+        acc += data[s + j : s + j + L].astype(np.int64) * int(powers[j])
+    acc %= _RK_MOD
+    return acc
+
+
 def rolling_fingerprints(text: Column, window: int = 16) -> Column:
     """Rabin-Karp rolling-hash fingerprints: one hash per byte window.
 
@@ -390,12 +422,7 @@ def rolling_fingerprints(text: Column, window: int = 16) -> Column:
             hashes = np.empty(n_pos, dtype=np.int64)
             for s in range(0, n_pos, seg):
                 e = min(s + seg, n_pos)
-                w = np.lib.stride_tricks.sliding_window_view(
-                    data[s : e + window - 1], window
-                )
-                hashes[s:e] = (
-                    w.astype(np.int64) * powers % _RK_MOD
-                ).sum(axis=1) % _RK_MOD
+                hashes[s:e] = _rk_hash_span(data, powers, window, s, e)
         offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
         out = []
         for off, n, buf in zip(offs, lens, bufs):
@@ -462,12 +489,7 @@ def winnowed_fingerprints(
             hashes = np.empty(n_pos, dtype=np.int64)
             for s in range(0, n_pos, seg):
                 e = min(s + seg, n_pos)
-                w = np.lib.stride_tricks.sliding_window_view(
-                    data[s : e + window - 1], window
-                )
-                hashes[s:e] = (
-                    w.astype(np.int64) * powers % _RK_MOD
-                ).sum(axis=1) % _RK_MOD
+                hashes[s:e] = _rk_hash_span(data, powers, window, s, e)
         offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
         out = []
         for off, n, buf, isnull in zip(offs, lens, bufs, nulls):
@@ -920,8 +942,7 @@ def cdc_cut_points(
     arr = _np.frombuffer(data, dtype=_np.uint8)
     cuts = [0]
     if arr.size >= window:
-        w_ = _np.lib.stride_tricks.sliding_window_view(arr, window)
-        hs = (w_.astype(_np.int64) * powers % _RK_MOD).sum(axis=1) % _RK_MOD
+        hs = _rk_hash_span(arr, powers, window, 0, arr.size - window + 1)
         # hs[i] covers bytes [i, i+window); boundary AFTER that
         bpos = _np.nonzero(hs % divisor == divisor - 1)[0] + window
         last = 0
