@@ -181,6 +181,7 @@ def near_duplicate_pairs(
     import numpy as np
     import pandas as pd
 
+    n_rows = None  # known only after the auto router's count
     if method == "auto":
         n_rows = df.count()
         first = df.select(F.size(F.col(vec_col)).alias("d")).first()
@@ -193,7 +194,11 @@ def near_duplicate_pairs(
         )
     if method == "ivf":
         return near_duplicate_pairs_ivf(
-            df, threshold=threshold, id_col=id_col, vec_col=vec_col
+            df,
+            threshold=threshold,
+            id_col=id_col,
+            vec_col=vec_col,
+            n=n_rows,
         )
 
     u = as_unit_vectors(widen_for_kernel(df), id_col, vec_col)
@@ -233,6 +238,7 @@ def near_duplicate_pairs_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    n: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs, IVF-bucketed — the O(N²) escape hatch.
 
@@ -243,9 +249,11 @@ def near_duplicate_pairs_ivf(
     exact join is asserted in tests; same output shape as
     :func:`near_duplicate_pairs` so the two are drop-in comparable.
     """
-    if df.isEmpty():
+    if n is None:
+        n = df.count()  # doubles as the empty gate and the fit's n (r13)
+    if n == 0:
         return _empty_frame(df, "id_a bigint, id_b bigint, cos double")
-    centroids = fit_ivf_centroids(df, n_cells, id_col, vec_col, seed)
+    centroids = fit_ivf_centroids(df, n_cells, id_col, vec_col, seed, n=n)
     assigned = ivf_assign(df, centroids, id_col, vec_col, nprobe=nprobe)
     eps = 1e-9
 
@@ -861,6 +869,32 @@ def pq_fit_mat(mat: np.ndarray, m: int, k: int, seed: int = 42) -> np.ndarray:
     return books
 
 
+def _unit_sample_matrix(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n: int,
+    max_train: int,
+    salt: str,
+) -> np.ndarray:
+    """Deterministic bounded training sample as a unit-normalized
+    (≤max_train, d) float64 matrix — the shared gather of the IVF/PQ
+    quantizer fits.  ``n`` is the caller-supplied input row count (the
+    sampling fraction needs it); when ``n <= max_train`` the sample is
+    the WHOLE input ordered by id, independent of ``salt`` — which is
+    what lets :func:`build_ivfpq_index` gather once for both fits."""
+    raw = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    if n > max_train:
+        from myrecommendsystem_spark.operators.sampling import sample_fraction
+
+        raw = sample_fraction(raw, "id", max_train / n, salt=salt)
+    # orderBy(id) pins collect order: k-means init indexes into row order,
+    # so codebooks must not depend on physical partition layout.
+    mat = np.array([r.vec for r in raw.orderBy("id").collect()], dtype=np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    return mat
+
+
 def fit_ivf_centroids(
     df: DataFrame,
     n_cells: int = 16,
@@ -868,6 +902,7 @@ def fit_ivf_centroids(
     vec_col: str = "embedding",
     seed: int = 42,
     max_train: int = 100_000,
+    n: int | None = None,
 ) -> np.ndarray:
     """Coarse quantizer → (n_cells, d) float64 unit-space centroid matrix.
 
@@ -885,19 +920,18 @@ def fit_ivf_centroids(
     the bare matrix (kernel-closure state for :func:`ivf_assign`), not a
     DataFrame: the fit is driver-local, a round-trip through
     ``createDataFrame`` + re-collect added two more jobs for nothing.
-    """
-    if df.isEmpty():
-        raise ValueError("fit_ivf_centroids: empty input — nothing to quantize")
-    raw = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    n = raw.count()
-    if n > max_train:
-        from myrecommendsystem_spark.operators.sampling import sample_fraction
 
-        raw = sample_fraction(raw, "id", max_train / n, salt="ivf")
-    # orderBy(id) pins collect order: k-means init indexes into row order,
-    # so codebooks must not depend on physical partition layout.
-    mat = np.array([r.vec for r in raw.orderBy("id").collect()], dtype=np.float64)
-    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    ``n``: input row count when the caller already knows it — the r13
+    job-fusion hook: the old shape ran ``isEmpty()`` + ``count()`` +
+    the sample collect (three scans of the corpus, two of them full
+    passes at scale); a caller that counts once and threads ``n``
+    through every fit pays ONE count for the whole index build.
+    """
+    if n is None:
+        n = df.count()
+    if n == 0:
+        raise ValueError("fit_ivf_centroids: empty input — nothing to quantize")
+    mat = _unit_sample_matrix(df, id_col, vec_col, n, max_train, "ivf")
     return kmeans_fit_mat(mat, n_cells, seed)
 
 
@@ -962,11 +996,12 @@ def ivf_topk(
     (query_id, vec_id, cos, rnk) — same shape as brute_force_topk so the
     two are drop-in comparable (recall measured in tests).
     """
-    if corpus.isEmpty():
+    n = corpus.count()  # doubles as the empty gate and the fit's n (r13)
+    if n == 0:
         return _empty_frame(
             corpus, "query_id bigint, vec_id bigint, cos double, rnk int"
         )
-    centroids = fit_ivf_centroids(corpus, n_cells, id_col, vec_col, seed)
+    centroids = fit_ivf_centroids(corpus, n_cells, id_col, vec_col, seed, n=n)
     assigned = ivf_assign(
         corpus, centroids, id_col, vec_col, nprobe=1
     ).withColumnsRenamed({"id": "vec_id", "unit": "cu"})
@@ -1034,6 +1069,7 @@ def fit_pq_codebooks(
     vec_col: str = "embedding",
     seed: int = 42,
     max_train: int = 100_000,
+    n: int | None = None,
 ) -> np.ndarray:
     """Train PQ codebooks → (m, k, d/m) float64.
 
@@ -1044,20 +1080,15 @@ def fit_pq_codebooks(
     100 TB-scale index keep its vectors in executor memory.  Same
     training discipline as :func:`fit_ivf_centroids`: bounded
     deterministic sample, driver-local numpy Lloyd — O(1) in corpus
-    size; encoding and search stay fully distributed.
+    size; encoding and search stay fully distributed.  ``n``: see
+    :func:`fit_ivf_centroids` — thread the count through to skip the
+    per-fit ``isEmpty``/``count`` scans.
     """
-    if df.isEmpty():
+    if n is None:
+        n = df.count()
+    if n == 0:
         raise ValueError("fit_pq_codebooks: empty input — nothing to quantize")
-    raw = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    n = raw.count()
-    if n > max_train:
-        from myrecommendsystem_spark.operators.sampling import sample_fraction
-
-        raw = sample_fraction(raw, "id", max_train / n, salt="pq")
-    # orderBy(id) pins collect order: k-means init indexes into row order,
-    # so codebooks must not depend on physical partition layout.
-    mat = np.array([r.vec for r in raw.orderBy("id").collect()], dtype=np.float64)
-    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    mat = _unit_sample_matrix(df, id_col, vec_col, n, max_train, "pq")
     return pq_fit_mat(mat, m, k, seed)
 
 
@@ -1214,12 +1245,13 @@ def pq_topk(
     ``rerank=None`` returns the raw compressed-domain ranking.  Recall
     vs brute force asserted in tests (same contract as IVF).
     """
-    if corpus.isEmpty():
+    n = corpus.count()  # doubles as the empty gate and the fit's n (r13)
+    if n == 0:
         return _empty_frame(
             corpus, "query_id bigint, vec_id bigint, score double, rnk int"
         )
     books = fit_pq_codebooks(
-        corpus, m=m, k=k_codes, id_col=id_col, vec_col=vec_col, seed=seed
+        corpus, m=m, k=k_codes, id_col=id_col, vec_col=vec_col, seed=seed, n=n
     )
     codes = pq_encode(corpus, books, id_col, vec_col)
 
@@ -1299,7 +1331,8 @@ def ivf_pq_topk(
     (row, probing query) pair, and only the ≤ Q·rerank shortlist ever
     fetches true vectors.
     """
-    if corpus.isEmpty():
+    n = corpus.count()  # doubles as the empty gate and the fits' n (r13)
+    if n == 0:
         return _empty_frame(
             corpus, "query_id bigint, vec_id bigint, score double, rnk int"
         )
@@ -1311,6 +1344,7 @@ def ivf_pq_topk(
         id_col=id_col,
         vec_col=vec_col,
         seed=seed,
+        n=n,
     )
     return ivfpq_search(
         index,
@@ -1332,17 +1366,41 @@ def build_ivfpq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    n: int | None = None,
+    max_train: int = 100_000,
 ) -> "IvfPqIndex":
     """Build the (cell_id, codes) IVF-PQ index once, independent of any
     query: the index LIFECYCLE primitive — a 100 TB corpus encodes once
     and serves every subsequent search from its 8-byte codes, instead of
-    re-quantizing per query the way the one-shot helpers do."""
-    centroids = fit_ivf_centroids(corpus, n_cells, id_col, vec_col, seed)
+    re-quantizing per query the way the one-shot helpers do.
+
+    r13 job fusion: ONE ``count`` gates emptiness and sizes both fits
+    (the old shape scanned the corpus five times before encoding:
+    2×``isEmpty`` + 2×``count`` + 2 sample collects).  When the corpus
+    is within ``max_train`` both quantizers train on the SAME sample —
+    the whole corpus ordered by id, which is what each fit would have
+    collected independently — so the sample is gathered once; above the
+    cap the two salted samples differ by design and are gathered
+    separately, exactly as before.  Trained matrices are bit-identical
+    to the per-fit path in both regimes."""
+    if n is None:
+        n = corpus.count()
+    if n == 0:
+        raise ValueError("build_ivfpq_index: empty input — nothing to quantize")
+    if n <= max_train:
+        mat = _unit_sample_matrix(corpus, id_col, vec_col, n, max_train, "ivf")
+        centroids = kmeans_fit_mat(mat, n_cells, seed)
+        books = pq_fit_mat(mat, m, k_codes, seed)
+    else:
+        centroids = fit_ivf_centroids(
+            corpus, n_cells, id_col, vec_col, seed, max_train, n=n
+        )
+        books = fit_pq_codebooks(
+            corpus, m=m, k=k_codes, id_col=id_col, vec_col=vec_col,
+            seed=seed, max_train=max_train, n=n,
+        )
     cells = ivf_assign(corpus, centroids, id_col, vec_col, nprobe=1).select(
         F.col("id"), F.col("cell_id")
-    )
-    books = fit_pq_codebooks(
-        corpus, m=m, k=k_codes, id_col=id_col, vec_col=vec_col, seed=seed
     )
     packed = pq_encode(corpus, books, id_col, vec_col).join(cells, "id")
     return IvfPqIndex(packed=packed, centroids=centroids, books=books)
@@ -1605,6 +1663,7 @@ def fit_pca_sample(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_train: int = 100_000,
+    n: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Deterministic bounded-sample PCA fit → (mean, evals, evecs).
 
@@ -1613,11 +1672,13 @@ def fit_pca_sample(
     id order so the driver-side numpy fit is bit-reproducible outside
     Spark — O(1) in corpus size at 100 TB while projection stays fully
     distributed.  RAW vectors: PCA mean-centers, it does not normalize.
+    ``n``: caller-known row count (skips the isEmpty + count scans).
     """
-    if df.isEmpty():
+    if n is None:
+        n = df.count()
+    if n == 0:
         raise ValueError("fit_pca_sample: empty input — nothing to fit")
     raw = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    n = raw.count()
     if n > max_train:
         from myrecommendsystem_spark.operators.sampling import sample_fraction
 
@@ -1674,14 +1735,15 @@ def pca_spectrum(
     eigenvalue from the data as the projection variance.  The fully
     distributed covariance remains available as :func:`pca_covariance`
     for exact-spectrum runs."""
-    if df.isEmpty():
+    n = df.count()  # doubles as the empty gate and the fit's n (r13)
+    if n == 0:
         return _empty_frame(
             df,
             "component int, eigenvalue double, explained_var double, "
             "cum_explained double, top_dim int, top_loading_abs double",
         )
     spark = df.sparkSession
-    _mean, evals, evecs = fit_pca_sample(df, id_col=id_col, vec_col=vec_col)
+    _mean, evals, evecs = fit_pca_sample(df, id_col=id_col, vec_col=vec_col, n=n)
     return spark.createDataFrame(
         pca_spectrum_rows(evals, evecs),
         "component int, eigenvalue double, explained_var double, "
@@ -1737,11 +1799,12 @@ def pca_topk(
     one map-only Arrow pass; the reduced-space scan moves r-dim vectors
     only; the re-rank tail is the shared bounded numpy pass.
     """
-    if corpus.isEmpty():
+    n = corpus.count()  # doubles as the empty gate and the fit's n (r13)
+    if n == 0:
         return _empty_frame(
             corpus, "query_id bigint, vec_id bigint, score double, rnk int"
         )
-    mean, _evals, evecs = fit_pca_sample(corpus, id_col, vec_col)
+    mean, _evals, evecs = fit_pca_sample(corpus, id_col, vec_col, n=n)
     comps = evecs[:, :n_components].T
     red_c = pca_project(corpus, comps, mean, vec_col, out_col="red").select(
         F.col(id_col).alias("id"), "red"
