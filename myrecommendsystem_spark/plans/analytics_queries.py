@@ -1013,7 +1013,7 @@ def _hygiene_stages(spark: SparkSession, sf_dir: str):
         .localCheckpoint(eager=True)
     )
     s3 = s2.join(keep3, "doc_id", "left_semi")
-    return train, s1, s2, s3
+    return train, s1, s2, s3, (keep1, keep2, keep3)
 
 
 # Shared hygiene CTE chain: exact dedup -> per-lang quality gate ->
@@ -1122,22 +1122,32 @@ ORDER BY source, stage
     defer=True,
 )
 def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from functools import reduce
-
-    train, s1, s2, s3 = _hygiene_stages(spark, sf_dir)
-    stages = [
-        ("0_ingest", train),
-        ("1_dedup", s1),
-        ("2_quality", s2),
-        ("3_decontaminated", s3),
-    ]
-    outs = [
-        df.groupBy("source")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
-        .select("source", F.lit(stage).alias("stage"), "n_docs")
-        for stage, df in stages
-    ]
-    return reduce(DataFrame.unionByName, outs).orderBy("source", "stage")
+    # r13 (guide §2.4): the old funnel aggregated each stage relation
+    # separately — FOUR column-pruned passes over train (s3's branch
+    # alone re-joined all three keep sets; 6 semi joins total).  The
+    # keep chains are nested by construction (keep3 ⊆ keep2 ⊆ keep1 on
+    # doc_id), so ONE pass with three membership flags + one grouped
+    # count per flag yields the identical funnel; unpivot (an Expand,
+    # not a Generate — the plan pin forbids gram-explode Generates)
+    # reshapes the per-source counts to (source, stage, n_docs).
+    train, s1, s2, s3, keeps = _hygiene_stages(spark, sf_dir)
+    flagged = train.select("source", "doc_id")
+    for i, keep in enumerate(keeps, start=1):
+        flagged = flagged.join(
+            keep.withColumn(f"__k{i}", F.lit(1)), "doc_id", "left"
+        )
+    agg = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("0_ingest"),
+        F.count("__k1").cast("bigint").alias("1_dedup"),
+        F.count("__k2").cast("bigint").alias("2_quality"),
+        F.count("__k3").cast("bigint").alias("3_decontaminated"),
+    )
+    return agg.unpivot(
+        ["source"],
+        ["0_ingest", "1_dedup", "2_quality", "3_decontaminated"],
+        "stage",
+        "n_docs",
+    ).orderBy("source", "stage")
 
 
 @register(
@@ -2252,7 +2262,7 @@ def corpus_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         shard_assignment,
     )
 
-    _, _, _, s3 = _hygiene_stages(spark, sf_dir)
+    _, _, _, s3, _keeps = _hygiene_stages(spark, sf_dir)
     s4 = resample_balanced(
         s3, "doc_id", "source", target_fraction=0.5, salt="mix"
     )
@@ -5919,25 +5929,32 @@ def parts_price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("price").alias("bprice"),
         F.floor(F.col("price") / width).alias("bkt"),
     )
+    # r13: keep the SELF-match (it lands in exactly one of the probe's
+    # three buckets) so every part reaches the aggregate and the old
+    # LEFT join back to `p` — a second full scan of part plus a
+    # sort-merge join (2 exchanges + 2 sorts) — is redundant:
+    # n_within_band = count-1, and the self gap is exactly 0.0 so the
+    # neighbor gap SUM is unchanged.  Equivalent because p_partkey /
+    # p_retailprice are non-null by the TPC-H data contract (the old
+    # plan's build side already pushed IsNotNull on both).
     pairs = probe.join(build, "bkt").filter(
-        (F.col("bk") != F.col("k"))
-        & (F.abs(F.col("price") - F.col("bprice")) <= width)
+        F.abs(F.col("price") - F.col("bprice")) <= width
     )
     counts = pairs.groupBy("k").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_within_band"),
-        F.avg(F.abs(F.col("price") - F.col("bprice"))).alias("gap"),
+        (F.count(F.lit(1)) - 1).cast("bigint").alias("n_within_band"),
+        F.sum(F.abs(F.col("price") - F.col("bprice"))).alias("sum_gap"),
     )
-    return (
-        p.join(counts, "k", "left")
-        .select(
-            F.col("k").alias("partkey"),
-            F.coalesce("n_within_band", F.lit(0).cast("bigint")).alias(
-                "n_within_band"
-            ),
-            round_stable(F.coalesce("gap", F.lit(0.0)), 4).alias("avg_gap"),
-        )
-        .orderBy("partkey")
-    )
+    return counts.select(
+        F.col("k").alias("partkey"),
+        "n_within_band",
+        round_stable(
+            F.when(
+                F.col("n_within_band") > 0,
+                F.col("sum_gap") / F.col("n_within_band"),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("avg_gap"),
+    ).orderBy("partkey")
 
 
 # ---------------------------------------------------------------------------
