@@ -368,6 +368,13 @@ def connected_components(
     # ONE run of the (often expensive) upstream pair pipeline feeds the
     # venue decision, the driver fetch, AND the distributed loop's edge
     # relation — pre-r8 the count and the fetch each re-executed it.
+    # Deliberately a localCheckpoint, NOT persist (r13 measured both):
+    # a cached subplan materializes under the cached-plan AQE
+    # restriction (no output-partitioning changes → no partition
+    # coalescing), which quadrupled task counts at bench scale and
+    # costs real shuffle parallelism tuning at 100 TB; the checkpoint
+    # runs the pipeline with full AQE and the probe count over its
+    # materialized blocks is near-free.
     fwd = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).localCheckpoint(eager=True)

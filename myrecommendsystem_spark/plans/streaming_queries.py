@@ -623,9 +623,10 @@ def recsys_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("candidateId").alias("productId"),
         F.col("priority").alias("score"),
     )
-    out = mmr_rerank(recs, sims, k=10, lam=0.7).orderBy(
-        "userId", "mmr_rank"
-    )
+    # r13: the checkpoint materializes UNSORTED — the old shape sorted
+    # inside eager_release and then re-sorted the checkpointed rows, a
+    # full range-exchange paid twice for one presentation order.
+    out = mmr_rerank(recs, sims, k=10, lam=0.7)
     from myrecommendsystem_spark.functions.caching import eager_release
 
     return eager_release(out, sims).orderBy("userId", "mmr_rank")

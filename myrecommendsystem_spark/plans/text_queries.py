@@ -2895,10 +2895,10 @@ def rag_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
             F.sum("n_bytes").cast("bigint").alias("bytes"),
         )
-        .orderBy("cell_id")
     )
     from myrecommendsystem_spark.functions.caching import eager_release
 
+    # sort only AFTER the checkpoint (r13) — one range exchange, not two
     return eager_release(report, embedded).orderBy("cell_id")
 
 
