@@ -302,6 +302,12 @@ def orders_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("double").alias("n_ab"))
         .filter(F.col("n_ab") >= 3)
     )
+    # Deliberately LAZY (r13 measured the alternative): the printed
+    # plan shows the basket/pc legs duplicated, but at runtime AQE
+    # stage reuse runs the shared lineitem shuffle and the canonically
+    # identical pc broadcast once within the single action; an eager
+    # checkpoint of pc SPLIT that reuse into two executions (two
+    # lineitem scans+shuffles) and doubled wall time at sf0.1.
     ca = pc.withColumnsRenamed({"l_partkey": "pid_a", "n_p": "na"})
     cb = pc.withColumnsRenamed({"l_partkey": "pid_b", "n_p": "nb"})
     return (
@@ -721,10 +727,16 @@ ORDER BY label_a, label_b
 )
 def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = readers.load_table(spark, sf_dir, "embeddings")
+    # r13: cent is labels×dims — tiny after the aggregate but consumed
+    # by THREE lazy branches (both dot sides + the norm), each re-running
+    # the posexplode + centroid aggregation over the corpus.  One eager
+    # checkpoint makes the corpus pass run once; nrm then derives from
+    # the checkpointed rows.
     cent = (
         emb.select("label", F.posexplode("embedding").alias("p", "v"))
         .groupBy("label", (F.col("p") + 1).alias("pos"))
         .agg(F.avg("v").alias("c"))
+        .localCheckpoint(eager=True)
     )
     nrm = cent.groupBy("label").agg(
         F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nrm")

@@ -219,6 +219,10 @@ def product_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pid_a", "pid_b")
         .agg(F.count(F.lit(1)).cast("double").alias("n_ab"))
     )
+    # r13: one eager checkpoint of the tiny (product, count) table —
+    # lazily, ca and cb each re-ran the product-count aggregation over
+    # the cached capped relation (two shuffles for one relation).
+    pc = pc.localCheckpoint(eager=True)
     ca = pc.withColumnsRenamed({"productId": "pid_a", "n_p": "na"})
     cb = pc.withColumnsRenamed({"productId": "pid_b", "n_p": "nb"})
     out = (
@@ -243,9 +247,15 @@ def product_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pid_a", "pid_b")
     )
-    from myrecommendsystem_spark.functions.caching import eager_release
+    from myrecommendsystem_spark.functions.caching import (
+        eager_release,
+        release_checkpoint,
+    )
 
-    return eager_release(out, capped)
+    result = eager_release(out, capped)
+    if result is not out:  # materialized (not the lazy_plans hook):
+        release_checkpoint(pc)  # pc was consumed by the checkpoint job
+    return result
 
 
 @register(
