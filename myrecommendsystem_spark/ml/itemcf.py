@@ -24,7 +24,7 @@ opt-in via ``per_user_cap=None``, not a scale trap a caller falls into.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from myrecommendsystem_spark.functions.compat import round_stable
 from myrecommendsystem_spark.operators.relational import top_k_per_group
@@ -64,38 +64,56 @@ def corating_similarities(
         .groupBy("userId", "productId")
         .agg(F.avg("score").alias("score"))
     )
-    norms = r.groupBy("productId").agg(
-        F.sqrt(F.sum(F.col("score") * F.col("score"))).alias("norm")
+
+    # Single-lineage plan (optimization round 13): the norm rides ``r`` as
+    # a productId-window aggregate instead of a separate ``groupBy(productId)``
+    # relation joined back onto the pair aggregate.  The old shape computed
+    # the scan→cap→collapse subtree FOUR times (both pair sides + both norm
+    # legs) and shuffled the O(users·K²) pair relation three times (its own
+    # aggregation + one join per norm leg); this shape scans once and
+    # shuffles the pair relation once.  Values differ from the old plan only
+    # by float summation order, which ``round_stable``'s epsilon absorbs by
+    # design (compat.py) — the DuckDB oracle hashes are unchanged.
+    w = Window.partitionBy("productId")
+    rn = r.withColumn(
+        "norm", F.sqrt(F.sum(F.col("score") * F.col("score")).over(w))
     )
 
-    a = r.select(
-        "userId", F.col("productId").alias("pid"), F.col("score").alias("score_a")
+    a = rn.select(
+        "userId",
+        F.col("productId").alias("pid"),
+        F.col("score").alias("score_a"),
+        F.col("norm").alias("norm_a"),
     )
-    b = r.select(
+    b = rn.select(
         "userId",
         F.col("productId").alias("other_pid"),
         F.col("score").alias("score_b"),
+        F.col("norm").alias("norm_b"),
     )
-    dots = (
+    # norm_a/norm_b are constant within a (pid, other_pid) group; max()
+    # just carries them through the aggregate, so no join-back is needed.
+    # (A pid < other_pid triangle + mirrored-emit variant was measured and
+    # rejected: the mirror's explode/union emits fresh columns Catalyst
+    # cannot trace to the child partitioning, so every downstream per-pid
+    # consumer re-shuffles — product_graph_triangles' executed plan grew
+    # 4 → 8 Exchanges.  Keeping both directions lets the pair aggregate
+    # and the per-pid consumers ride the single hash(productId) exchange.)
+    sims = (
         a.join(b, "userId")
         .filter(F.col("pid") != F.col("other_pid"))
         .groupBy("pid", "other_pid")
-        .agg(F.sum(F.col("score_a") * F.col("score_b")).alias("dot"))
-    )
-    sims = (
-        dots.join(norms.withColumnRenamed("productId", "pid"), "pid")
-        .join(
-            norms.select(
-                F.col("productId").alias("other_pid"), F.col("norm").alias("norm_b")
-            ),
-            "other_pid",
+        .agg(
+            F.sum(F.col("score_a") * F.col("score_b")).alias("dot"),
+            F.max("norm_a").alias("norm_a"),
+            F.max("norm_b").alias("norm_b"),
         )
         .select(
             "pid",
             "other_pid",
-            round_stable(F.col("dot") / (F.col("norm") * F.col("norm_b")), 4).alias(
-                "sim"
-            ),
+            round_stable(
+                F.col("dot") / (F.col("norm_a") * F.col("norm_b")), 4
+            ).alias("sim"),
         )
     )
     return sims.filter(F.col("sim") > threshold)

@@ -3219,6 +3219,16 @@ def product_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     e1 = und.alias("e1")
     e2 = und.alias("e2")
     e3 = und.alias("e3")
+    # The checkpoint is already materialized, so gate the join strategy on
+    # the MEASURED edge count rather than the pre-checkpoint estimate
+    # (which inflates with the upstream plan's width and statically flips
+    # these self-joins to sort-merge even for a few hundred edges).  Two
+    # ints per row: 2M edges ≈ 32 MB — the session broadcast threshold.
+    # Above the gate the hint vanishes and the joins stay shuffled, which
+    # is the right shape for a 100 TB knn edge list.
+    if und.count() <= 2_000_000:
+        e2 = F.broadcast(e2)
+        e3 = F.broadcast(e3)
     tri = (
         e1.join(e2, F.col("e2.a") == F.col("e1.b"))
         .join(
