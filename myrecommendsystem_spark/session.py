@@ -52,6 +52,17 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # Allow shuffled hash join where the planner's size conditions
+        # hold (one side small enough per partition to build a local
+        # hash map) instead of always sorting both sides — the guide §9
+        # baseline.  Strategy choice never changes results; the planner
+        # still falls back to sort-merge when nothing fits, and AQE's
+        # skew-join split handles SHJ since Spark 3.2.  Measured
+        # interleaved A/B over the 10 shuffled-join-heaviest queries
+        # (tools/ab_parallelism_first.py pattern): net 0.952x, best
+        # itemcf_similarities 0.84x, worst +3% (noise); broadcast
+        # decisions and exchange counts are unaffected by construction.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
