@@ -316,6 +316,18 @@ RERUN_FLAG_BAR = 0.15
 # localized (a handful of entries, not the fleet median).  Quiet
 # sweeps measure median 0.95-1.05; contended ones 1.18-1.29.
 MEDIAN_RATIO_BAR = 1.10
+# Record-replacement bar (round 14, codifying the round-13 close
+# adjudication): replacing the committed record with a MILDLY inflated
+# guard-passing capture ratchets the bar every later sweep is graded
+# against — the r13 close saw two sweeps pass the 1.10 contention bar
+# at median 1.068/1.081 that were kept out of the record by hand, and
+# the r14 round-open sweep (median 1.073, quiet probes) walked straight
+# over the record before this bar landed.  So record REPLACEMENT is
+# held to the quiet band's edge: a sweep whose median per-query ratio
+# exceeds this writes the _contended side file instead.  Genuine
+# optimizations pull the median DOWN and always replace; a deliberate
+# fleet-wide re-baseline uses MRS_BENCH_FORCE_RECORD=1.
+RECORD_MEDIAN_BAR = 1.05
 # Below this many recorded entries the median is too noisy to trust as
 # a contention signal (a targeted MRS_BENCH_QUERIES subset run).
 MEDIAN_RATIO_MIN_N = 20
@@ -350,14 +362,18 @@ def detail_record_paths(
     MEDIAN per-query ratio vs the committed record over
     :data:`MEDIAN_RATIO_BAR` — closing the uniform-inflation blind
     spot (quiet probes + fleet-wide ~1.18x sits under every per-entry
-    bar; see :data:`MEDIAN_RATIO_BAR`).
+    bar; see :data:`MEDIAN_RATIO_BAR`).  Round 14 codified the r13
+    close's manual adjudication as :data:`RECORD_MEDIAN_BAR`: a sweep
+    may only REPLACE a committed record when its median ratio sits
+    inside the quiet band (≤1.05) — mild guard-passing drift must not
+    ratchet the bar future sweeps are graded against.
     """
     if os.environ.get("MRS_BENCH_FORCE_RECORD"):
         return os.path.join(here, "BENCH_DETAIL.json"), ""
     contended = ref_calib is not None and (
         calib_ratio > CONTENTION_BAR
         or (rerun_flag_frac is not None and rerun_flag_frac > RERUN_FLAG_BAR)
-        or (median_ratio is not None and median_ratio > MEDIAN_RATIO_BAR)
+        or (median_ratio is not None and median_ratio > RECORD_MEDIAN_BAR)
     )
     if contended:
         return os.path.join(here, "BENCH_DETAIL_contended.json"), "_contended"

@@ -885,13 +885,24 @@ def bm25_search(
     # feed a self-join that would otherwise re-explode the corpus 6×.
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dl = tf.groupBy(id_col).agg(F.sum("tf").cast("double").alias("dl"))
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     stats = docs.select(F.count(F.lit(1)).cast("double").alias("__n")).crossJoin(
         dl.agg(F.avg("dl").alias("__avgdl"))
     )
     # explicit schema: createDataFrame([], [...]) cannot infer types, so
     # an empty query list must still build a valid (empty) term relation
     q = spark.createDataFrame([(t,) for t in query_terms], "term string")
+    # document frequency of the QUERY terms only (r14, guide §2.3): the
+    # score consumes df for terms surviving the tf⋈q broadcast join, so
+    # aggregating df over the full vocabulary shuffled every term's
+    # posting count to compute a handful of values.  Pre-filtering by q
+    # yields identical df for every consumed term and shrinks the df
+    # shuffle from vocabulary-sized to |query|-sized — at 100 TB the
+    # difference between a corpus-wide term aggregation and a k-row one.
+    df_ = (
+        tf.join(F.broadcast(q), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
     scored = (
         tf.join(F.broadcast(q), "term")
         .join(df_, "term")

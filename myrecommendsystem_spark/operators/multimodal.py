@@ -140,6 +140,23 @@ def image_features(media: DataFrame, bins: int = _HIST_BINS) -> DataFrame:
     return media.select("media_id", "payload", "meta").mapInPandas(compute, schema)
 
 
+# MSB-first weights for packing a 64-bool vector into one uint64 word:
+# bit i carries 2^(63-i), exactly the ``fp = (fp << 1) | bit`` fold the
+# per-bit Python loop used to run (64 interpreted ops per row — the
+# dominant per-row cost of the fingerprint kernels at bench scale).
+_BIT64_WEIGHTS = (1 << np.arange(63, -1, -1, dtype=np.uint64)).astype(
+    np.uint64
+)
+
+
+def _pack_bits64(bits: np.ndarray) -> int:
+    """Pack a length-64 boolean vector into one SIGNED 64-bit int,
+    MSB first — bit-identical to the shift-or fold it replaces
+    (``Σ bit_i · 2^(63-i)``, then two's complement)."""
+    fp = int((bits.astype(np.uint64) * _BIT64_WEIGHTS).sum(dtype=np.uint64))
+    return fp - (1 << 64) if fp >= 1 << 63 else fp
+
+
 def image_dhash(media: DataFrame) -> DataFrame:
     """Perceptual difference-hash (dHash) per image → (media_id, dhash).
 
@@ -175,13 +192,8 @@ def image_dhash(media: DataFrame) -> DataFrame:
                 g = img.astype(np.int64).sum(axis=2)
                 gg = g[(np.arange(8) * h) // 8][:, (np.arange(9) * w) // 9]
                 bits = (gg[:, :8] < gg[:, 1:9]).reshape(-1)
-                fp = 0
-                for bit in bits:
-                    fp = (fp << 1) | int(bit)
-                if fp >= 1 << 63:  # two's-complement → signed BIGINT
-                    fp -= 1 << 64
                 ids.append(mid)
-                fps.append(fp)
+                fps.append(_pack_bits64(bits))
             yield pd.DataFrame(
                 {
                     "media_id": pd.Series(ids, dtype="int64"),
@@ -261,28 +273,25 @@ def audio_fingerprint(media: DataFrame) -> DataFrame:
                     np.int64
                 )
                 # boundary k = f*9 + b (f=0..9, b=0..8): frame starts at
-                # (f*n)//9, band b splits the frame by the same rule
+                # (f*n)//9, band b splits the frame by the same rule —
+                # one broadcasted integer grid, identical arithmetic to
+                # the former 81-iteration Python loop
                 starts = (np.arange(_AFP_FRAMES + 1) * n) // _AFP_FRAMES
+                flens = starts[1:] - starts[:-1]  # (9,)
                 bounds = np.empty(_AFP_FRAMES * _AFP_BANDS + 1, dtype=np.int64)
-                for f in range(_AFP_FRAMES):
-                    flen = starts[f + 1] - starts[f]
-                    for b in range(_AFP_BANDS):
-                        bounds[f * _AFP_BANDS + b] = (
-                            starts[f] + (b * flen) // _AFP_BANDS
-                        )
+                bounds[:-1] = (
+                    starts[:-1, None]
+                    + (np.arange(_AFP_BANDS)[None, :] * flens[:, None])
+                    // _AFP_BANDS
+                ).reshape(-1)
                 bounds[-1] = n
                 pref = np.concatenate(([0], np.cumsum(wave)))
                 seg = pref[bounds[1:]] - pref[bounds[:-1]]  # E flat: f*9+b
                 e = seg.reshape(_AFP_FRAMES, _AFP_BANDS)
                 d = e[:, :8] - e[:, 1:9]  # D(f, b), 9x8
                 bits = (d[1:, :] > d[:-1, :]).reshape(-1)  # f=1..8 × b=0..7
-                fp = 0
-                for bit in bits:
-                    fp = (fp << 1) | int(bit)
-                if fp >= 1 << 63:  # two's-complement → signed BIGINT
-                    fp -= 1 << 64
                 ids.append(mid)
-                fps.append(fp)
+                fps.append(_pack_bits64(bits))
             yield pd.DataFrame(
                 {
                     "media_id": pd.Series(ids, dtype="int64"),
@@ -389,6 +398,12 @@ def frame_signatures(
     """
     import hashlib
 
+    # decimal byte-string table: vals are bytes (0..255), so the
+    # comma-joined decimal stream md5 signs is a table lookup + join —
+    # same bytes as the former per-value str(int(v)) loop, no per-pixel
+    # Python conversions (guide §4.2 constant-factor on the kernel)
+    dec = np.array([str(i).encode() for i in range(256)], dtype=object)
+
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             mids, idxs, sigs = [], [], []
@@ -401,9 +416,7 @@ def frame_signatures(
                 strip = buf[np.arange(canon) % buf.size].astype(np.int64)
                 for fi in range(0, int(meta["n_frames"]), every_k):
                     vals = (strip + fi) % 256
-                    sig = hashlib.md5(
-                        ",".join(str(int(v)) for v in vals).encode()
-                    ).hexdigest()
+                    sig = hashlib.md5(b",".join(dec[vals])).hexdigest()
                     mids.append(mid)
                     idxs.append(fi)
                     sigs.append(sig)

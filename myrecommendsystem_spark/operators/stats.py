@@ -175,6 +175,7 @@ def count_min_sketch(
     key_col: str,
     depth: int = 5,
     width: int = 256,
+    weight_col: str | None = None,
 ):
     """Mergeable count-min sketch of a key column (Cormode 2005) —
     returns the depth x width numpy grid (merge = cell-wise addition).
@@ -189,6 +190,14 @@ def count_min_sketch(
     point-frequency queries over any date range without re-reading
     events.  Driver traffic is depth x width ints, O(1) in data
     volume; estimates stay distributed via :func:`cms_estimate_col`.
+
+    ``weight_col`` (round 14): each row adds that column's integer
+    weight to its cells instead of 1 — so a caller that already holds
+    per-key counts can sketch the AGGREGATED relation.  Cell-identical
+    to sketching the raw rows (a cell is the sum of the counts of the
+    keys hashing into it), but the Python stage sees one row per key
+    instead of one per event — at 100 TB the difference between a
+    sketch pass over the corpus and one over its key dictionary.
     """
     import numpy as np
     import pandas as pd
@@ -197,19 +206,27 @@ def count_min_sketch(
         c.alias(f"i{d_i}")
         for d_i, c in enumerate(_cms_idx_cols(F.col(key_col), depth, width))
     ]
+    cols = list(idx_cols)
+    if weight_col is not None:
+        cols.append(F.col(weight_col).cast("long").alias("__w"))
 
     def partials(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
             grid = np.zeros((depth, width), dtype=np.int64)
+            w = (
+                pdf["__w"].to_numpy(dtype=np.int64)
+                if weight_col is not None
+                else 1
+            )
             for d_i in range(depth):
                 np.add.at(
-                    grid[d_i], pdf[f"i{d_i}"].to_numpy(dtype=np.int64), 1
+                    grid[d_i], pdf[f"i{d_i}"].to_numpy(dtype=np.int64), w
                 )
             yield pd.DataFrame({"cells": [grid.reshape(-1).tolist()]})
 
-    part = df.select(*idx_cols).mapInPandas(partials, "cells array<long>")
+    part = df.select(*cols).mapInPandas(partials, "cells array<long>")
     rows = (
         part.select(F.posexplode("cells").alias("pos", "v"))
         .groupBy("pos")

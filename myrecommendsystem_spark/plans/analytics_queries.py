@@ -5104,7 +5104,12 @@ def events_type_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         # types×k rows — materialize once, never re-derive from the corpus
         .localCheckpoint(eager=True)
     )
-    tp = ev.select(F.col("event_type").alias("t")).distinct()
+    # type roster from the checkpointed sketch, not a third events scan
+    # (r14, guide §2.4): every event row lands in d — a NULL user hashes
+    # to a NULL hv row that still survives per type (NULLs sort first in
+    # the top-k window) — so sk carries exactly the distinct types and
+    # the pair grid derives from types x k checkpointed rows.
+    tp = sk.select(F.col("event_type").alias("t")).distinct()
     pairs = (
         tp.alias("a")
         .join(tp.alias("b"), F.col("a.t") < F.col("b.t"))
@@ -5736,21 +5741,37 @@ def users_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     defer=True,
 )
 def events_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myrecommendsystem_spark.functions.caching import (
+        eager_release,
+        release_checkpoint,
+    )
+
     ev = _t(spark, sf_dir, "events")
-    grid = stats.count_min_sketch(ev, "user_id")
-    top = (
+    # ONE events pass (r14, guide §2.4): the sketch build used to scan
+    # raw events through the Arrow grid kernel while the top-20 readout
+    # scanned them AGAIN for the exact counts.  The per-user counts are
+    # sufficient for both — cell-identical sketch via the weighted build
+    # (a cell is the sum of the counts of the users hashing into it) —
+    # so aggregate once, checkpoint the tiny (user, cnt) relation, and
+    # derive sketch + top-20 from it.  At 100 TB: one corpus scan, and
+    # the Python stage sees the user dictionary, not the event stream.
+    per_user = (
         ev.groupBy("user_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("true_cnt"))
-        .orderBy(F.col("true_cnt").desc(), "user_id")
-        .limit(20)
+        .persist()
     )
-    return top.select(
+    # the sketch build's internal collect doubles as the cache
+    # materializer; the top-20 readout then reads the warm cache
+    grid = stats.count_min_sketch(per_user, "user_id", weight_col="true_cnt")
+    top = per_user.orderBy(F.col("true_cnt").desc(), "user_id").limit(20)
+    out = top.select(
         "user_id",
         "true_cnt",
         stats.cms_estimate_col(grid, F.col("user_id"))
         .cast("bigint")
         .alias("est_cnt"),
     ).orderBy(F.col("true_cnt").desc(), "user_id")
+    return eager_release(out, per_user)
 
 
 # ---------------------------------------------------------------------------

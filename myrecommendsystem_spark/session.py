@@ -55,13 +55,18 @@ def get_spark(
         # Allow shuffled hash join where the planner's size conditions
         # hold (one side small enough per partition to build a local
         # hash map) instead of always sorting both sides — the guide §9
-        # baseline.  Strategy choice never changes results; the planner
-        # still falls back to sort-merge when nothing fits, and AQE's
-        # skew-join split handles SHJ since Spark 3.2.  Measured
-        # interleaved A/B over the 10 shuffled-join-heaviest queries
-        # (tools/ab_parallelism_first.py pattern): net 0.952x, best
-        # itemcf_similarities 0.84x, worst +3% (noise); broadcast
-        # decisions and exchange counts are unaffected by construction.
+        # baseline.  Strategy choice never changes results, and the
+        # planner falls back to sort-merge when its size estimates say
+        # nothing fits; the tradeoff is that those ESTIMATES can be
+        # badly wrong after filters/UDFs, and a misestimated build side
+        # OOMs a task where sort-merge would have spilled to disk.
+        # Memory-constrained deployments can flip it back per session
+        # via extra_conf.  Measured interleaved A/B (tools/ab_flag.py —
+        # the committed reproducible harness): r13 net 0.952x over the
+        # 10 shuffled-join-heaviest queries; r14 exoneration run net
+        # 0.992x over the four r13-flagged TPC-H singles + the join set
+        # (the flagged "regressions" were capture weather — the
+        # joinless q6 moved as much as any of them).
         .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")

@@ -53,6 +53,17 @@ _SURVIVOR_SCHEMA = "vec_id bigint, embedding array<double>, arrived_batch int"
 LAST_CYCLE_SECONDS: list[float] = []
 
 
+def _fold_delta_checkpoints() -> bool:
+    """Measurement switch for the r14 fold-accumulator experiment:
+    per-step DELTA checkpoints + a lazy union accumulator (True,
+    default) vs re-checkpointing the full accumulated survivor set
+    every step (the r13 shape; MRS_FOLD_DELTA=0 restores it for
+    interleaved A/B)."""
+    import os
+
+    return os.environ.get("MRS_FOLD_DELTA", "1") != "0"
+
+
 def _eligible(batch: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """Zero-norm vectors are ineligible on every path of the LSH family
     (NaN cosine — see similarity._hp_prepare); they never match and
@@ -187,6 +198,7 @@ def incremental_semantic_survivors(
     # roster); the exploded band view and the (vec_id, arrived_batch)
     # roster are map-only projections derived per consumer.
     surv_sig = None
+    deltas: list[DataFrame] = []
     for b, batch in enumerate(batches):
         _cycle_t0 = time.perf_counter()
         dim = batch_dims.get(b) or 0
@@ -231,18 +243,31 @@ def incremental_semantic_survivors(
         keep_sig = gated.join(dropped, "id", "left_anti").withColumn(
             "arrived_batch", F.lit(b).cast("int")
         )
-        prev = surv_sig
-        # keep_sig has exactly one consumer (this union), so it stays
-        # lazy and materializes inside the accumulator checkpoint
-        surv_sig = (
-            keep_sig if prev is None else prev.unionByName(keep_sig)
-        ).localCheckpoint(eager=True)
-        # every step output is materialized now → free the superseded
-        # accumulator checkpoint and the step-local ones (round-8
-        # ADVICE: without this, pinned block storage grows per batch).
-        release_checkpoint(sig, matched)
-        if prev is not None:
-            release_checkpoint(prev)
+        if _fold_delta_checkpoints():
+            # r14 variant: checkpoint only THIS step's survivors (the
+            # delta) and accumulate a lazy union of the materialized
+            # deltas — the old shape re-checkpointed the ENTIRE
+            # accumulated set every step (O(K·total) checkpoint bytes
+            # over a K-batch fold; the delta form writes each survivor
+            # row exactly once).  Consumers are unchanged: the union of
+            # checkpointed deltas scans pinned blocks, no recompute.
+            delta = keep_sig.localCheckpoint(eager=True)
+            deltas.append(delta)
+            surv_sig = reduce(DataFrame.unionByName, deltas)
+            release_checkpoint(sig, matched)
+        else:
+            prev = surv_sig
+            # keep_sig has exactly one consumer (this union), so it stays
+            # lazy and materializes inside the accumulator checkpoint
+            surv_sig = (
+                keep_sig if prev is None else prev.unionByName(keep_sig)
+            ).localCheckpoint(eager=True)
+            # every step output is materialized now → free the superseded
+            # accumulator checkpoint and the step-local ones (round-8
+            # ADVICE: without this, pinned block storage grows per batch).
+            release_checkpoint(sig, matched)
+            if prev is not None:
+                release_checkpoint(prev)
         LAST_CYCLE_SECONDS.append(time.perf_counter() - _cycle_t0)
     if surv_sig is None:
         return spark.createDataFrame([], "vec_id bigint, arrived_batch int")
@@ -254,7 +279,7 @@ def incremental_semantic_survivors(
         .orderBy("vec_id")
         .localCheckpoint(eager=True)
     )
-    release_checkpoint(surv_sig)
+    release_checkpoint(surv_sig, *deltas)
     LAST_CYCLE_SECONDS.append(time.perf_counter() - _fin_t0)
     return out
 

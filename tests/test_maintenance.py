@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from myrecommendsystem_spark.io import writers
@@ -135,6 +137,7 @@ from hypothesis import given, settings, strategies as st
     ),
     cut=st.integers(min_value=0, max_value=59),
 )
+@pytest.mark.slow
 def test_merge_states_property(spark, vals, cut):
     """merge(state(A), state(B)) ≡ state(A ∪ B) for ANY split point —
     the monoid law the incremental design rests on, checked on random

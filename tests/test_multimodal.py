@@ -385,3 +385,29 @@ def test_video_near_dup_bucket_cap_drops_degenerate_signature(spark):
     frames = multimodal.frame_signatures(media, every_k=2)
     assert multimodal.video_near_dup_pairs(frames, max_bucket=1).count() == 0
     assert multimodal.video_near_dup_pairs(frames, max_bucket=64).count() > 0
+
+
+def test_pack_bits64_matches_shift_or_fold():
+    """r14 kernel vectorization: the MSB-first weighted sum replaces the
+    64-iteration ``fp = (fp << 1) | bit`` Python fold in image_dhash /
+    audio_fingerprint — must be bit-identical incl. the two's-complement
+    wrap (all-ones, leading-one patterns)."""
+    import numpy as np
+
+    from myrecommendsystem_spark.operators.multimodal import _pack_bits64
+
+    def old_pack(bits):
+        fp = 0
+        for bit in bits:
+            fp = (fp << 1) | int(bit)
+        return fp - (1 << 64) if fp >= 1 << 63 else fp
+
+    rng = np.random.RandomState(7)
+    cases = [
+        np.zeros(64, dtype=bool),
+        np.ones(64, dtype=bool),
+        np.eye(64, dtype=bool)[0],   # MSB only → sign wrap
+        np.eye(64, dtype=bool)[63],  # LSB only → 1
+    ] + [rng.rand(64) < p for p in (0.1, 0.5, 0.9) for _ in range(200)]
+    for bits in cases:
+        assert _pack_bits64(bits) == old_pack(bits)

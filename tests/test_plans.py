@@ -553,9 +553,11 @@ def test_bench_uniform_inflation_cannot_touch_record(monkeypatch):
     # a genuinely quiet sweep (median ~1.0) targets the record
     path, suffix = bench.detail_record_paths("/x", 0.946, 0.188, 0.085, 1.02)
     assert path == "/x/BENCH_DETAIL.json" and suffix == ""
-    # exactly at the bar is not contended (strict-greater)
+    # exactly at the record-replacement bar is not contended
+    # (strict-greater; round 14 tightened replacement to the quiet
+    # band's edge — see test_bench_record_replacement_median_bar)
     path, _ = bench.detail_record_paths(
-        "/x", 1.0, 0.188, 0.0, bench.MEDIAN_RATIO_BAR
+        "/x", 1.0, 0.188, 0.0, bench.RECORD_MEDIAN_BAR
     )
     assert path == "/x/BENCH_DETAIL.json"
     # an optimization sweep (median < 1) is never blocked
@@ -571,6 +573,38 @@ def test_bench_uniform_inflation_cannot_touch_record(monkeypatch):
     # the force override wins
     monkeypatch.setenv("MRS_BENCH_FORCE_RECORD", "1")
     path, _ = bench.detail_record_paths("/x", 1.0, 0.188, 0.0, 9.9)
+    assert path == "/x/BENCH_DETAIL.json"
+
+
+def test_bench_record_replacement_median_bar(monkeypatch):
+    """Round 14 (codifying the r13 close adjudication): a sweep may
+    only REPLACE a committed record when its median per-query ratio is
+    inside the quiet band (≤ RECORD_MEDIAN_BAR = 1.05).  Two r13-close
+    sweeps passed the 1.10 contention bar at median 1.068/1.081 and had
+    to be kept out of the record BY HAND to stop the slow-drift
+    ratchet; the r14 round-open sweep (median 1.073, quiet probes)
+    then walked over the record before this bar landed."""
+    import bench
+
+    monkeypatch.delenv("MRS_BENCH_FORCE_RECORD", raising=False)
+    assert bench.RECORD_MEDIAN_BAR == 1.05
+    # the r13-close guard-passers and the r14 round-open capture all
+    # route to the side file now
+    for median in (1.068, 1.073, 1.081):
+        path, suffix = bench.detail_record_paths(
+            "/x", 1.0, 0.188, 0.02, median
+        )
+        assert path == "/x/BENCH_DETAIL_contended.json"
+        assert suffix == "_contended"
+    # a genuinely quiet sweep still replaces
+    path, _ = bench.detail_record_paths("/x", 1.0, 0.188, 0.02, 1.02)
+    assert path == "/x/BENCH_DETAIL.json"
+    # an optimization sweep (median < 1) is never blocked
+    path, _ = bench.detail_record_paths("/x", 1.0, 0.188, 0.0, 0.877)
+    assert path == "/x/BENCH_DETAIL.json"
+    # a deliberate re-baseline overrides
+    monkeypatch.setenv("MRS_BENCH_FORCE_RECORD", "1")
+    path, _ = bench.detail_record_paths("/x", 1.0, 0.188, 0.0, 1.073)
     assert path == "/x/BENCH_DETAIL.json"
 
 

@@ -9,6 +9,7 @@ default-1 counts, top-k tie-breaking, MinHash Jaccard estimation).
 from __future__ import annotations
 
 import math
+import pytest
 
 from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import functions as F
@@ -159,6 +160,7 @@ def _py_repetition(text: str):
 
 @_settings
 @given(texts=docs_strategy)
+@pytest.mark.slow
 def test_repetition_signals_match_python_model(spark, texts):
     from myrecommendsystem_spark.operators.corpus_quality import (
         repetition_signals,
@@ -189,6 +191,7 @@ def _py_shingles(text: str, n: int = 3) -> set[str]:
 
 @_settings
 @given(texts=docs_strategy, bench_text=_doc_text)
+@pytest.mark.slow
 def test_contamination_matches_python_model(spark, texts, bench_text):
     from myrecommendsystem_spark.operators.corpus_quality import (
         ngram_contamination,
@@ -268,6 +271,7 @@ def _py_lev(a: str, b: str) -> int:
     )
 )
 @_settings
+@pytest.mark.slow
 def test_edit_distance_pairs_matches_bruteforce(spark, vals):
     """Blocking must find EXACTLY the distance<=1 pairs brute force finds
     — on arbitrary strings, including empty and duplicated ones."""

@@ -14,8 +14,31 @@ from tests.oracle_utils import compare_query_to_oracle
 ORACLE_SPECS = [s for s in registry.REGISTRY if s.oracle is not None]
 ROWS_ONLY_SPECS = [s for s in registry.REGISTRY if s.oracle is None]
 
+# These four replays are dominated by DuckDB-side recursive-CTE work
+# (rag 162 s, doc_chunk 99 s, doc_cdc 96 s, embedding_semantic 24 s —
+# together ~38% of the r13 suite's 28-min wall, which outlived the
+# driver's pytest window).  They stay in the opt-in profile
+# (MRS_SLOW_TESTS=1 and every MRS_TEST_SF_DIR replay run) and the
+# driver's own rotating CORRECTNESS window still hash-checks them
+# independently; the default profile keeps parity for the other ~275
+# gated queries.
+SLOW_ORACLE_REPLAYS = {
+    "rag_ingest_pipeline",
+    "doc_chunk_dedup_docs",
+    "doc_cdc_chunks",
+    "embedding_semantic_survivors",
+}
+ORACLE_PARAMS = [
+    pytest.param(s, marks=pytest.mark.slow)
+    if s.name in SLOW_ORACLE_REPLAYS
+    else s
+    for s in ORACLE_SPECS
+]
 
-@pytest.mark.parametrize("spec", ORACLE_SPECS, ids=[s.name for s in ORACLE_SPECS])
+
+@pytest.mark.parametrize(
+    "spec", ORACLE_PARAMS, ids=[s.name for s in ORACLE_SPECS]
+)
 def test_query_matches_oracle(spark, sf_dir, spec):
     # lazy (data-dependent) oracles resolve at the replay's own sf_dir —
     # both engines then train their inlined constants on the same rows
@@ -52,6 +75,7 @@ def test_entry_smoke(spark):
     assert len(df.columns) > 0
 
 
+@pytest.mark.slow
 def test_no_gated_query_is_vacuous_at_driver_scale():
     """Every oracle must return >0 rows at the driver's sf0.01: an empty
     result hash-matches an empty result, so a vacuous query passes the

@@ -479,6 +479,7 @@ def test_interval_join_outer_streaming(spark, tmp_path):
     assert (102, None) in got
 
 
+@pytest.mark.slow
 def test_streaming_soak_state_stays_bounded(spark, tmp_path):
     """20+ micro-batch soak of the recent-K state (T4): with one file
     per trigger, every batch's emitted buffer stays ≤ K rows per user
@@ -535,6 +536,7 @@ def test_streaming_soak_state_stays_bounded(spark, tmp_path):
         assert tss == list(range(1000 + n_files - k, 1000 + n_files))
 
 
+@pytest.mark.slow
 def test_streaming_soak_redelivery_keeps_recs_stable(spark, tmp_path):
     """S10/T6 under re-delivery: 20 micro-batches of rating events flow
     through the full recommender cycle; a complete REPLAY of the stream

@@ -12,6 +12,7 @@ via the registry (``embedding_incremental_survivors``).
 from __future__ import annotations
 
 import json
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -272,6 +273,7 @@ def test_band_table_is_partitioned_by_band_and_probe_scan_prunes(
     ) == ["batch_id=0", "batch_id=1"]
 
 
+@pytest.mark.slow
 def test_compact_band_log_folds_epochs_and_drops_stale(spark, tmp_path):
     """Round-10: the append-only band log's documented offline
     mitigation — compact_band_log folds every batch_id subtree into the
@@ -370,6 +372,7 @@ def test_compact_band_log_folds_epochs_and_drops_stale(spark, tmp_path):
     assert final == [1, 3, 11, 22]
 
 
+@pytest.mark.slow
 def test_scheduled_compaction_bounds_uncompacted_subtrees(spark, tmp_path):
     """Round-11 verdict item 4: ``compact_every=N`` runs
     compact_band_log from foreachBatch every N triggers — a long stream

@@ -7,7 +7,8 @@ is the fixed-overhead proxy: every eager materialization
 (localCheckpoint, fit-sample collect, isEmpty probe) is its own job and
 pays scheduling latency even when the data is tiny.
 
-Optionally captures ``explain("formatted")`` into ``plans/r13/``.
+Optionally captures ``explain("formatted")`` into
+``plans/$MRS_PLANS_ROUND/`` (default ``plans/r14/``).
 
 Usage:
     python tools/profile_queries.py q1,q2,...   [--plans before|after]
@@ -49,7 +50,11 @@ def main() -> None:
 
     all_q = registry.all_queries()
     if top_n:
-        with open(os.path.join(HERE, "BENCH_DETAIL_r13.json")) as f:
+        with open(
+            os.path.join(
+                HERE, os.environ.get("MRS_PROFILE_RECORD", "BENCH_DETAIL.json")
+            )
+        ) as f:
             rec = json.load(f)["queries"]
         names = [
             n
@@ -135,7 +140,11 @@ def main() -> None:
                 with redirect_stdout(buf):
                     df.explain("formatted")
                 txt = buf.getvalue()
-            out = os.path.join(HERE, "plans", "r13", f"{name}_{plans_mode}.txt")
+            plans_dir = os.path.join(
+                HERE, "plans", os.environ.get("MRS_PLANS_ROUND", "r14")
+            )
+            os.makedirs(plans_dir, exist_ok=True)
+            out = os.path.join(plans_dir, f"{name}_{plans_mode}.txt")
             with open(out, "w") as f:
                 f.write(txt)
 
